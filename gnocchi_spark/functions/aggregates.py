@@ -1,0 +1,84 @@
+"""Aggregation kernels as built-in Spark aggregate Columns.
+
+Each gnocchi aggregation method (gnocchi/archive_policy.py:39-46,
+kernels at gnocchi/carbonara.py:108-221) maps to a native Spark
+aggregate expression — JVM-side, partial-aggregated map-side, inside
+whole-stage codegen.  No Python UDFs.
+
+Semantic shims mirrored from the reference:
+
+- ``std`` is *sample* std (ddof=1) and buckets with count <= 1 are
+  dropped from the output (carbonara.py:173-182) — callers must apply
+  :func:`std_having` post-filter.
+- ``median`` / ``Npct`` use linear interpolation between closest ranks
+  (carbonara.py:197-210), exactly Spark's ``percentile`` (and DuckDB's
+  ``quantile_cont``).
+- ``first``/``last`` are by timestamp order within the bucket
+  (carbonara.py:187-195); ties broken by an optional sequence column so
+  results are deterministic.
+- ``rate:<m>`` is computed by the caller (rollup) as a per-metric
+  ``value - lag(value)`` *before* bucket aggregation
+  (carbonara.py:212-221).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from gnocchi_spark.policy import parse_method
+
+
+def agg_expr(
+    method: str,
+    value: Column | str = "value",
+    ts: Column | str = "ts",
+    tiebreak: Column | str | None = None,
+) -> Column:
+    """Return the aggregate Column for a (non-rate) method.
+
+    ``tiebreak`` (e.g. an event id) makes first/last deterministic when
+    several points share a timestamp; gnocchi resolves duplicate
+    timestamps before aggregation with last-write-wins
+    (carbonara.py:92-105), which the ingest path handles separately.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    base, rate_base, pct = parse_method(method)
+    if base == "rate":
+        raise ValueError("rate:* must be pre-diffed by the caller (see rollup)")
+    if base == "mean":
+        return F.avg(value)
+    if base == "sum":
+        return F.sum(value)
+    if base == "min":
+        return F.min(value)
+    if base == "max":
+        return F.max(value)
+    if base == "count":
+        return F.count(value)
+    if base == "std":
+        return F.stddev_samp(value)
+    if base == "median":
+        return F.percentile(value, F.lit(0.5))
+    if base == "pct":
+        return F.percentile(value, F.lit(pct))
+    order = ts if tiebreak is None else F.struct(
+        ts, F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+    )
+    if base == "first":
+        return F.min_by(value, order)
+    if base == "last":
+        return F.max_by(value, order)
+    raise ValueError(f"unhandled method {method!r}")
+
+
+def std_having(count_col: Column) -> Column:
+    """Bucket-suppression predicate for std: carbonara.py:180-182 drops
+    buckets with a single point (sample std undefined)."""
+    return count_col > 1
+
+
+def safe_alias(method: str) -> str:
+    """Column-safe name for a method (``rate:mean`` -> ``rate_mean``)."""
+    return method.replace(":", "_")

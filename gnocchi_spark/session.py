@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores); the
+same configuration scales to a real cluster: AQE handles skew/coalescing at
+runtime, and shuffle partition counts are sized by env so a 1000-executor
+deployment just raises them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Deterministic, gnocchi-compatible semantics: UTC everywhere,
+        # permissive arithmetic (gnocchi's numpy kernels never raise on
+        # div-by-zero; they produce inf/nan — ANSI mode would error out).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # The testdata events table stores TIMESTAMP(NANOS) parquet, which
+        # Spark 4 rejects outright; read nanos as long and convert at load
+        # (see tables.load_events) — a documented ns->us precision policy
+        # (SURVEY.md §1.2).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scale posture: AQE re-plans shuffles at runtime (skew joins,
+        # partition coalescing); at 100 TB these are the difference between
+        # a working plan and a stuck stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the few mapInPandas paths (multimodal plumbing).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

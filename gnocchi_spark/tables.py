@@ -1,0 +1,55 @@
+"""Testdata table loaders and the events->measures projection.
+
+The driver provides TPC-H-ish parquet at /root/testdata/sf*/ (see
+TESTDATA.md).  The ``events`` table plays the role of the reference's
+measure stream (FIXTURES.md §7): ``metric_id = event_type``, plus the
+event id as arrival-order sequence for deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot map
+        # to TimestampType; with spark.sql.legacy.parquet.nanosAsLong it
+        # arrives as a long of nanoseconds.  Convert to Spark's native
+        # us-precision timestamp (the driver data is us-aligned, so this
+        # is lossless here; SURVEY.md §1.2 documents the ns->us policy).
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def events_as_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the events stream onto the measures schema
+    (FIXTURES.md §1): (metric_id, ts, value) + seq for arrival order."""
+    return load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric_id"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )

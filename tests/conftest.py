@@ -1,0 +1,19 @@
+import pytest
+
+from gnocchi_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("gnocchi-spark-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid():
+    return "/root/testdata/sf0.01"

@@ -1,0 +1,212 @@
+"""Golden-value tests for the aggregation kernels.
+
+Inputs and expected outputs ported verbatim from the reference's
+semantics spec: gnocchi/tests/test_carbonara.py:256-331 (the
+13-point/3-bucket series) and the gabbi minimum slice
+(gnocchi/tests/functional/gabbits/aggregation.yaml:10-80).
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from gnocchi_spark.operators.read import get_measures
+from gnocchi_spark.operators.rollup import (
+    dedup_last_write_wins,
+    rollup,
+    rollup_policy,
+    rollup_wide,
+)
+from gnocchi_spark.policy import ArchivePolicy, ArchivePolicyItem
+
+
+def _ts(*args):
+    return dt.datetime(*args)
+
+
+@pytest.fixture(scope="module")
+def carbonara_series(spark):
+    # test_carbonara.py:258-272 — 13 points across 3 one-minute buckets.
+    pts = [
+        (_ts(2014, 1, 1, 12, 0, 0), 3.0),
+        (_ts(2014, 1, 1, 12, 0, 10), 5.0),
+        (_ts(2014, 1, 1, 12, 0, 20), 2.0),
+        (_ts(2014, 1, 1, 12, 0, 30), 3.0),
+        (_ts(2014, 1, 1, 12, 0, 40), 5.0),
+        (_ts(2014, 1, 1, 12, 1, 0), 8.0),
+        (_ts(2014, 1, 1, 12, 1, 10), 11.0),
+        (_ts(2014, 1, 1, 12, 1, 20), 22.0),
+        (_ts(2014, 1, 1, 12, 1, 30), 10.0),
+        (_ts(2014, 1, 1, 12, 1, 40), 42.0),
+        (_ts(2014, 1, 1, 12, 1, 50), 9.0),
+        (_ts(2014, 1, 1, 12, 2, 0), 4.0),
+        (_ts(2014, 1, 1, 12, 2, 10), 2.0),
+    ]
+    return spark.createDataFrame(
+        [Row(metric_id="m1", ts=t, value=v, seq=i) for i, (t, v) in enumerate(pts)]
+    )
+
+
+# (method, bucket0, bucket1, bucket2) from test_carbonara.py:280-331
+GOLDEN = [
+    ("first", 3, 8, 4),
+    ("last", 5, 9, 2),
+    ("count", 5, 6, 2),
+    ("sum", 18, 102, 6),
+    ("mean", 3.6, 17, 3),
+    ("median", 3.0, 10.5, 3),
+    ("50pct", 3.0, 10.5, 3),
+    ("56pct", 3.4800000000000004, 10.8, 3.120000000000001),
+    ("min", 2, 8, 2),
+    ("max", 5, 42, 4),
+    ("std", 1.3416407864998738, 13.266499161421599, 1.4142135623730951),
+]
+
+
+@pytest.mark.parametrize("method,v1,v2,v3", GOLDEN)
+def test_aggregation_golden(carbonara_series, method, v1, v2, v3):
+    out = rollup(carbonara_series, [method], 60.0, seq_col="seq")
+    rows = {r["bucket_ts"]: r["value"] for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[_ts(2014, 1, 1, 12, 0, 0)] == pytest.approx(v1, rel=1e-12)
+    assert rows[_ts(2014, 1, 1, 12, 1, 0)] == pytest.approx(v2, rel=1e-12)
+    assert rows[_ts(2014, 1, 1, 12, 2, 0)] == pytest.approx(v3, rel=1e-12)
+
+
+def test_percentile_interpolation(spark):
+    # test_carbonara.py:243-253 — 95pct of [3,5,6] is 5.9 (linear interp).
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 0), value=3.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 4), value=5.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 9), value=6.0),
+        ]
+    )
+    out = rollup(df, ["95pct", "74pct"], 60.0).collect()
+    vals = {r["method"]: r["value"] for r in out}
+    assert vals["95pct"] == pytest.approx(5.9)
+    assert vals["74pct"] == pytest.approx(5.48)
+
+
+def test_std_single_point_suppressed(spark):
+    # test_carbonara.py:315-331 — std of a 1-point bucket is dropped.
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 0), value=3.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 4), value=6.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 9), value=5.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 1, 6), value=9.0),
+        ]
+    )
+    rows = rollup(df, ["std"], 60.0).collect()
+    assert len(rows) == 1  # the single-point 12:01 bucket is suppressed
+    assert rows[0]["bucket_ts"] == _ts(2014, 1, 1, 12, 0, 0)
+    assert rows[0]["value"] == pytest.approx(1.5275252316519465)
+
+
+def test_rate_mean(spark):
+    # rate:mean — diff consecutive raw values then average per bucket
+    # (carbonara.py:212-221).
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 0), value=1.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 10), value=3.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 0, 20), value=6.0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1, 12, 1, 0), value=10.0),
+        ]
+    )
+    rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["rate:mean"], 60.0).collect()}
+    # bucket0 diffs: (3-1)=2, (6-3)=3 -> mean 2.5; bucket1 diff: (10-6)=4
+    assert rows[_ts(2014, 1, 1, 12, 0, 0)] == pytest.approx(2.5)
+    assert rows[_ts(2014, 1, 1, 12, 1, 0)] == pytest.approx(4.0)
+
+
+def test_dedup_last_write_wins(spark):
+    # carbonara.py:92-105 — duplicate timestamps: latest arrival wins.
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1), value=1.0, seq=0),
+            Row(metric_id="m", ts=_ts(2014, 1, 1), value=9.0, seq=1),
+            Row(metric_id="m", ts=_ts(2014, 1, 2), value=2.0, seq=2),
+        ]
+    )
+    rows = sorted(
+        dedup_last_write_wins(df, seq_col="seq").collect(), key=lambda r: r["ts"]
+    )
+    assert [r["value"] for r in rows] == [9.0, 2.0]
+
+
+def test_minimum_slice_gabbi_aggregation(spark):
+    """gabbits/aggregation.yaml:10-80 — 'low' policy [1 s, 300 s],
+    measures (14:33:57, 43.1), (14:34:12, 12); mean rollups at both
+    granularities."""
+    policy = ArchivePolicy(
+        "low",
+        0,
+        (ArchivePolicyItem(1.0, points=3600), ArchivePolicyItem(300.0, points=10000)),
+        frozenset(["mean"]),
+    )
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="metric1", ts=_ts(2015, 3, 6, 14, 33, 57), value=43.1),
+            Row(metric_id="metric1", ts=_ts(2015, 3, 6, 14, 34, 12), value=12.0),
+        ]
+    )
+    rollups = rollup_policy(df, policy)
+    fine = {
+        r["bucket_ts"]: r["value"]
+        for r in get_measures(rollups, "metric1", "mean", 1.0).collect()
+    }
+    assert fine == {
+        _ts(2015, 3, 6, 14, 33, 57): pytest.approx(43.1),
+        _ts(2015, 3, 6, 14, 34, 12): pytest.approx(12.0),
+    }
+    coarse = {
+        r["bucket_ts"]: r["value"]
+        for r in get_measures(rollups, "metric1", "mean", 300.0).collect()
+    }
+    assert coarse == {_ts(2015, 3, 6, 14, 30, 0): pytest.approx((43.1 + 12.0) / 2)}
+
+
+def test_cascade_matches_direct(spark, carbonara_series):
+    """The cascading multi-granularity path must agree with direct
+    computation from raw for every mergeable method."""
+    policy = ArchivePolicy(
+        "p",
+        0,
+        (ArchivePolicyItem(60.0, points=100), ArchivePolicyItem(300.0, points=100)),
+        frozenset(["mean", "sum", "min", "max", "count", "std", "first", "last"]),
+    )
+    direct = rollup_policy(carbonara_series, policy, seq_col="seq", cascade=False)
+    cascade = rollup_policy(carbonara_series, policy, seq_col="seq", cascade=True)
+    d = {(r["method"], r["granularity"], r["bucket_ts"]): r["value"] for r in direct.collect()}
+    c = {(r["method"], r["granularity"], r["bucket_ts"]): r["value"] for r in cascade.collect()}
+    assert set(d) == set(c)
+    for k, v in d.items():
+        assert c[k] == pytest.approx(v, rel=1e-9), k
+
+
+def test_resample_read(spark, carbonara_series):
+    # resample 60 s means to 180 s: mean of means (carbonara.py:594-598).
+    rollups = rollup(carbonara_series, ["mean"], 60.0)
+    rows = get_measures(rollups, "m1", "mean", 60.0, resample=180.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == pytest.approx((3.6 + 17 + 3) / 3)
+
+
+def test_calendar_granularity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2015, 1, 15), value=1.0),
+            Row(metric_id="m", ts=_ts(2015, 3, 15), value=3.0),
+            Row(metric_id="m", ts=_ts(2015, 8, 15), value=5.0),
+        ]
+    )
+    # half-year buckets (calendar.py:61-66)
+    rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["sum"], "H").collect()}
+    assert rows == {_ts(2015, 1, 1): 4.0, _ts(2015, 7, 1): 5.0}
+    # monthly
+    rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["count"], "M").collect()}
+    assert rows == {_ts(2015, 1, 1): 1.0, _ts(2015, 3, 1): 1.0, _ts(2015, 8, 1): 1.0}
