@@ -1,0 +1,164 @@
+"""Resource/metric filter-DSL compiler: JSON AST -> Spark Column.
+
+The reference compiles the same JSON AST to SQLAlchemy SQL
+(gnocchi/indexer/sqlalchemy.py:1469-1618; schema at
+gnocchi/rest/api.py:1381-1437).  Semantics preserved:
+
+- operators: = == eq, < lt, > gt, <= le ≤, >= ge ≥, != ne ≠, in, like,
+  not, and ∧, or ∨;
+- ``!=`` is null-tolerant: ``attr IS NULL OR attr != v``
+  (sqlalchemy.py:1593-1595) — Spark's ``!=`` alone is null-killing;
+- empty ``in`` list is a constant-false filter (sqlalchemy.py:1462-1466
+  produces a no-match);
+- virtual attributes: ``lifespan`` = ended_at - started_at
+  (sqlalchemy.py:1541-1550) and ``created_by_user_id`` /
+  ``created_by_project_id`` = split of ``creator`` on ':' implemented as
+  prefix/suffix LIKE (sqlalchemy.py:1551-1568).
+
+Because the output is an ordinary Column predicate, Catalyst pushes it
+down to the Parquet scan of the dimension table — the Spark analogue of
+the reference pushing filters into SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MULTIPLE = {"and", "∧", "or", "∨"}
+_BINARY = {"=", "==", "eq", "<", "lt", ">", "gt", "<=", "le", "≤", ">=", "ge", "≥",
+           "!=", "ne", "≠", "in", "like"}
+
+
+def compile_filter(node: dict | None, attr_resolver=None) -> Column:
+    """Compile a filter AST like ``{"and": [{"=": {"host": "h1"}},
+    {">=": {"started_at": "2024-01-01"}}]}`` to a boolean Column."""
+    if node is None or node == {}:
+        return F.lit(True)
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"malformed filter node: {node!r}")
+    (op, payload), = node.items()
+    op = op.lower() if isinstance(op, str) else op
+    if op in _MULTIPLE:
+        subs = [compile_filter(n, attr_resolver) for n in payload]
+        if not subs:
+            raise ValueError(f"{op!r} requires at least one operand")
+        out = subs[0]
+        for s in subs[1:]:
+            out = (out & s) if op in ("and", "∧") else (out | s)
+        return out
+    if op == "not":
+        return ~compile_filter(payload, attr_resolver)
+    if op in _BINARY:
+        if not isinstance(payload, dict) or len(payload) != 1:
+            raise ValueError(f"malformed binary filter payload: {payload!r}")
+        (attr, value), = payload.items()
+        col = _resolve(attr, attr_resolver)
+        return _binary(op, attr, col, value)
+    raise ValueError(f"unknown filter operator {op!r}")
+
+
+def _resolve(attr: str, attr_resolver) -> Column:
+    if attr_resolver is not None:
+        col = attr_resolver(attr)
+        if col is not None:
+            return col
+    if attr == "lifespan":
+        # interval comparison done in seconds
+        return (
+            F.unix_micros(F.col("ended_at")) - F.unix_micros(F.col("started_at"))
+        ) / 1_000_000.0
+    return F.col(attr)
+
+
+def _binary(op: str, attr: str, col: Column, value) -> Column:
+    if attr in ("created_by_user_id", "created_by_project_id"):
+        # creator is "user:project" (sqlalchemy.py:1551-1568)
+        pattern = (
+            f"{_escape_like(str(value))}:%"
+            if attr == "created_by_user_id"
+            else f"%:{_escape_like(str(value))}"
+        )
+        base = F.col("creator").like(pattern)
+        if op in ("!=", "ne", "≠"):
+            return F.col("creator").isNull() | ~base
+        if op in ("=", "==", "eq"):
+            return base
+        raise ValueError(f"operator {op!r} not supported on {attr}")
+    if op == "in":
+        if not isinstance(value, (list, tuple)):
+            raise ValueError("'in' requires a list")
+        if not value:
+            return F.lit(False)
+        return col.isin(list(value))
+    if op == "like":
+        return col.like(str(value))
+    lit = F.lit(value)
+    if op in ("=", "==", "eq"):
+        return col == lit
+    if op in ("<", "lt"):
+        return col < lit
+    if op in (">", "gt"):
+        return col > lit
+    if op in ("<=", "le", "≤"):
+        return col <= lit
+    if op in (">=", "ge", "≥"):
+        return col >= lit
+    if op in ("!=", "ne", "≠"):
+        # null-tolerant != (sqlalchemy.py:1593-1595)
+        return col.isNull() | (col != lit)
+    raise ValueError(f"unknown operator {op!r}")
+
+
+def _escape_like(s: str) -> str:
+    return s.replace("%", r"\%").replace("_", r"\_")
+
+
+def compile_measure_query(node: dict) -> Column:
+    """Measure-value search predicate (gnocchi/rest/api.py:1559-1652):
+    boolean ops over arithmetic comparisons of the aggregated value,
+    e.g. ``{"and": [{">=": [{"value": None}, 10]}, ...]}``.  The
+    reference's operand form is positional: ``{op: [left, right]}``
+    where a leaf is the special string ``"value"`` or a number."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"malformed measure query node: {node!r}")
+    (op, payload), = node.items()
+    op = op.lower()
+    if op in ("and", "∧", "or", "∨"):
+        subs = [compile_measure_query(n) for n in payload]
+        out = subs[0]
+        for s in subs[1:]:
+            out = (out & s) if op in ("and", "∧") else (out | s)
+        return out
+    if op == "not":
+        return ~compile_measure_query(payload)
+    left, right = payload[0], payload[1]
+    lcol = _measure_operand(left)
+    rcol = _measure_operand(right)
+    ops = {
+        "=": lcol == rcol, "==": lcol == rcol, "eq": lcol == rcol,
+        "<": lcol < rcol, "lt": lcol < rcol,
+        ">": lcol > rcol, "gt": lcol > rcol,
+        "<=": lcol <= rcol, "le": lcol <= rcol, "≤": lcol <= rcol,
+        ">=": lcol >= rcol, "ge": lcol >= rcol, "≥": lcol >= rcol,
+        "!=": lcol != rcol, "ne": lcol != rcol, "≠": lcol != rcol,
+    }
+    if op in ops:
+        return ops[op]
+    raise ValueError(f"unknown measure-query operator {op!r}")
+
+
+def _measure_operand(x) -> Column:
+    if isinstance(x, str) and x == "value":
+        return F.col("value")
+    if isinstance(x, (int, float)):
+        return F.lit(float(x))
+    if isinstance(x, dict):
+        (op, payload), = x.items()
+        a, b = _measure_operand(payload[0]), _measure_operand(payload[1])
+        arith = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                 "%": ((a % b) + b) % b, "**": F.pow(a, b)}
+        if op in arith:
+            return arith[op]
+        raise ValueError(f"unknown measure-value operator {op!r}")
+    raise ValueError(f"malformed measure operand {x!r}")

@@ -290,3 +290,368 @@ def tpch_q1_pricing_summary(spark, sf_dir):
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Operations DSL / alignment / fills (SURVEY §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+def _mean_series(spark, sf_dir, event_type: str, granularity: float):
+    m = _measures(spark, sf_dir).where(F.col("metric_id") == event_type)
+    return (
+        rollup(m, ["mean"], granularity)
+        .select(F.col("bucket_ts").alias("ts"), "value")
+    )
+
+
+@query(
+    "tsdb_ops_arith_fill0",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' GROUP BY 1),
+         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='view' GROUP BY 1)
+    SELECT coalesce(click.b, view.b) AS ts,
+           round((coalesce(click.v, 0) + coalesce(view.v, 0)) * 2, 6) AS value
+    FROM click FULL OUTER JOIN view ON click.b = view.b
+    """,
+)
+def tsdb_ops_arith_fill0(spark, sf_dir):
+    # ( click.mean + view.mean ) * 2 with fill=0 — operations DSL over the
+    # aligned grid (operations.py:58-106, processor fill :184-196).
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {
+            "click/mean": _mean_series(spark, sf_dir, "click", 3600.0),
+            "view/mean": _mean_series(spark, sf_dir, "view", 3600.0),
+        },
+        fill=0,
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean", "view/mean"])
+    ast = ["*", ["+", ["metric", "click", "mean"], ["metric", "view", "mean"]], 2]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_aggregate_mean",
+    # the sum is written left-associated over the series in grid order so
+    # it is bit-identical to the engine's row-wise fold (adding 0.0 for a
+    # missing series is an exact no-op in IEEE754)
+    f"""
+    WITH per AS (SELECT event_type, {_sql_bucket(3600)} b, avg(value) v
+                 FROM events GROUP BY 1, 2),
+         piv AS (SELECT b,
+                        max(CASE WHEN event_type = 'click' THEN v END) c1,
+                        max(CASE WHEN event_type = 'view' THEN v END) c2,
+                        max(CASE WHEN event_type = 'purchase' THEN v END) c3,
+                        max(CASE WHEN event_type = 'signup' THEN v END) c4,
+                        max(CASE WHEN event_type = 'error' THEN v END) c5
+                 FROM per GROUP BY b)
+    SELECT b AS ts,
+           round((coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)
+                  + coalesce(c4, 0) + coalesce(c5, 0))
+                 / ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
+                    + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int
+                    + (c5 IS NOT NULL)::int), 6) AS value
+    FROM piv
+    """,
+)
+def tsdb_ops_aggregate_mean(spark, sf_dir):
+    # cross-series nan-aware mean collapse (operations.py:26-36,232-240)
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = align_series(
+        {f"{t}/mean": _mean_series(spark, sf_dir, t, 3600.0) for t in types},
+        fill="null",
+    )
+    frame = SeriesFrame(df=wide, cols=[f"{t}/mean" for t in types])
+    ast = ["aggregate", "mean", ["metric"] + [[t, "mean"] for t in types]]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_rolling_mean4",
+    f"""
+    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+               WHERE event_type='click' GROUP BY 1)
+    SELECT b AS ts,
+           round(avg(v) OVER (ORDER BY b ROWS BETWEEN 3 PRECEDING
+                              AND CURRENT ROW), 6) AS value
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY b) >= 4
+    """,
+)
+def tsdb_ops_rolling_mean4(spark, sf_dir):
+    # trailing 4-point rolling mean; output starts at point 3
+    # (operations.py:243-261)
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {"click/mean": _mean_series(spark, sf_dir, "click", 3600.0)}, fill="null"
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean"])
+    out = evaluate_to_long(
+        ["rolling", "mean", 4, ["metric", "click", "mean"]], frame, 3600.0
+    )
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_rateofchangesec",
+    f"""
+    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+               WHERE event_type='purchase' GROUP BY 1)
+    SELECT b AS ts,
+           round((v - lag(v) OVER (ORDER BY b)) /
+                 ((epoch_us(b) - epoch_us(lag(b) OVER (ORDER BY b)))
+                  / 1000000.0), 6) AS value
+    FROM s
+    """,
+)
+def tsdb_ops_rateofchangesec(spark, sf_dir):
+    # per-second derivative; first timestamp kept with NULL value
+    # (operations.py:128-141)
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {"purchase/mean": _mean_series(spark, sf_dir, "purchase", 3600.0)},
+        fill="null",
+    )
+    frame = SeriesFrame(df=wide, cols=["purchase/mean"])
+    out = evaluate_to_long(
+        ["rateofchangesec", ["metric", "purchase", "mean"]], frame, 3600.0
+    )
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_fill_ffill",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' AND value < 50 GROUP BY 1),
+         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='view' GROUP BY 1),
+         axis AS (SELECT coalesce(click.b, view.b) AS ts, click.v AS cv,
+                         view.v AS vv
+                  FROM click FULL OUTER JOIN view ON click.b = view.b),
+         grp AS (SELECT ts, cv, vv,
+                        count(cv) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED
+                                        PRECEDING AND CURRENT ROW) AS g,
+                        count(vv) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED
+                                        PRECEDING AND CURRENT ROW) AS g2
+                 FROM axis)
+    SELECT ts, round(max(cv) OVER (PARTITION BY g), 6) AS click_filled,
+           round(max(vv) OVER (PARTITION BY g2), 6) AS view_filled
+    FROM grp
+    """,
+)
+def tsdb_fill_ffill(spark, sf_dir):
+    # forward-fill of a sparse series on the union axis
+    # (utils.py:373-381 forward_fill)
+    from gnocchi_spark.operators.align import align_series
+
+    sparse = (
+        _measures(spark, sf_dir)
+        .where((F.col("metric_id") == "click") & (F.col("value") < 50))
+    )
+    click = (
+        rollup(sparse, ["mean"], 3600.0)
+        .select(F.col("bucket_ts").alias("ts"), "value")
+    )
+    wide = align_series(
+        {"click/mean": click, "view/mean": _mean_series(spark, sf_dir, "view", 3600.0)},
+        fill="ffill",
+    )
+    return wide.select(
+        "ts",
+        F.round(F.col("click/mean"), 6).alias("click_filled"),
+        F.round(F.col("view/mean"), 6).alias("view_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter DSLs / search / pagination (SURVEY §2.6, §2.8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "resource_filter_dsl",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_acctbal >= 1000
+      AND c_name LIKE 'Customer%'
+      AND (c_mktsegment IS NULL OR c_mktsegment != 'BUILDING')
+      AND c_nationkey IN (1, 2, 3, 4, 5)
+    """,
+)
+def resource_filter_dsl(spark, sf_dir):
+    # JSON filter AST -> Column (sqlalchemy.py:1469-1618 equivalent),
+    # incl. null-tolerant != (:1593-1595)
+    from gnocchi_spark.plans.filters import compile_filter
+
+    ast = {
+        "and": [
+            {">=": {"c_acctbal": 1000}},
+            {"like": {"c_name": "Customer%"}},
+            {"!=": {"c_mktsegment": "BUILDING"}},
+            {"in": {"c_nationkey": [1, 2, 3, 4, 5]}},
+        ]
+    }
+    cust = tables.load(spark, sf_dir, "customer")
+    return cust.where(compile_filter(ast)).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+
+
+@query(
+    "measure_value_search",
+    f"""
+    WITH r AS (SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+                      avg(value) AS value
+               FROM events GROUP BY 1, 2)
+    SELECT metric_id, bucket_ts, round(value, 6) AS value FROM r
+    WHERE value >= 50 AND value * 2 < 300
+    """,
+)
+def measure_value_search(spark, sf_dir):
+    # measure-value predicate DSL (rest/api.py:1559-1652)
+    from gnocchi_spark.plans.filters import compile_measure_query
+
+    ast = {"and": [{">=": ["value", 50]}, {"<": [{"*": ["value", 2]}, 300]}]}
+    r = rollup(_measures(spark, sf_dir), ["mean"], 300.0)
+    return r.where(compile_measure_query(ast)).select(
+        "metric_id", "bucket_ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "keyset_pagination",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1996-01-02 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1996-01-02 00:00:00' AND o_orderkey > 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def keyset_pagination(spark, sf_dir):
+    # keyset pagination (sqlalchemy.py:1281-1343): WHERE (k1,k2) > marker
+    orders = tables.load(spark, sf_dir, "orders")
+    marker_date = F.lit("1996-01-02 00:00:00").cast("timestamp")
+    pred = (F.col("o_orderdate") > marker_date) | (
+        (F.col("o_orderdate") == marker_date) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        orders.where(pred)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "resource_metric_join",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def resource_metric_join(spark, sf_dir):
+    # resources x metrics 1:N join (sqlalchemy.py:1345-1346) — dimension
+    # side broadcast, fact side streams (no shuffle of orders by key).
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# History-aware time-weighted group-by (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "history_grouped_usage",
+    f"""
+    WITH m AS (SELECT user_id, {_sql_bucket(3600)} AS b, avg(value) AS v
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         revs AS (SELECT user_id, ts AS revision_start,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS revision_end,
+                         CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS tier,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events WHERE event_type = 'signup'),
+         w AS (SELECT user_id, tier,
+                      CASE WHEN rn = 1 THEN TIMESTAMP '2024-01-05 00:00:00'
+                           ELSE greatest(revision_start,
+                                         TIMESTAMP '2024-01-05 00:00:00')
+                      END AS search_start,
+                      CASE WHEN revision_end IS NULL
+                           THEN TIMESTAMP '2024-01-25 00:00:00'
+                           ELSE least(revision_end,
+                                      TIMESTAMP '2024-01-25 00:00:00')
+                      END AS search_end
+               FROM revs)
+    SELECT w.tier, m.b AS bucket_ts,
+           round(sum(m.v *
+             (least(epoch_us(w.search_end), epoch_us(m.b) + 3600000000)
+              - greatest(epoch_us(w.search_start), epoch_us(m.b)))
+             / 3600000000.0), 6) AS value
+    FROM m JOIN w ON m.user_id = w.user_id
+      AND m.b < w.search_end
+      AND m.b + INTERVAL 1 HOUR > w.search_start
+    GROUP BY 1, 2
+    """,
+)
+def history_grouped_usage(spark, sf_dir):
+    # the time-weighted history grouper (rest/aggregates/api.py:262-493)
+    # over an SCD-2 view derived from events: signups are attribute
+    # revisions (tier by signup value), purchases are the measures.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.operators.grouper import history_grouped_aggregate
+
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("resource_id"), "ts", "value"
+    )
+    bucketed = (
+        rollup(purchases, ["mean"], 3600.0, metric_col="resource_id")
+        .select(F.col("metric_id").alias("resource_id"), "bucket_ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    revisions = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("resource_id"),
+            F.col("ts").alias("revision_start"),
+            F.lead("ts").over(w).alias("revision_end"),
+            F.when(F.col("value") >= 100, F.lit("hi")).otherwise("lo").alias("tier"),
+        )
+    )
+    out = history_grouped_aggregate(
+        bucketed,
+        revisions,
+        ["tier"],
+        3600.0,
+        start="2024-01-05 00:00:00",
+        stop="2024-01-25 00:00:00",
+    )
+    return out.select("tier", "bucket_ts", F.round("value", 6).alias("value"))

@@ -1,0 +1,271 @@
+"""Operations-DSL + alignment golden tests.
+
+Ported from the reference DSL spec: gnocchi/tests/test_aggregates.py
+(fill/overlap matrix :495-744, rolling :1427-1470, binary ops
+:1471-1612, max :1743-1786, rateofchangesec :1787-1814).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from gnocchi_spark.operators.align import UnAggregableTimeseries, align_series
+from gnocchi_spark.operators.rollup import rollup
+from gnocchi_spark.plans.operations import SeriesFrame, evaluate, evaluate_to_long
+
+
+def _ts(*args):
+    return dt.datetime(*args)
+
+
+def _series(spark, pts):
+    return spark.createDataFrame([Row(ts=t, value=float(v)) for t, v in pts])
+
+
+def _mean_series(spark, pts, granularity):
+    """Measures -> per-metric mean rollup series (ts, value)."""
+    df = spark.createDataFrame(
+        [Row(metric_id="x", ts=t, value=float(v)) for t, v in pts]
+    )
+    return (
+        rollup(df, ["mean"], granularity)
+        .select(df.ts.alias if False else "bucket_ts", "value")
+        .withColumnRenamed("bucket_ts", "ts")
+    )
+
+
+FOO = [  # test_aggregates.py:503-510 at 60 s mean
+    (_ts(2014, 1, 1, 12, 3, 0), 9),
+    (_ts(2014, 1, 1, 12, 4, 0), 1),
+    (_ts(2014, 1, 1, 12, 5, 0), 2),
+    (_ts(2014, 1, 1, 12, 6, 0), 7),
+    (_ts(2014, 1, 1, 12, 7, 0), 5),
+    (_ts(2014, 1, 1, 12, 8, 0), 3),
+]
+BAR = [  # test_aggregates.py:514-521
+    (_ts(2014, 1, 1, 12, 0, 0), 6),
+    (_ts(2014, 1, 1, 12, 1, 0), 2),
+    (_ts(2014, 1, 1, 12, 2, 0), 13),
+    (_ts(2014, 1, 1, 12, 3, 0), 24),
+    (_ts(2014, 1, 1, 12, 4, 0), 4),
+    (_ts(2014, 1, 1, 12, 5, 0), 16),
+    (_ts(2014, 1, 1, 12, 6, 0), 12),
+]
+
+
+def _aligned(spark, fill=None, needed_overlap=100.0):
+    return align_series(
+        {"foo/mean": _series(spark, FOO), "bar/mean": _series(spark, BAR)},
+        fill=fill,
+        needed_overlap=needed_overlap,
+    )
+
+
+def _run(spark, ast, fill=None, needed_overlap=100.0):
+    wide = _aligned(spark, fill, needed_overlap)
+    frame = SeriesFrame(df=wide, cols=["foo/mean", "bar/mean"])
+    out = evaluate_to_long(ast, frame, 60.0, fill=fill)
+    return out
+
+
+def test_aggregate_mean_fill_zero(spark):
+    # test_aggregated_some_overlap_with_fill_zero (:495-556)
+    out = _run(
+        spark,
+        ["aggregate", "mean", ["metric", ["foo", "mean"], ["bar", "mean"]]],
+        fill=0,
+    )
+    rows = {r["ts"]: r["value"] for r in out.collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): 3.0,
+        _ts(2014, 1, 1, 12, 1, 0): 1.0,
+        _ts(2014, 1, 1, 12, 2, 0): 6.5,
+        _ts(2014, 1, 1, 12, 3, 0): 16.5,
+        _ts(2014, 1, 1, 12, 4, 0): 2.5,
+        _ts(2014, 1, 1, 12, 5, 0): 9.0,
+        _ts(2014, 1, 1, 12, 6, 0): 9.5,
+        _ts(2014, 1, 1, 12, 7, 0): 2.5,
+        _ts(2014, 1, 1, 12, 8, 0): 1.5,
+    }
+
+
+def test_binary_minus_fill_zero(spark):
+    # second half of test_aggregated_some_overlap_with_fill_zero (:557-582)
+    out = _run(spark, ["-", ["metric", "foo", "mean"], ["metric", "bar", "mean"]], fill=0)
+    rows = {r["ts"]: r["value"] for r in out.collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): -6.0,
+        _ts(2014, 1, 1, 12, 1, 0): -2.0,
+        _ts(2014, 1, 1, 12, 2, 0): -13.0,
+        _ts(2014, 1, 1, 12, 3, 0): -15.0,
+        _ts(2014, 1, 1, 12, 4, 0): -3.0,
+        _ts(2014, 1, 1, 12, 5, 0): -14.0,
+        _ts(2014, 1, 1, 12, 6, 0): -5.0,
+        _ts(2014, 1, 1, 12, 7, 0): 5.0,
+        _ts(2014, 1, 1, 12, 8, 0): 3.0,
+    }
+
+
+def test_overlap_trim_and_percentage(spark):
+    # fill=None trims unbounded edges to the overlap region
+    # (processor.py:206-214): overlap rows are 12:03..12:06.
+    wide = _aligned(spark, fill=None, needed_overlap=50.0)
+    ts = sorted(r["ts"] for r in wide.select("ts").collect())
+    assert ts[0] == _ts(2014, 1, 1, 12, 3, 0)
+    assert ts[-1] == _ts(2014, 1, 1, 12, 6, 0)
+
+
+def test_no_overlap_raises(spark):
+    a = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1)])
+    b = _series(spark, [(_ts(2014, 1, 1, 13, 0, 0), 2)])
+    with pytest.raises(UnAggregableTimeseries):
+        align_series({"a/mean": a, "b/mean": b}, fill=None)
+    # needed_overlap=0 is allowed (test_aggregates.py:1030-1036)
+    out = align_series({"a/mean": a, "b/mean": b}, fill=None, needed_overlap=0)
+    assert out.count() == 2
+
+
+def test_rolling_sum_div_scalar(spark):
+    # test_rolling (:1427-1470): / (rolling sum 2) 2 at 5-minute mean
+    m1 = [(_ts(2014, 1, 1, 12, 0, 1), 69), (_ts(2014, 1, 1, 12, 5, 31), 42),
+          (_ts(2014, 1, 1, 12, 10, 31), 4), (_ts(2014, 1, 1, 12, 15, 45), 44)]
+    m2 = [(_ts(2014, 1, 1, 12, 0, 5), 9), (_ts(2014, 1, 1, 12, 5, 41), 2),
+          (_ts(2014, 1, 1, 12, 10, 31), 4), (_ts(2014, 1, 1, 12, 15, 10), 4)]
+    wide = align_series(
+        {"m1/mean": _mean_series(spark, m1, 300.0), "m2/mean": _mean_series(spark, m2, 300.0)},
+        fill=None,
+    )
+    frame = SeriesFrame(df=wide, cols=["m1/mean", "m2/mean"])
+    ast = ["/", ["rolling", "sum", 2, ["metric", ["m1", "mean"], ["m2", "mean"]]], 2]
+    out = evaluate_to_long(ast, frame, 300.0)
+    rows = {(r["series"], r["ts"]): r["value"] for r in out.collect()}
+    # series order is positional: first output column <- m1
+    m1_col = [c for (c, t) in rows if t == _ts(2014, 1, 1, 12, 5, 0)]
+    vals_by_ts = {}
+    for (series, ts), v in rows.items():
+        vals_by_ts.setdefault(ts, {})[series] = v
+    expected_m1 = {_ts(2014, 1, 1, 12, 5, 0): 55.5, _ts(2014, 1, 1, 12, 10, 0): 23.0,
+                   _ts(2014, 1, 1, 12, 15, 0): 24.0}
+    expected_m2 = {_ts(2014, 1, 1, 12, 5, 0): 5.5, _ts(2014, 1, 1, 12, 10, 0): 3.0,
+                   _ts(2014, 1, 1, 12, 15, 0): 4.0}
+    series_names = sorted({s for s, _ in rows}, key=lambda s: int(s[4:]))
+    s1, s2 = series_names
+    assert {t: v[s1] for t, v in vals_by_ts.items()} == expected_m1
+    assert {t: v[s2] for t, v in vals_by_ts.items()} == expected_m2
+
+
+def test_binary_two_refs_and_scalar(spark):
+    # test_binary_operator_with_two_references (:1471-1505) at 1 h
+    m1 = [(_ts(2014, 1, 1, 12, 0, 1), 69), (_ts(2014, 1, 1, 13, 1, 31), 42),
+          (_ts(2014, 1, 1, 14, 2, 31), 4), (_ts(2014, 1, 1, 15, 3, 45), 44)]
+    m2 = [(_ts(2014, 1, 1, 12, 0, 5), 9), (_ts(2014, 1, 1, 13, 1, 41), 2),
+          (_ts(2014, 1, 1, 14, 2, 31), 4), (_ts(2014, 1, 1, 15, 3, 10), 4)]
+    wide = align_series(
+        {"m1/mean": _mean_series(spark, m1, 3600.0), "m2/mean": _mean_series(spark, m2, 3600.0)},
+        fill=None,
+    )
+    frame = SeriesFrame(df=wide, cols=["m1/mean", "m2/mean"])
+    out = evaluate_to_long(
+        ["*", ["metric", "m1", "mean"], ["metric", "m2", "mean"]], frame, 3600.0
+    )
+    rows = {r["ts"]: r["value"] for r in out.collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): 621.0,
+        _ts(2014, 1, 1, 13, 0, 0): 84.0,
+        _ts(2014, 1, 1, 14, 0, 0): 16.0,
+        _ts(2014, 1, 1, 15, 0, 0): 176.0,
+    }
+    # test_binary_operator_ts_on_left (:1506-1532): * scalar
+    out2 = evaluate_to_long(["*", ["metric", "m1", "mean"], 2], frame, 3600.0)
+    rows2 = {r["ts"]: r["value"] for r in out2.collect()}
+    assert rows2[_ts(2014, 1, 1, 12, 0, 0)] == 138.0
+    assert rows2[_ts(2014, 1, 1, 15, 0, 0)] == 88.0
+
+
+def test_max_operator(spark):
+    # test_max_operator (:1743-1786): fmax(m1, m2*2) at 1 h
+    m1 = [(_ts(2014, 1, 1, 12, 0, 1), -69), (_ts(2014, 1, 1, 13, 1, 31), 42),
+          (_ts(2014, 1, 1, 14, 2, 31), -4), (_ts(2014, 1, 1, 15, 3, 45), 44)]
+    m2 = [(_ts(2014, 1, 1, 12, 0, 5), -9), (_ts(2014, 1, 1, 13, 1, 41), -2),
+          (_ts(2014, 1, 1, 14, 2, 31), 4), (_ts(2014, 1, 1, 15, 3, 10), -4)]
+    wide = align_series(
+        {"m1/mean": _mean_series(spark, m1, 3600.0), "m2/mean": _mean_series(spark, m2, 3600.0)},
+        fill=None,
+    )
+    frame = SeriesFrame(df=wide, cols=["m1/mean", "m2/mean"])
+    ast = ["max", ["metric", "m1", "mean"], ["*", ["metric", "m2", "mean"], 2]]
+    rows = {r["ts"]: r["value"] for r in evaluate_to_long(ast, frame, 3600.0).collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): -18.0,
+        _ts(2014, 1, 1, 13, 0, 0): 42.0,
+        _ts(2014, 1, 1, 14, 0, 0): 8.0,
+        _ts(2014, 1, 1, 15, 0, 0): 44.0,
+    }
+
+
+def test_rateofchangesec(spark):
+    # test_rateofchangesec_operator (:1787-1814): first ts kept, NULL value
+    m1 = [(_ts(2014, 1, 1, 12, 0, 1), 0), (_ts(2014, 1, 1, 12, 5, 10), 450),
+          (_ts(2014, 1, 1, 12, 10, 5), 900), (_ts(2014, 1, 1, 12, 15, 30), 1350)]
+    s = _mean_series(spark, m1, 300.0)
+    wide = align_series({"m1/mean": s}, fill=None)
+    frame = SeriesFrame(df=wide, cols=["m1/mean"])
+    out = evaluate_to_long(["rateofchangesec", ["metric", "m1", "mean"]], frame, 300.0)
+    rows = {r["ts"]: r["value"] for r in out.collect()}
+    assert rows[_ts(2014, 1, 1, 12, 0, 0)] is None  # NaN in the reference
+    assert rows[_ts(2014, 1, 1, 12, 5, 0)] == pytest.approx(1.5)
+    assert rows[_ts(2014, 1, 1, 12, 10, 0)] == pytest.approx(1.5)
+    assert rows[_ts(2014, 1, 1, 12, 15, 0)] == pytest.approx(1.5)
+
+
+def test_rateofchange_drops_first(spark):
+    s = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1), (_ts(2014, 1, 1, 12, 1, 0), 4),
+                        (_ts(2014, 1, 1, 12, 2, 0), 9)])
+    wide = align_series({"a/mean": s}, fill=None)
+    frame = SeriesFrame(df=wide, cols=["a/mean"])
+    rows = {
+        r["ts"]: r["value"]
+        for r in evaluate_to_long(["rateofchange", ["metric", "a", "mean"]], frame, 60.0).collect()
+    }
+    assert rows == {_ts(2014, 1, 1, 12, 1, 0): 3.0, _ts(2014, 1, 1, 12, 2, 0): 5.0}
+
+
+def test_comparison_and_clip(spark):
+    s = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1), (_ts(2014, 1, 1, 12, 1, 0), 5),
+                        (_ts(2014, 1, 1, 12, 2, 0), 9)])
+    wide = align_series({"a/mean": s}, fill=None)
+    frame = SeriesFrame(df=wide, cols=["a/mean"])
+    rows = {
+        r["ts"]: r["value"]
+        for r in evaluate_to_long([">", ["metric", "a", "mean"], 4], frame, 60.0).collect()
+    }
+    assert rows == {_ts(2014, 1, 1, 12, 0, 0): 0.0, _ts(2014, 1, 1, 12, 1, 0): 1.0,
+                    _ts(2014, 1, 1, 12, 2, 0): 1.0}
+    rows = {
+        r["ts"]: r["value"]
+        for r in evaluate_to_long(["clip", ["metric", "a", "mean"], 2, 6], frame, 60.0).collect()
+    }
+    assert rows == {_ts(2014, 1, 1, 12, 0, 0): 2.0, _ts(2014, 1, 1, 12, 1, 0): 5.0,
+                    _ts(2014, 1, 1, 12, 2, 0): 6.0}
+
+
+def test_mixed_axis_raises(spark):
+    # binary op between a rolled (shorter axis) and raw series must raise
+    # (operations.py:170-176)
+    s = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1), (_ts(2014, 1, 1, 12, 1, 0), 4),
+                        (_ts(2014, 1, 1, 12, 2, 0), 9)])
+    wide = align_series({"a/mean": s}, fill=None)
+    frame = SeriesFrame(df=wide, cols=["a/mean"])
+    ast = ["+", ["rolling", "mean", 2, ["metric", "a", "mean"]], ["metric", "a", "mean"]]
+    with pytest.raises(UnAggregableTimeseries):
+        evaluate(ast, frame)
+
+
+def test_ffill(spark):
+    a = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1), (_ts(2014, 1, 1, 12, 2, 0), 3)])
+    b = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 5), (_ts(2014, 1, 1, 12, 1, 0), 6),
+                        (_ts(2014, 1, 1, 12, 2, 0), 7)])
+    wide = align_series({"a/mean": a, "b/mean": b}, fill="ffill")
+    rows = {r["ts"]: (r["a/mean"], r["b/mean"]) for r in wide.collect()}
+    assert rows[_ts(2014, 1, 1, 12, 1, 0)] == (1.0, 6.0)  # a forward-filled
