@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface (BASELINE.json north star: add the
+LLM-data-pipeline operators) — designed Spark-first for 100 TB corpora:
+
+- **exact**: hash-groupBy on a text digest; one shuffle keyed by the
+  digest, so perfectly parallel and skew-free (hashes are uniform).
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band
+  buckets -> candidate pairs via self-join on band key -> exact Jaccard
+  verification.  Only bucket-mates ever join: the quadratic pair space
+  is never materialized.
+- **SimHash**: token hashes folded into a 32-bit signature; banded
+  (pigeonhole) candidate generation + exact Hamming check.
+- **n-gram Jaccard**: exact pairwise similarity over candidate pairs.
+
+Hash primitive is md5 (hex string) everywhere: deterministic,
+available as a built-in in both Spark and typical SQL oracles, and the
+*string* minimum of hex digests is a valid uniform min-hash, which
+keeps every stage inside whole-stage codegen (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + whitespace-collapse normalization used by exact dedup
+    and fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct (normalized) text: representative id (min),
+    duplicate count."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def char_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of a string as an array — pure Column
+    expression (sequence + transform), no UDF."""
+    n = F.length(col) - (k - 1)
+    # sequence(1, 0) is *descending* in Spark, so texts shorter than k
+    # need an explicit empty-array branch
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Exploded (doc_id, shingle) pairs, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min(md5(s || shingle)).
+
+    A single groupBy computes all hashes (one shuffle); each min is a
+    partial aggregate, so the map side reduces before shuffling.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on band keys: docs agreeing on
+    any full band become candidate pairs (classic MinHash-LSH banding).
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = num_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias("band_key")
+        for b in range(n_bands)
+    ]
+    long = signatures.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(n_bands)]).alias("band"),
+                F.array(*bands).alias("key"),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingled: DataFrame
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    |A ∩ B| comes from joining the exploded shingle table to itself
+    through the candidate pairs (no arrays collected on the driver);
+    |A ∪ B| = |A| + |B| - |A ∩ B|.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: candidates from LSH
+    bands, verified with exact Jaccard >= threshold."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    return jaccard_pairs(cands, sh).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard over *blocked* pairs: only docs sharing at
+    least one shingle are compared (the shingle join IS the blocking),
+    so disjoint docs never form a pair."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over whitespace tokens.
+
+    Bit i of the signature is the sign of sum over tokens of
+    (+1 if hex digit i of md5(token) >= 8 else -1) — i.e. each md5 hex
+    character contributes one signature bit.  Pure Column expressions.
+    """
+    assert bits <= 32
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    sig = F.conv(
+        F.concat(*[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(bits)]),
+        2,
+        10,
+    ).cast("long")
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: banded candidate generation (pigeonhole — any
+    pair within max_hamming agrees exactly on >= 1 of n_bands byte
+    bands when max_hamming < n_bands), exact Hamming verification via
+    xor + bit_count."""
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    long = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = long.alias("a"), long.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

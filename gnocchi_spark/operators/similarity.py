@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure DataFrame plans:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, dot products via
+  ``zip_with``/``aggregate`` (JVM-side, no Python), rank with a window
+  partitioned by query.  Cost O(|Q| x |corpus|) but embarrassingly
+  parallel: at 100 TB the corpus scan dominates and shards perfectly.
+- **random-hyperplane LSH** — the scale path: H deterministic
+  hyperplanes give an H-bit bucket per vector; candidates share a
+  bucket (optionally any of several bucket rotations), exact cosine is
+  computed only within buckets.  Hyperplane weights derive from md5 so
+  the plan is reproducible everywhere (no RNG state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, folded in array
+    order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query by cosine.
+
+    Ranking uses (rounded cosine desc, id asc) so ties are
+    deterministic.  The query side is broadcast — the corpus never
+    shuffles; only the per-query top-k heap (window over partitioned
+    rank) reduces.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-7.5, 7.5],
+    derived from md5 so any engine reproduces them."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            w.append(int(h[:2], 16) - 127.5)
+        planes.append(w)
+    return planes
+
+
+def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
+    """All bucket ids within Hamming distance <= radius of ``bucket``
+    (the multi-probe set), as an array Column."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """H-bit bucket id: bit p = sign(vec . plane_p)."""
+    bits = []
+    for w in planes:
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in w]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, "1").otherwise("0"))
+    return F.conv(F.concat(*bits), 2, 10).cast("long")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine computed only for corpus vectors
+    whose LSH bucket is within ``probe_hamming`` bits of the query's
+    (multi-probe).  probe_hamming=0 is classic single-probe; each extra
+    bit of probe radius trades compute for recall — tune against the
+    measured angle distribution of the embedding space."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("c_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("q_bucket"),
+    )
+    # broadcast hash join on the bucket for single-probe; multi-probe
+    # explodes the query side into its probe buckets so the join stays
+    # an equi-join (no nested-loop over the corpus)
+    if probe_hamming > 0:
+        probes = _probe_buckets(F.col("q_bucket"), n_planes, probe_hamming)
+        q = q.withColumn("q_bucket", F.explode(probes))
+    scored = (
+        c.join(F.broadcast(q), F.col("c_bucket") == F.col("q_bucket"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
