@@ -883,3 +883,260 @@ def multimodal_features(spark, sf_dir):
     media = attach_payload(tables.load(spark, sf_dir, "documents"))
     out = decode_image_features(media, fake=True)
     return out.select("doc_id", "media_type", "n_bytes")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of operators.dedup.simhash_near_duplicates
+    (32 bits, 4 bands, hamming <= 3): per-hex-digit bit votes, banded
+    candidates, xor + bit_count verification."""
+    in_set = "('8','9','a','b','c','d','e','f')"
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN substring(h, {i + 1}, 1) IN {in_set} THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << (31 - i)} AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash >> {i * 8}) & 255 AS key FROM sig"
+        for i in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)),
+    bits AS (
+      SELECT doc_id, {bit_sums}
+      FROM toks GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_terms} AS simhash FROM bits),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash", _simhash_oracle_sql())
+def dedup_simhash(spark, sf_dir):
+    from gnocchi_spark.operators.dedup import simhash_near_duplicates
+
+    out = simhash_near_duplicates(tables.load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 5) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                5) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # embedding-space near-duplicate pairs (cosine >= 0.4, exact).  The
+    # O(n^2) pair join is the correctness baseline; the scale path is
+    # the LSH-bucketed variant (ann_lsh_topk) which only joins
+    # bucket-mates.
+    from gnocchi_spark.operators.similarity import cosine
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cosine", F.round(cosine(F.col("ea"), F.col("eb")), 5)
+    )
+    return pairs.where(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Ingest connectors (SURVEY §2.1): wire format -> measures -> rollup.
+# Each query synthesizes wire payloads from the events table, runs the
+# normalizer, and aggregates; the oracle computes the expected result
+# directly from events — an end-to-end parse check.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ingest_influxdb_lines",
+    f"""
+    SELECT event_type AS resource_id,
+           'req.value@dc=east' AS metric_name,
+           {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(CAST(floor(value * 1000) AS BIGINT)), 6) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def ingest_influxdb_lines(spark, sf_dir):
+    # events -> line protocol text -> parse_lines -> hourly mean
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.sources import influxdb
+
+    ev = tables.load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.format_string(
+            "req,host=%s,dc=east value=%d %d",
+            F.col("event_type"),
+            F.floor(F.col("value") * 1000).cast("long"),
+            F.unix_micros(F.col("ts")) * 1000,
+        ).alias("line")
+    )
+    parsed = influxdb.parse_lines(lines)
+    return parsed.groupBy(
+        "resource_id",
+        "metric_name",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@query(
+    "ingest_statsd_flush",
+    """
+    SELECT event_type || '|c' AS metric_name,
+           round(sum(CAST(floor(value * 1000) AS BIGINT)) * 2.0, 4) AS value
+    FROM events GROUP BY 1
+    """,
+)
+def ingest_statsd_flush(spark, sf_dir):
+    # counter semantics: value * (1/sample_rate) accumulated per flush
+    from gnocchi_spark.sources import statsd
+
+    ev = tables.load(spark, sf_dir, "events")
+    packets = ev.select(
+        F.format_string(
+            "%s:%d|c|@0.5",
+            F.col("event_type"),
+            F.floor(F.col("value") * 1000).cast("long"),
+        ).alias("packet")
+    )
+    flushed = statsd.flush_aggregate(statsd.parse_packets(packets))
+    return flushed.select("metric_name", F.round("value", 4).alias("value"))
+
+
+@query(
+    "ingest_collectd",
+    f"""
+    SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS resource_id,
+           'cpu-' || event_type || '@gauge-' || ds.name AS metric_name,
+           {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(CASE WHEN ds.name = 'a' THEN value ELSE value * 2 END), 6)
+             AS mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES ('a'), ('b')) AS ds(name)
+    GROUP BY 1, 2, 3
+    """,
+)
+def ingest_collectd(spark, sf_dir):
+    # events -> collectd value-lists (2 datasources) -> normalize ->
+    # hourly mean; exercises the -dsname suffix + posexplode path
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.sources import collectd
+
+    ev = tables.load(spark, sf_dir, "events")
+    vls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias("host"),
+        F.lit("cpu").alias("plugin"),
+        F.col("event_type").alias("plugin_instance"),
+        F.lit("gauge").alias("type"),
+        F.lit("").alias("type_instance"),
+        F.array(F.lit("a"), F.lit("b")).alias("dsnames"),
+        F.array(F.lit("gauge"), F.lit("gauge")).alias("dstypes"),
+        F.array(F.col("value"), F.col("value") * 2).alias("values"),
+        (F.unix_micros(F.col("ts")) / 1e6).alias("time"),
+        F.lit(10.0).alias("interval"),
+    )
+    out = collectd.normalize(vls)
+    return out.groupBy(
+        "resource_id",
+        "metric_name",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@query(
+    "ingest_prometheus",
+    f"""
+    SELECT 'j' || CAST(user_id % 5 AS VARCHAR) || '@i1' AS original_resource_id,
+           event_type AS metric_name,
+           {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(value), 6) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def ingest_prometheus(spark, sf_dir):
+    # decoded remote-write shape -> normalize -> hourly mean.  The
+    # uuid5 resource_id has no DuckDB equivalent (no sha1), so the
+    # oracle compares original_resource_id; uuid5 parity is
+    # pytest-verified against Python's uuid module.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.sources import prometheus
+
+    ev = tables.load(spark, sf_dir, "events")
+    ts_rows = ev.select(
+        F.create_map(
+            F.lit("__name__"), F.col("event_type"),
+            F.lit("job"), F.concat(F.lit("j"), (F.col("user_id") % 5).cast("string")),
+            F.lit("instance"), F.lit("i1"),
+        ).alias("labels"),
+        F.array(
+            F.struct(
+                F.unix_millis(F.col("ts")).alias("timestamp_ms"),
+                F.col("value").alias("value"),
+            )
+        ).alias("samples"),
+    )
+    out = prometheus.normalize(ts_rows, creator="cr")
+    return out.groupBy(
+        "original_resource_id",
+        "metric_name",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@query(
+    "injector_synthetic",
+    """
+    SELECT CAST(i % 5 AS VARCHAR) AS metric_id,
+           CAST(count(*) AS BIGINT) AS n,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM (SELECT i,
+                 make_timestamp(1767225600000000
+                                + (i // 5) * 3 * 1000000) AS ts
+          FROM range(0, 1000) t(i))
+    GROUP BY 1
+    """,
+)
+def injector_synthetic(spark, sf_dir):
+    # distributed synthetic load generator (reference cli/injector.py);
+    # the random payload differs per engine, so the oracle checks the
+    # deterministic shape: cadence, cardinality, span
+    from gnocchi_spark.sources import injector
+
+    df = injector.synthetic_measures(spark, n_metrics=5, n_measures=200, interval_s=3.0)
+    return df.groupBy("metric_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

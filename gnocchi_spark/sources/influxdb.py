@@ -1,0 +1,148 @@
+"""InfluxDB line-protocol ingest (reference ``gnocchi/rest/influxdb.py``).
+
+Wire format per line::
+
+    measurement[,tag=v[,tag2=v2]] field=value[,field2=v2] [timestamp_ns]
+
+Reference semantics reproduced (``rest/influxdb.py:154-259``):
+
+- one tag (default ``host``) is popped as the resource id
+  (``DEFAULT_TAG_RESOURCE_ID``, ``influxdb.py:121``);
+- metric name is ``<measurement>.<field_key>@<tag>=<v>,...`` with the
+  remaining tags sorted by key, ``/`` replaced by ``_``
+  (``influxdb.py:213-227``);
+- integer field values carry an ``i`` suffix, strings are quoted and
+  *skipped* (only numeric fields become measures, ``influxdb.py:215-217``);
+- a missing timestamp defaults to the chunk's ingest time
+  (``influxdb.py:196-197``).
+
+Implementation is pure Column expressions (regexp + map functions), so
+parsing stays inside whole-stage codegen — no Python in the hot path.
+Escaped delimiters (``\\,`` ``\\ `` ``\\=``) and quoted *string* field
+values containing spaces are not supported by this fast path; the
+reference skips string fields anyway, and escapes are rare in practice
+(the reference needs a full pyparsing grammar for them,
+``influxdb.py:40-91``).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TAG_RESOURCE_ID = "host"
+
+_NUMBER_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
+_INTEGER_RE = r"^[+-]?\d+i$"
+_BOOL_TRUE_RE = r"^(True|true|TRUE|T|t)$"
+_BOOL_FALSE_RE = r"^(False|false|FALSE|F|f)$"
+
+
+def _field_value(raw: Column) -> Column:
+    """Numeric value of a field, NULL for (skipped) string fields.
+
+    Booleans parse to 1.0/0.0 like the reference grammar's boolean
+    action (``influxdb.py:40-42``).
+    """
+    return (
+        F.when(raw.rlike(_INTEGER_RE), raw.substr(F.lit(1), F.length(raw) - 1).cast("double"))
+        .when(raw.rlike(_NUMBER_RE), raw.cast("double"))
+        .when(raw.rlike(_BOOL_TRUE_RE), F.lit(1.0))
+        .when(raw.rlike(_BOOL_FALSE_RE), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def parse_lines(
+    lines: DataFrame,
+    line_col: str = "line",
+    tag_to_rid: str = DEFAULT_TAG_RESOURCE_ID,
+    now: datetime.datetime | None = None,
+) -> DataFrame:
+    """Parse line-protocol text rows into measures.
+
+    Returns ``(resource_id, metric_name, ts, value)``; lines that fail
+    to parse or lack the resource-id tag are dropped (the REST layer's
+    400-abort has no per-row equivalent in a bulk engine; callers can
+    diff counts to detect rejects).
+
+    100 TB note: narrow map-only plan — no shuffle, no UDF; one
+    ``explode`` per field set.  Safe to fuse with the downstream
+    rollup ``groupBy``.
+    """
+    now_lit = F.lit(now) if now is not None else F.current_timestamp()
+    df = lines.select(
+        F.split(F.col(line_col), " ").alias("parts"),
+    ).select(
+        F.element_at("parts", 1).alias("head"),
+        F.element_at("parts", 2).alias("fieldset"),
+        F.when(F.size("parts") >= 3, F.element_at("parts", 3)).alias("ts_str"),
+    )
+    df = df.select(
+        F.regexp_extract("head", r"^([^,]+)", 1).alias("measurement"),
+        F.regexp_extract("head", r"^[^,]+,(.+)$", 1).alias("tagset"),
+        "fieldset",
+        "ts_str",
+    ).where((F.col("measurement") != "") & (F.col("fieldset").isNotNull()) & (F.col("fieldset") != ""))
+
+    tags = F.when(F.col("tagset") == "", F.expr("map()")).otherwise(
+        F.str_to_map("tagset", F.lit(","), F.lit("="))
+    )
+    df = df.withColumn("tags", tags).withColumn(
+        "resource_id", F.element_at("tags", tag_to_rid)
+    )
+    # reference aborts without the rid tag (influxdb.py:199-207); we drop
+    df = df.where(F.col("resource_id").isNotNull())
+
+    other = F.map_filter("tags", lambda k, _: k != F.lit(tag_to_rid))
+    tags_str = F.when(
+        F.size(F.map_keys(other)) > 0,
+        F.concat(
+            F.lit("@"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.map_keys(other)),
+                    lambda k: F.concat(k, F.lit("="), F.element_at(other, k)),
+                ),
+                ",",
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    df = df.withColumn("tags_str", tags_str)
+
+    # timestamp is integer nanoseconds; default = ingest time
+    ts = F.when(
+        F.col("ts_str").rlike(r"^\d+$"),
+        F.timestamp_micros((F.col("ts_str").cast("decimal(38,0)") / 1000).cast("long")),
+    ).otherwise(now_lit)
+    df = df.withColumn("ts", ts)
+
+    kv = df.select(
+        "resource_id",
+        "measurement",
+        "tags_str",
+        "ts",
+        F.explode(F.split("fieldset", ",")).alias("kv"),
+    ).select(
+        "resource_id",
+        "measurement",
+        "tags_str",
+        "ts",
+        F.regexp_extract("kv", r"^([^=]+)=", 1).alias("field_key"),
+        F.regexp_extract("kv", r"^[^=]+=(.*)$", 1).alias("raw"),
+    ).where(F.col("field_key") != "")
+
+    out = kv.select(
+        "resource_id",
+        F.replace(
+            F.concat("measurement", F.lit("."), "field_key", "tags_str"),
+            F.lit("/"),
+            F.lit("_"),
+        ).alias("metric_name"),
+        "ts",
+        _field_value(F.col("raw")).alias("value"),
+    )
+    # string-valued fields are skipped, not errors (influxdb.py:215-217)
+    return out.where(F.col("value").isNotNull())
