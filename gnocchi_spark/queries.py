@@ -1116,6 +1116,41 @@ def ingest_prometheus(spark, sf_dir):
 
 
 @query(
+    "tsdb_refresh_on_read",
+    f"""
+    SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(value), 6) AS mean, CAST(count(value) AS BIGINT) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tsdb_refresh_on_read(spark, sf_dir):
+    # refresh=true semantics (rest/api.py:539-547): rollup table UNION
+    # on-the-fly aggregation of the unprocessed tail, recomputed buckets
+    # replacing stored ones.  Processing stopped mid-bucket at 23:30 Jan
+    # 24, so the stored 23:00 bucket is partial; the raw back-window
+    # still holds that whole bucket (BoundTimeSerie retention), the
+    # recompute replaces the partial row, and the served result must
+    # equal the plain full rollup — which is the oracle.
+    from gnocchi_spark.streaming.ingest import read_with_tail
+
+    cut = "2024-01-24 23:30:00"
+    window_start = "2024-01-24 23:00:00"
+    m = _measures(spark, sf_dir)
+    processed = m.where(F.col("ts") < cut)
+    rolled = rollup_wide(processed, ["mean", "count"], 3600.0).select(
+        "metric_id", "bucket_ts", F.lit(3600.0).alias("granularity"), "mean", "count"
+    )
+    tail = m.where(F.col("ts") >= window_start)
+    out = read_with_tail(rolled, tail, ["mean", "count"], 3600.0)
+    return out.select(
+        "metric_id",
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+@query(
     "injector_synthetic",
     """
     SELECT CAST(i % 5 AS VARCHAR) AS metric_id,

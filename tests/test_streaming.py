@@ -1,0 +1,155 @@
+"""Streaming ingest tests: watermark finalization (frozen splits),
+late-data drop (back-window), merge sink (mutable tail), and
+refresh-on-read — semantics per SURVEY.md §2.10."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.rollup import rollup_wide
+from gnocchi_spark.streaming import ingest as si
+
+UTC = datetime.timezone.utc
+
+
+def _t(minute, second=0):
+    return datetime.datetime(2026, 3, 6, 14, minute, second)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, schema=si.MEASURES_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "table": str(tmp_path / "rollups"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _run_append(spark, dirs, methods=("mean", "count", "std"), gran=300.0, bw=600):
+    stream = si.read_measures_stream(spark, dirs["landing"])
+    agg = si.streaming_rollup(stream, list(methods), gran, bw)
+    q = si.start_append_sink(agg, dirs["table"], dirs["ckpt"])
+    q.awaitTermination(120)
+    return spark.read.parquet(dirs["table"])
+
+
+def test_append_sink_finalizes_watermarked_windows(spark, dirs):
+    # batch 1: two 5-min buckets + a point far ahead that advances the
+    # watermark past both
+    rows = [
+        ("m1", _t(0, 10), 1.0, 1),
+        ("m1", _t(0, 50), 3.0, 2),
+        ("m1", _t(6, 0), 10.0, 3),
+        ("m2", _t(1, 0), 7.0, 4),
+        ("m1", _t(40, 0), 99.0, 5),  # watermark mover
+    ]
+    _write_batch(spark, dirs["landing"], rows)
+    got = _run_append(spark, dirs)
+    done = {
+        (r["metric_id"], r["bucket_ts"].minute): (r["mean"], r["count"], r["std"])
+        for r in got.collect()
+    }
+    # finalized buckets (watermark = 14:40 - 10 min = 14:30 > bucket ends)
+    assert done[("m1", 0)][0] == 2.0 and done[("m1", 0)][1] == 2
+    assert done[("m1", 5)] == (10.0, 1, None)  # std suppressed, count=1
+    assert done[("m2", 0)] == (7.0, 1, None)
+    # the watermark-moving bucket itself (14:40) is still open: not emitted
+    assert ("m1", 40) not in done
+    # std of the 2-point bucket is the sample std
+    assert done[("m1", 0)][2] == pytest.approx(1.4142135623730951)
+
+
+def test_append_sink_drops_late_beyond_back_window(spark, dirs):
+    _write_batch(
+        spark,
+        dirs["landing"],
+        [("m1", _t(0, 10), 1.0, 1), ("m1", _t(40), 99.0, 2)],
+    )
+    got1 = _run_append(spark, dirs)
+    assert {r["bucket_ts"].minute for r in got1.collect()} == {0}
+    # batch 2: a late point for the already-finalized 14:00 bucket
+    # (older than watermark 14:30) -> silently dropped, bucket unchanged
+    _write_batch(spark, dirs["landing"], [("m1", _t(0, 20), 100.0, 3)])
+    got2 = _run_append(spark, dirs)
+    rows = [r for r in got2.collect() if r["bucket_ts"].minute == 0]
+    assert len(rows) == 1 and rows[0]["mean"] == 1.0
+
+
+def test_merge_sink_updates_mutable_tail(spark, dirs):
+    # update mode: buckets inside the back-window are re-emitted and
+    # merged when late data arrives
+    _write_batch(
+        spark,
+        dirs["landing"],
+        [("m1", _t(0, 10), 1.0, 1), ("m1", _t(5, 0), 5.0, 2)],
+    )
+    stream = si.read_measures_stream(spark, dirs["landing"])
+    agg = si.streaming_rollup(stream, ["mean", "count"], 300.0, 600)
+    q = si.start_merge_sink(agg, dirs["table"], dirs["ckpt"])
+    q.awaitTermination(120)
+    # late-but-within-window point updates the 14:00 bucket
+    _write_batch(spark, dirs["landing"], [("m1", _t(0, 40), 3.0, 3)])
+    q2 = si.start_merge_sink(agg, dirs["table"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    got = {
+        r["bucket_ts"].minute: (r["mean"], r["count"])
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+    assert got[0] == (2.0, 2)
+    assert got[5] == (5.0, 1)
+    # table is partitioned by bucket_day for partition-scoped rewrites
+    assert "bucket_day" in spark.read.parquet(dirs["table"]).columns
+
+
+def test_streaming_matches_batch_rollup(spark, dirs):
+    # equivalence: merge-sink result == batch rollup_wide over the same
+    # measures (the correctness contract of the whole streaming path)
+    rows = [
+        ("m%d" % (i % 3), _t(i % 25, (i * 7) % 60), float(i), i) for i in range(200)
+    ]
+    _write_batch(spark, dirs["landing"], rows)
+    stream = si.read_measures_stream(spark, dirs["landing"])
+    agg = si.streaming_rollup(stream, ["mean", "count", "std"], 300.0, 600)
+    q = si.start_merge_sink(agg, dirs["table"], dirs["ckpt"])
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(dirs["table"])
+        .select("metric_id", "bucket_ts", "mean", "count", "std")
+        .orderBy("metric_id", "bucket_ts")
+        .collect()
+    )
+    batch_df = spark.createDataFrame(rows, schema=si.MEASURES_SCHEMA)
+    exp = (
+        rollup_wide(batch_df, ["mean", "count", "std"], 300.0)
+        .orderBy("metric_id", "bucket_ts")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [
+        (r["metric_id"], r["bucket_ts"], r["mean"], r["count"], r["std"]) for r in exp
+    ]
+
+
+def test_read_with_tail_refresh_on_read(spark, dirs):
+    processed = [("m1", _t(0, 10), 1.0, 1), ("m1", _t(0, 50), 3.0, 2)]
+    unprocessed = [("m1", _t(0, 55), 5.0, 3), ("m1", _t(5, 0), 7.0, 4)]
+    batch = spark.createDataFrame(processed, schema=si.MEASURES_SCHEMA)
+    rolled = rollup_wide(batch, ["mean", "count"], 300.0).select(
+        "metric_id", "bucket_ts", F.lit(300.0).alias("granularity"), "mean", "count"
+    )
+    # the tail recomputes its buckets from raw; overlapping bucket 14:00
+    # must come from the recomputation including the processed points
+    live = spark.createDataFrame(processed + unprocessed, schema=si.MEASURES_SCHEMA)
+    out = si.read_with_tail(
+        rolled, live.where(F.col("seq") >= 1), ["mean", "count"], 300.0
+    )
+    got = {r["bucket_ts"].minute: (r["mean"], r["count"]) for r in out.collect()}
+    assert got[0] == (3.0, 3)  # (1+3+5)/3 — recomputed, replaces rollup row
+    assert got[5] == (7.0, 1)
