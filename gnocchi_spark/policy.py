@@ -144,6 +144,46 @@ class ArchivePolicy:
         return self.back_window * self.max_granularity_s
 
 
+@dataclass(frozen=True)
+class ArchivePolicyRule:
+    """Metric-name-pattern -> policy mapping
+    (gnocchi/indexer/sqlalchemy_base.py:385-396)."""
+
+    name: str
+    metric_pattern: str
+    archive_policy_name: str
+
+
+def rule_order(rules: list[ArchivePolicyRule]) -> list[ArchivePolicyRule]:
+    """First-match evaluation order: metric_pattern DESC, name ASC
+    (gnocchi/indexer/sqlalchemy.py:693-699 + fnmatch loop
+    indexer/__init__.py:459-466)."""
+    by_name = sorted(rules, key=lambda r: r.name)
+    return sorted(by_name, key=lambda r: r.metric_pattern, reverse=True)
+
+
+def assign_policy(metric_name, rules: list[ArchivePolicyRule]):
+    """Column expression mapping a metric-name Column to its archive
+    policy name via first-matching rule; NULL when no rule matches
+    (the reference raises NoArchivePolicyRuleMatch).
+
+    fnmatch patterns compile to Java-compatible regexes via
+    ``fnmatch.translate``, so matching stays JVM-side (rlike) — the
+    rule list is driver-side config, never a join.
+    """
+    import fnmatch as _fnmatch
+
+    from pyspark.sql import functions as F
+
+    expr = F.lit(None).cast("string")
+    for rule in reversed(rule_order(rules)):
+        expr = F.when(
+            metric_name.rlike(_fnmatch.translate(rule.metric_pattern)),
+            F.lit(rule.archive_policy_name),
+        ).otherwise(expr)
+    return expr
+
+
 def default_policies() -> dict[str, ArchivePolicy]:
     """The four built-in policies, gnocchi/archive_policy.py:266-305."""
     d = 86400.0

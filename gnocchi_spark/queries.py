@@ -1116,6 +1116,170 @@ def ingest_prometheus(spark, sf_dir):
 
 
 @query(
+    "tsdb_calendar_half",
+    """
+    SELECT event_type AS metric_id,
+           make_timestamp(CAST(year(ts) AS BIGINT),
+                          CAST(((month(ts)-1)//6)*6+1 AS BIGINT), 1, 0, 0, 0.0)
+             AS bucket_ts,
+           round(sum(value), 4) AS sum, CAST(count(*) AS BIGINT) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tsdb_calendar_half(spark, sf_dir):
+    # half-year calendar grouping (calendar.py:81-88) — the one grouping
+    # with no date_trunc equivalent
+    from gnocchi_spark.functions.calendar import truncate_calendar
+
+    m = _measures(spark, sf_dir)
+    return m.groupBy(
+        "metric_id", truncate_calendar(F.col("ts"), "H").alias("bucket_ts")
+    ).agg(
+        F.round(F.sum("value"), 4).alias("sum"),
+        F.count("*").cast("long").alias("count"),
+    )
+
+
+@query(
+    "tsdb_calendar_sunday_week",
+    """
+    SELECT event_type AS metric_id,
+           CAST(ts::DATE - INTERVAL (dayofweek(ts)) DAY AS TIMESTAMP)
+             AS bucket_ts,
+           round(sum(value), 4) AS sum, CAST(count(*) AS BIGINT) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tsdb_calendar_sunday_week(spark, sf_dir):
+    # gnocchi weeks group on Sunday (calendar.py:40-44), not ISO Monday
+    from gnocchi_spark.functions.calendar import truncate_calendar
+
+    m = _measures(spark, sf_dir)
+    return m.groupBy(
+        "metric_id", truncate_calendar(F.col("ts"), "W").alias("bucket_ts")
+    ).agg(
+        F.round(F.sum("value"), 4).alias("sum"),
+        F.count("*").cast("long").alias("count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance / janitor jobs (SURVEY §2.2, §2.10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "maintenance_retention",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+             round(avg(value), 6) AS mean
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT metric_id, max(bucket_ts) AS newest FROM r GROUP BY 1)
+    SELECT r.metric_id, r.bucket_ts, r.mean
+    FROM r JOIN m ON r.metric_id = m.metric_id
+    WHERE r.bucket_ts > m.newest - INTERVAL 2 DAY
+    """,
+)
+def maintenance_retention(spark, sf_dir):
+    # per-(metric, granularity) retention horizon measured from the
+    # series' own newest bucket (carbonara.py:618-638), never wall-clock
+    from gnocchi_spark.operators.maintenance import retention_filter
+    from gnocchi_spark.policy import ArchivePolicy, ArchivePolicyItem
+
+    rolled = rollup_wide(_measures(spark, sf_dir), ["mean"], 300.0).select(
+        "metric_id",
+        F.lit(300.0).alias("granularity"),
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+    )
+    policy = ArchivePolicy(
+        "ret", 0, (ArchivePolicyItem(300.0, timespan_s=2 * 86400.0),)
+    )
+    return retention_filter(rolled, policy).select("metric_id", "bucket_ts", "mean")
+
+
+@query(
+    "maintenance_inactivity",
+    """
+    WITH metrics AS (
+      SELECT user_id, event_type, max(ts) AS last_measure_timestamp
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS resource_id,
+           TIMESTAMP '2024-02-01 00:00:00' AS ended_at
+    FROM metrics
+    GROUP BY 1
+    HAVING max(last_measure_timestamp) < TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def maintenance_inactivity(spark, sf_dir):
+    # resource end-of-life: ALL metrics silent past the threshold
+    # (chef.py:103-184) as one aggregation-based anti-join
+    import datetime as _dt
+
+    from gnocchi_spark.operators.maintenance import resources_to_end
+
+    ev = tables.load(spark, sf_dir, "events")
+    metrics = ev.groupBy(
+        F.col("user_id").alias("resource_id"),
+        F.col("event_type").alias("metric_name"),
+    ).agg(F.max("ts").alias("last_measure_timestamp"))
+    out = resources_to_end(
+        metrics,
+        inactive_after_seconds=3 * 86400.0,
+        now=_dt.datetime(2024, 2, 1),
+    )
+    return out.select(F.col("resource_id").cast("long").alias("resource_id"), "ended_at")
+
+
+@query(
+    "metric_backlog",
+    """
+    SELECT CAST(('0x' || substring(md5(event_type), 1, 8)) AS BIGINT) % 16
+             AS sack,
+           CAST(count(*) AS BIGINT) AS n_measures,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_metrics
+    FROM events GROUP BY 1
+    """,
+)
+def metric_backlog(spark, sf_dir):
+    # pending-measure report per sack (incoming/__init__.py:202-218)
+    from gnocchi_spark.operators.maintenance import backlog_report
+
+    return backlog_report(_measures(spark, sf_dir), num_sacks=16)
+
+
+@query(
+    "policy_rule_assignment",
+    """
+    SELECT name,
+           CASE WHEN name LIKE 'signup.%' THEN 'high'
+                WHEN name LIKE 'purchase.%' THEN 'medium'
+                ELSE 'low' END AS policy
+    FROM (SELECT DISTINCT event_type || '.' || CAST(user_id % 20 AS VARCHAR)
+            AS name
+          FROM events)
+    """,
+)
+def policy_rule_assignment(spark, sf_dir):
+    # archive-policy rules: fnmatch patterns, first match in
+    # (pattern DESC, name ASC) order (indexer/__init__.py:459-466)
+    from gnocchi_spark.policy import ArchivePolicyRule, assign_policy
+
+    rules = [
+        ArchivePolicyRule("catchall", "*", "low"),
+        ArchivePolicyRule("purchases", "purchase.*", "medium"),
+        ArchivePolicyRule("signups", "signup.*", "high"),
+    ]
+    ev = tables.load(spark, sf_dir, "events")
+    names = ev.select(
+        F.concat(
+            "event_type", F.lit("."), (F.col("user_id") % 20).cast("string")
+        ).alias("name")
+    ).distinct()
+    return names.select("name", assign_policy(F.col("name"), rules).alias("policy"))
+
+
+@query(
     "tsdb_refresh_on_read",
     f"""
     SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
