@@ -38,8 +38,13 @@ HEADLINE = [
     "resource_metric_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_stats",
     "ann_cosine_topk",
+    "ingest_influxdb_lines",
+    "ingest_collectd",
+    "tsdb_refresh_on_read",
+    "maintenance_retention",
 ]
 
 

@@ -165,13 +165,28 @@ def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 3,
-    num_hashes: int = 8,
-    band_size: int = 2,
+    k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
     threshold: float = 0.6,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
-    bands, verified with exact Jaccard >= threshold."""
+    bands, verified with exact Jaccard >= threshold.
+
+    Parameter choices are scale-critical, measured at 10x corpus size:
+
+    - ``k=5`` character shingles: with ``k=3`` ordinary same-language
+      prose scores 0.3-0.6 Jaccard against unrelated text and LSH
+      degenerates to the quadratic pair space.
+    - ``band_size=4`` (rows/band): false-candidate volume is
+      N^2/2 x n_bands x j_bg^band_size.  Same-domain prose has
+      background 5-gram Jaccard j_bg ~ 0.15; r=2 bands fire at j^2
+      (measured 2.6M candidates from 5k docs - 21% of ALL pairs, 118 s
+      verify), r=4 fires at j^4 ~ 5e-4 (~10k candidates, ~1 s).  The
+      LSH threshold (1/b)^(1/r) = 0.71 sits just above the 0.6 verify
+      threshold; near-exact duplicates (j >= 0.9) are caught with
+      p > 0.98.
+    """
     sh = doc_shingles(docs, text_col, id_col, k)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
@@ -182,39 +197,37 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 3,
+    k: int = 5,
     threshold: float = 0.6,
+    max_df: int = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over *blocked* pairs: only docs sharing at
-    least one shingle are compared (the shingle join IS the blocking),
-    so disjoint docs never form a pair."""
+    """Exact n-gram Jaccard over *blocked* pairs.
+
+    Blocking joins docs through shared shingles, restricted to
+    shingles appearing in at most ``max_df`` docs (prefix-filtering
+    style): a frequent shingle like ``' the '`` would otherwise pair
+    nearly every doc with every other — the join output for one such
+    shingle alone is df^2/2 rows.  Pairs that share only
+    above-the-cap shingles are missed by design; at threshold-level
+    similarity such pairs essentially always share rare shingles too.
+    The Jaccard itself is exact over the full shingle sets.
+    """
     sh = doc_shingles(docs, text_col, id_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "shingle",
+    ).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    na = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
-    nb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return jaccard_pairs(cands, sh).where(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(

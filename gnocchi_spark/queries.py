@@ -684,19 +684,29 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     """
     WITH sh AS (
-      SELECT DISTINCT doc_id, substr(text, i, 3) AS shingle
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
       FROM documents,
-           unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)),
+           unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
+    rare AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+            HAVING count(*) <= 50) f ON f.shingle = sh.shingle),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
+    SELECT i.doc_a, i.doc_b,
            round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
     WHERE n_inter / (na.n + nb.n - n_inter) >= 0.6
     """,
 )
@@ -711,24 +721,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    """
+    f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, substr(text, i, 3) AS shingle
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
       FROM documents,
-           unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)),
+           unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
     sig AS (
       SELECT doc_id,
-             min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
-             min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
-             min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
-             min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+             {", ".join(f"min(md5('s{i}:' || shingle)) AS h{i}" for i in range(16))}
       FROM sh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, band, key FROM (
-        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)),
+        {" UNION ALL ".join(
+            "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d) AS key FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )})),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -755,8 +763,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     out = minhash_near_duplicates(
         tables.load(spark, sf_dir, "documents"),
-        num_hashes=8,
-        band_size=2,
+        num_hashes=16,
+        band_size=4,
         threshold=0.6,
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
