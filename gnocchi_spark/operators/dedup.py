@@ -86,6 +86,64 @@ def minhash_signatures(
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
+def doc_shingle_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the columnar layout the
+    array-based signature/verify path runs on.  No explode: one row per
+    doc keeps the whole pipeline map-sided until the band join."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), k).alias("shingles"),
+    )
+
+
+def minhash_signatures_arrays(
+    shingle_arrays: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash over the shingle *array*: ``array_min(transform(...))``
+    per seed — identical values to :func:`minhash_signatures` (min over
+    a set), but zero shuffle: the exploded groupBy was measured as the
+    dominant cost of the LSH pipeline at 5k docs (sort-aggregate over
+    1M rows); this is a pure projection Catalyst fuses into the scan.
+    """
+    def seeded(seed: str):
+        # single-arg lambda: a 2-arg lambda would be called as
+        # (element, index) by transform(), silently replacing the seed
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("shingles"), seeded(f"s{i}:"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_arrays.select(
+        "doc_id", F.size("shingles").alias("n_shingles"), *cols
+    )
+
+
+def jaccard_pairs_arrays(
+    pairs: DataFrame, shingle_arrays: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via ``array_intersect`` —
+    two joins to fetch the arrays (doc side is one row per doc, cheap
+    to hash-join or broadcast), then pure map-side set arithmetic."""
+    sa = shingle_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
@@ -187,10 +245,18 @@ def minhash_near_duplicates(
       threshold; near-exact duplicates (j >= 0.9) are caught with
       p > 0.98.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
-    sigs = minhash_signatures(sh, num_hashes)
+    from pyspark import StorageLevel
+
+    # array layout end to end: signatures and Jaccard are map-side
+    # projections; the only shuffles left are the band self-join and
+    # the two array-fetch joins.  Persist covers the arrays feeding
+    # the signature subtree and both verify sides.
+    arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
-    return jaccard_pairs(cands, sh).where(F.col("jaccard") >= threshold)
+    return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -212,7 +278,12 @@ def ngram_jaccard_pairs(
     similarity such pairs essentially always share rare shingles too.
     The Jaccard itself is exact over the full shingle sets.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
+    from pyspark import StorageLevel
+
+    arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
         "shingle",
@@ -227,7 +298,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return jaccard_pairs(cands, sh).where(F.col("jaccard") >= threshold)
+    return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(
