@@ -91,11 +91,12 @@ def _binary_col(op: str, a: Column, b: Column) -> Column:
     if op in ("%", "mod"):
         return _np_mod(a, b)
     if op == "clip_min":
-        return F.greatest(a, b)
+        # numpy.clip(NaN) is NaN; greatest() would skip the NULL marker
+        return F.when(a.isNotNull(), F.greatest(a, b))
     if op == "clip_max":
-        return F.least(a, b)
+        return F.when(a.isNotNull(), F.least(a, b))
     if op == "max":
-        return F.greatest(a, b)  # fmax: null-ignoring
+        return F.greatest(a, b)  # numpy.fmax: genuinely NaN-ignoring
     if op in COMPARISONS:
         cmp = {
             "=": a == b, "==": a == b, "eq": a == b,
@@ -353,7 +354,9 @@ def _handle_clip(node, frame: SeriesFrame):
         if hi is not None:
             col = F.least(col, F.lit(float(hi)) if isinstance(hi, numbers.Number) else F.col(hi.cols[0]))
         name = _newcol()
-        df = df.withColumn(name, col)
+        # numpy.clip(NaN) is NaN, but Spark greatest/least skip NULLs —
+        # propagate the missing-value marker explicitly
+        df = df.withColumn(name, F.when(F.col(c).isNotNull(), col))
         out_cols.append(name)
     return replace(a, df=df, cols=out_cols)
 

@@ -178,7 +178,9 @@ def assign_policy(metric_name, rules: list[ArchivePolicyRule]):
     expr = F.lit(None).cast("string")
     for rule in reversed(rule_order(rules)):
         expr = F.when(
-            metric_name.rlike(_fnmatch.translate(rule.metric_pattern)),
+            # \A start anchor: translate() only anchors the end and
+            # rlike is a substring search
+            metric_name.rlike(r"\A" + _fnmatch.translate(rule.metric_pattern)),
             F.lit(rule.archive_policy_name),
         ).otherwise(expr)
     return expr

@@ -657,6 +657,151 @@ def history_grouped_usage(spark, sf_dir):
     return out.select("tier", "bucket_ts", F.round("value", 6).alias("value"))
 
 
+@query(
+    "tsdb_ops_clip_compare",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' GROUP BY 1),
+         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='view' GROUP BY 1),
+         grid AS (
+           SELECT coalesce(click.b, view.b) AS ts,
+                  -- NaN comparisons are False (0.0); clip propagates NaN
+                  CASE WHEN click.v >= view.v THEN 1.0 ELSE 0.0 END
+                  * CASE WHEN view.v IS NULL THEN NULL
+                         ELSE least(greatest(view.v, 10.0), 100.0) END AS value
+           FROM click FULL OUTER JOIN view ON click.b = view.b)
+    SELECT ts, round(value, 6) AS value FROM grid WHERE value IS NOT NULL
+    """,
+)
+def tsdb_ops_clip_compare(spark, sf_dir):
+    # comparison -> 0/1 series multiplied into a clipped series:
+    # (click >= view) * clip(view, 10, 100)  (operations.py:58-110,191-229).
+    # numpy semantics on the NaN grid: comparisons with NaN are False,
+    # clip(NaN) stays NaN; dropna removes NaN results post-eval.
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {
+            "click/mean": _mean_series(spark, sf_dir, "click", 3600.0),
+            "view/mean": _mean_series(spark, sf_dir, "view", 3600.0),
+        },
+        fill="dropna",
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean", "view/mean"])
+    ast = [
+        "*",
+        [">=", ["metric", "click", "mean"], ["metric", "view", "mean"]],
+        ["clip", ["metric", "view", "mean"], 10, 100],
+    ]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    # dropna is applied to the evaluated output (processor.py:237-244):
+    # buckets where either input is missing evaluate to NULL and drop
+    return out.where(F.col("value").isNotNull()).select(
+        "ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "resource_history_union",
+    """
+    WITH revs AS (
+      SELECT user_id, ts AS revision_start,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS revision_end,
+             CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS tier,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn_last
+      FROM events WHERE event_type = 'signup')
+    SELECT CAST(user_id AS BIGINT) AS resource_id, tier, revision_start,
+           CASE WHEN rn_last = 1 THEN TIMESTAMP '2100-01-01 00:00:00'
+                ELSE revision_end END AS revision_end,
+           CAST(CASE WHEN rn_last = 1 THEN -1
+                     ELSE rn_last - 1 END AS INT) AS revision
+    FROM revs
+    """,
+)
+def resource_history_union(spark, sf_dir):
+    # SCD-2 union view: live rows (latest revision) get revision=-1 and
+    # an open revision_end; prior revisions keep their interval
+    # (sqlalchemy.py:1174-1237).  Revisions derive from signup events.
+    from gnocchi_spark.operators.resources import history_union_view
+
+    ev = tables.load(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    revs = ev.select(
+        F.col("user_id").cast("long").alias("resource_id"),
+        F.when(F.col("value") >= 100, F.lit("hi")).otherwise("lo").alias("tier"),
+        F.col("ts").alias("revision_start"),
+        F.lead("ts", 1).over(
+            Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        ).alias("__next"),
+        F.row_number().over(w).alias("__rn_last"),
+    )
+    live = revs.where(F.col("__rn_last") == 1).select(
+        "resource_id", "tier", "revision_start"
+    )
+    history = revs.where(F.col("__rn_last") > 1).select(
+        "resource_id",
+        "tier",
+        "revision_start",
+        F.col("__next").alias("revision_end"),
+        (F.col("__rn_last") - 1).cast("int").alias("revision"),
+    )
+    # the open interval of live rows surfaces as a sentinel far-future
+    # end so the driver's hash compare has no NULL timestamps
+    return history_union_view(live, history).select(
+        "resource_id",
+        "tier",
+        "revision_start",
+        F.coalesce("revision_end", F.lit("2100-01-01 00:00:00").cast("timestamp")).alias(
+            "revision_end"
+        ),
+        "revision",
+    )
+
+
+@query(
+    "metric_wildcard_semijoin",
+    f"""
+    WITH metrics AS (
+      SELECT DISTINCT event_type || '.' || CAST(user_id % 20 AS VARCHAR)
+               AS name, event_type, user_id % 20 AS shard
+      FROM events)
+    SELECT m.name, {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(e.value), 6) AS mean
+    FROM metrics m JOIN events e
+      ON e.event_type = m.event_type AND e.user_id % 20 = m.shard
+    WHERE m.name LIKE 'p%'
+    GROUP BY 1, 2
+    """,
+)
+def metric_wildcard_semijoin(spark, sf_dir):
+    # wildcard metric reference ["metric", "p*", "mean"]: fnmatch the
+    # metric dimension, then join to measures (aggregates/api.py:684-710)
+    from gnocchi_spark.operators.resources import wildcard_metrics
+
+    ev = tables.load(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.concat(
+            "event_type", F.lit("."), (F.col("user_id") % 20).cast("string")
+        ).alias("name"),
+        "event_type",
+        (F.col("user_id") % 20).alias("shard"),
+    ).distinct()
+    matched = wildcard_metrics(metrics, "p*")
+    joined = ev.join(
+        F.broadcast(matched),
+        (ev.event_type == matched.event_type) & (ev.user_id % 20 == matched.shard),
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    return joined.groupBy(
+        "name", truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("mean"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / similarity / text analysis / multimodal
 # (BASELINE.json north star, beyond the reference's own surface)

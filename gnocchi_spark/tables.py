@@ -34,8 +34,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # us-precision timestamp (the driver data is us-aligned, so this
         # is lossless here; SURVEY.md §1.2 documents the ns->us policy).
         if dict(df.dtypes).get("ts") == "bigint":
+            # integral division: `/` would go through double, whose
+            # 53-bit mantissa cannot hold ns epochs (~1.7e18) — raw
+            # timestamps came out +-1 us off
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

@@ -59,6 +59,8 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         for c in s.columns:
             if s[c].dtype == "float64":
                 eq = (s[c].fillna(-1e308) - o[c].fillna(-1e308)).abs() <= 0
+            elif pd.api.types.is_datetime64_any_dtype(s[c]):
+                eq = (s[c].isna() & o[c].isna()) | (s[c] == o[c])
             else:
                 eq = s[c].fillna("§") == o[c].fillna("§") if s[c].dtype == object else s[c] == o[c]
             bad = int((~eq).sum())
