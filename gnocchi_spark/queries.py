@@ -704,6 +704,176 @@ def tsdb_ops_clip_compare(spark, sf_dir):
 
 
 @query(
+    "tsdb_ops_unary_math",
+    f"""
+    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+               WHERE event_type='click' GROUP BY 1)
+    SELECT b AS ts, round(abs(-(cos(v))) + floor(v) + ceil(v), 6) AS value
+    FROM s
+    """,
+)
+def tsdb_ops_unary_math(spark, sf_dir):
+    # unary operator family: abs(neg(cos(x))) + floor(x) + ceil(x)
+    # (operations.py:113-125,145-157)
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {"click/mean": _mean_series(spark, sf_dir, "click", 3600.0)}, fill="null"
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean"])
+    m = ["metric", "click", "mean"]
+    ast = ["+", ["+", ["abs", ["neg", ["cos", m]]], ["floor", m]], ["ceil", m]]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_fmax_mod_pow",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' GROUP BY 1),
+         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='view' GROUP BY 1),
+         grid AS (SELECT coalesce(click.b, view.b) AS ts,
+                         coalesce(click.v, 0) AS c, coalesce(view.v, 0) AS v
+                  FROM click FULL OUTER JOIN view ON click.b = view.b)
+    SELECT ts,
+           round(greatest(c, v)
+                 + (((c % 7) + 7) % 7)
+                 + pow(v, 0.5), 6) AS value
+    FROM grid
+    """,
+)
+def tsdb_ops_fmax_mod_pow(spark, sf_dir):
+    # fmax (NaN-ignoring max), numpy mod (sign follows divisor), pow
+    # (operations.py:58-106); fill=0 grid
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {
+            "click/mean": _mean_series(spark, sf_dir, "click", 3600.0),
+            "view/mean": _mean_series(spark, sf_dir, "view", 3600.0),
+        },
+        fill=0,
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean", "view/mean"])
+    c, v = ["metric", "click", "mean"], ["metric", "view", "mean"]
+    ast = ["+", ["+", ["max", c, v], ["%", c, 7]], ["**", v, 0.5]]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_rateofchange",
+    f"""
+    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+               WHERE event_type='purchase' GROUP BY 1)
+    SELECT b AS ts, round(v - lag(v) OVER (ORDER BY b), 6) AS value
+    FROM s QUALIFY lag(v) OVER (ORDER BY b) IS NOT NULL
+    """,
+)
+def tsdb_ops_rateofchange(spark, sf_dir):
+    # rateofchange: diff along time, first timestamp dropped
+    # (operations.py:140)
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {"purchase/mean": _mean_series(spark, sf_dir, "purchase", 3600.0)},
+        fill="null",
+    )
+    frame = SeriesFrame(df=wide, cols=["purchase/mean"])
+    ast = ["rateofchange", ["metric", "purchase", "mean"]]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_multi_granularity_read",
+    f"""
+    SELECT event_type AS metric_id, 86400.0 AS granularity,
+           {_sql_bucket(86400)} AS bucket_ts, round(avg(value), 6) AS mean
+    FROM events WHERE event_type = 'error' GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, 3600.0, {_sql_bucket(3600)}, round(avg(value), 6)
+    FROM events WHERE event_type = 'error' GROUP BY 1, 3
+    """,
+)
+def tsdb_multi_granularity_read(spark, sf_dir):
+    # multi-granularity read returns every granularity's points,
+    # ordered granularity-desc in the API (rest/api.py:552-555); the
+    # set comparison here covers the union, ordering is presentation
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    m = _measures(spark, sf_dir).where(F.col("metric_id") == "error")
+    outs = []
+    for gran in (86400.0, 3600.0):
+        outs.append(
+            m.groupBy(
+                "metric_id",
+                truncate_to_bucket(F.col("ts"), gran).alias("bucket_ts"),
+            )
+            .agg(F.round(F.avg("value"), 6).alias("mean"))
+            .select(
+                "metric_id",
+                F.lit(gran).alias("granularity"),
+                "bucket_ts",
+                "mean",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.desc("granularity"), "bucket_ts")
+
+
+@query(
+    "tsdb_fill_bfill",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' GROUP BY 1),
+         error AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='error' GROUP BY 1),
+         grid AS (SELECT coalesce(click.b, error.b) AS ts, click.v AS c,
+                         error.v AS e
+                  FROM click FULL OUTER JOIN error ON click.b = error.b),
+         filled AS (
+           SELECT ts,
+                  first_value(c IGNORE NULLS)
+                     OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS c,
+                  first_value(e IGNORE NULLS)
+                     OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS e
+           FROM grid)
+    SELECT ts, round(c + e, 6) AS value FROM filled
+    WHERE c IS NOT NULL AND e IS NOT NULL
+    """,
+)
+def tsdb_fill_bfill(spark, sf_dir):
+    # backward fill (utils.py:373-381): missing cells take the next
+    # observed value per series; trailing gaps stay missing and drop
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {
+            "click/mean": _mean_series(spark, sf_dir, "click", 3600.0),
+            "error/mean": _mean_series(spark, sf_dir, "error", 3600.0),
+        },
+        fill="bfill",
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean", "error/mean"])
+    ast = ["+", ["metric", "click", "mean"], ["metric", "error", "mean"]]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.where(F.col("value").isNotNull()).select(
+        "ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "resource_history_union",
     """
     WITH revs AS (
