@@ -56,6 +56,42 @@ def get_measures(
     return df.orderBy("bucket_ts")
 
 
+def granularity_intersection(
+    policies_by_metric, requested: float | None = None
+) -> list[float]:
+    """Plan-level granularity pruning (processor.py:89-132, also
+    rest/api.py:2040-2058): cross-metric operations may only evaluate at
+    granularities *every* referenced metric materializes.
+
+    With ``requested`` set, every metric's policy must contain it;
+    otherwise the intersection of all policies is returned coarse-first
+    (the evaluation order of processor.aggregated, :165).  Raises
+    ValueError (the engine's UnAggregableTimeseries) when empty — a
+    metadata-only check that runs before any scan is planned.
+    """
+    sets = [
+        {float(item.granularity_s) for item in p.definition}
+        for p in policies_by_metric.values()
+    ]
+    if not sets:
+        return []
+    if requested is not None:
+        missing = [
+            m
+            for m, p in policies_by_metric.items()
+            if float(requested) not in {float(i.granularity_s) for i in p.definition}
+        ]
+        if missing:
+            raise ValueError(
+                f"granularity {requested} not materialized for metrics {missing!r}"
+            )
+        return [float(requested)]
+    common = set.intersection(*sets)
+    if not common:
+        raise ValueError("metrics share no common granularity")
+    return sorted(common, reverse=True)
+
+
 def resample_rollup(
     rollup_series: DataFrame, method: str, granularity: float | str
 ) -> DataFrame:

@@ -972,6 +972,64 @@ def metric_wildcard_semijoin(spark, sf_dir):
     ).agg(F.round(F.avg("value"), 6).alias("mean"))
 
 
+@query(
+    "resource_type_attributes",
+    """
+    SELECT CAST(event_id AS BIGINT) AS resource_id,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS DOUBLE) BETWEEN 10 AND 90
+    """,
+)
+def resource_type_attributes(spark, sf_dir):
+    # dynamic resource-type schema (resource_type.py:131-216): a JSON
+    # attribute side-band projected into a typed, bounds-validated view
+    from gnocchi_spark.operators.resource_types import (
+        ResourceTypeAttribute,
+        typed_view,
+    )
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("resource_id"),
+        F.col("props").alias("attributes"),
+    )
+    attrs = [ResourceTypeAttribute("k", "number", required=True, min=10, max=90)]
+    return typed_view(ev, attrs).select("resource_id", "k")
+
+
+@query(
+    "resource_groupby_aggregates",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS k_band,
+           {_sql_bucket(86400)} AS bucket_ts,
+           round(avg(value), 6) AS mean, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def resource_groupby_aggregates(spark, sf_dir):
+    # plain attribute group-by (rest/api.py:1893-1938; aggregates
+    # groupby= rest/aggregates/api.py:558-585): group resources by an
+    # attribute tuple, aggregate their measures per bucket
+    from gnocchi_spark.operators.resource_types import (
+        ResourceTypeAttribute,
+        typed_view,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    typed = typed_view(
+        ev.withColumnRenamed("props", "attributes"),
+        [ResourceTypeAttribute("k", "number")],
+    )
+    return typed.groupBy(
+        (F.col("k").cast("long") / 25).cast("long").alias("k_band"),
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / similarity / text analysis / multimodal
 # (BASELINE.json north star, beyond the reference's own surface)
