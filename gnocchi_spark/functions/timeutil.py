@@ -38,6 +38,55 @@ def truncate_to_bucket(ts: Column, granularity: float | str) -> Column:
     return F.timestamp_micros((us - us % F.lit(gran_us)).cast("long"))
 
 
+_REL_UNITS = {
+    "s": 1.0, "sec": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "min": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+}
+
+
+def parse_timestamp(value, now=None):
+    """API timestamp parsing (reference ``gnocchi/utils.py:72-122``):
+    accepts datetimes, epoch numbers, ISO-8601 strings, and relative
+    offsets like ``"-10 seconds"`` / ``"+1h"`` resolved against ``now``.
+
+    Driver-side (plan construction), so plain Python; returns a
+    timezone-naive UTC datetime matching the engine's UTC session.
+    """
+    import datetime as dt
+    import re
+
+    if isinstance(value, dt.datetime):
+        out = value
+    elif isinstance(value, (int, float)):
+        out = dt.datetime.fromtimestamp(float(value), tz=dt.timezone.utc)
+    elif isinstance(value, str):
+        s = value.strip()
+        m = re.fullmatch(r"([+-])\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", s)
+        if m:
+            sign, qty, unit = m.groups()
+            if unit not in _REL_UNITS:
+                raise ValueError(f"unknown time unit {unit!r}")
+            delta = dt.timedelta(seconds=float(qty) * _REL_UNITS[unit])
+            base = now or dt.datetime.now(dt.timezone.utc)
+            out = base + delta if sign == "+" else base - delta
+        else:
+            try:
+                out = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            except ValueError:
+                try:
+                    out = dt.datetime.fromtimestamp(float(s), tz=dt.timezone.utc)
+                except ValueError:
+                    raise ValueError(f"unparseable timestamp {value!r}") from None
+    else:
+        raise ValueError(f"unparseable timestamp {value!r}")
+    if out.tzinfo is not None:
+        out = out.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return out
+
+
 def granularity_label(granularity: float | str) -> str:
     """Stable string label for a granularity, used in rollup keys."""
     if isinstance(granularity, str) and granularity in CALENDAR_GRANULARITIES:

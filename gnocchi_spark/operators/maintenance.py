@@ -111,6 +111,43 @@ def resources_to_end(
     )
 
 
+def compact_frozen_partitions(
+    spark,
+    table_dir: str,
+    frozen_before: datetime.date,
+    partition_col: str = "bucket_day",
+    target_files_per_partition: int = 1,
+) -> int:
+    """Compact rollup partitions past the mutable window into few large
+    files — the table-maintenance analogue of the reference compressing
+    splits once they leave the back-window
+    (storage/__init__.py:454-459,529-550; Delta's ``OPTIMIZE``).
+
+    Only partitions older than ``frozen_before`` are rewritten (dynamic
+    partition overwrite); the mutable tail is untouched, so compaction
+    never races the merge sink.  Returns the number of partitions
+    compacted.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(table_dir)
+    except Exception:
+        return 0
+    frozen = df.where(F.col(partition_col) < F.lit(frozen_before))
+    days = [r[0] for r in frozen.select(partition_col).distinct().collect()]
+    if not days:
+        return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted = frozen.repartition(
+        max(1, len(days) * target_files_per_partition), partition_col
+    ).persist()
+    compacted.count()  # materialize before overwriting source files
+    compacted.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    compacted.unpersist()
+    return len(days)
+
+
 def backlog_report(
     pending_measures: DataFrame,
     num_sacks: int = 128,

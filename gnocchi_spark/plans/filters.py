@@ -114,6 +114,79 @@ def _escape_like(s: str) -> str:
     return s.replace("%", r"\%").replace("_", r"\_")
 
 
+def parse_query_string(query: str) -> dict:
+    """Parse the query-string filter grammar into the JSON filter AST
+    that :func:`compile_filter` consumes.
+
+    Wire grammar (reference ``gnocchi/rest/api.py:1298-1378``): infix
+    ``not``/``and``/``or`` (incl. ``∧``/``∨``) over ``attr OP value``
+    conditions; values are quoted strings, uuids, numbers, booleans,
+    null, identifiers or ``[lists]``; e.g.
+    ``"server_group='frontend' and not (flavor_id!='1' or memory<1024)"``.
+
+    The parser builds the AST directly through parse actions; parsing
+    happens once on the driver, so the hot path stays the compiled
+    Column predicate.
+    """
+    import pyparsing as pp
+
+    binary_ops = (">=", "<=", "!=", ">", "<", "==", "=", "eq", "ne", "lt",
+                  "gt", "ge", "le", "in", "like", "≠", "≥", "≤")
+    operator = pp.Regex("|".join(binary_ops))
+    null = pp.Regex("None|none|null").setParseAction(pp.replaceWith(None))
+    boolean = pp.Regex("False|True|false|true").setParseAction(
+        lambda t: t[0].lower() == "true"
+    )
+    hexs = lambda n: pp.Word(pp.hexnums, exact=n)  # noqa: E731
+    uuid_string = pp.Combine(
+        hexs(8) + (pp.Optional("-") + hexs(4)) * 3 + pp.Optional("-") + hexs(12)
+    )
+    number = pp.Regex(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?").setParseAction(
+        lambda t: float(t[0])
+    )
+    identifier = pp.Word(pp.alphas, pp.alphanums + "_")
+    quoted = pp.QuotedString('"') | pp.QuotedString("'")
+    term = pp.Forward()
+    in_list = pp.Group(
+        pp.Suppress("[") + pp.Optional(pp.delimitedList(term)) + pp.Suppress("]")
+    ).setParseAction(lambda t: [list(t[0])])
+    term <<= null | boolean | uuid_string | number | quoted | in_list | identifier
+
+    condition = (term + operator + term).setParseAction(
+        lambda t: {t[1]: {t[0]: t[2]}}
+    )
+
+    def _unary(t):
+        return {"not": t[0][1]}
+
+    def _nary(op):
+        def act(t):
+            items = [x for x in t[0] if not (isinstance(x, str) and x == op)]
+            return {op: items}
+
+        return act
+
+    expr = pp.infixNotation(
+        condition,
+        [
+            ("not", 1, pp.opAssoc.RIGHT, _unary),
+            ("and", 2, pp.opAssoc.LEFT, _nary("and")),
+            ("∧", 2, pp.opAssoc.LEFT, _nary("∧")),
+            ("or", 2, pp.opAssoc.LEFT, _nary("or")),
+            ("∨", 2, pp.opAssoc.LEFT, _nary("∨")),
+        ],
+    )
+    try:
+        return expr.parseString(query, parseAll=True)[0]
+    except pp.ParseException as e:
+        raise ValueError(f"invalid filter: {e}") from e
+
+
+def compile_query_string(query: str, attr_resolver=None) -> Column:
+    """Query-string grammar straight to a Column predicate."""
+    return compile_filter(parse_query_string(query), attr_resolver)
+
+
 def compile_measure_query(node: dict) -> Column:
     """Measure-value search predicate (gnocchi/rest/api.py:1559-1652):
     boolean ops over arithmetic comparisons of the aggregated value,

@@ -973,6 +973,28 @@ def metric_wildcard_semijoin(spark, sf_dir):
 
 
 @query(
+    "resource_query_string_filter",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal >= 1000
+      AND NOT (c_mktsegment = 'BUILDING')
+      AND c_nationkey IN (1, 2, 3)
+    """,
+)
+def resource_query_string_filter(spark, sf_dir):
+    # the query-string filter grammar (rest/api.py:1298-1378) parsed to
+    # the JSON AST and compiled to a pushed-down Column predicate
+    from gnocchi_spark.plans.filters import compile_query_string
+
+    qs = "c_acctbal>=1000 and not c_mktsegment='BUILDING' and c_nationkey in [1, 2, 3]"
+    cust = tables.load(spark, sf_dir, "customer")
+    return cust.where(compile_query_string(qs)).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+@query(
     "resource_type_attributes",
     """
     SELECT CAST(event_id AS BIGINT) AS resource_id,

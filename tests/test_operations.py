@@ -269,3 +269,39 @@ def test_ffill(spark):
     wide = align_series({"a/mean": a, "b/mean": b}, fill="ffill")
     rows = {r["ts"]: (r["a/mean"], r["b/mean"]) for r in wide.collect()}
     assert rows[_ts(2014, 1, 1, 12, 1, 0)] == (1.0, 6.0)  # a forward-filled
+
+
+# ---------------------------------------------------------------------------
+# query-string filter grammar (rest/api.py:1298-1378)
+# ---------------------------------------------------------------------------
+
+def test_query_string_parser_shapes():
+    from gnocchi_spark.plans.filters import parse_query_string
+
+    assert parse_query_string("host='h1'") == {"=": {"host": "h1"}}
+    assert parse_query_string("a>=1 and b!='x' and c=2") == {
+        "and": [{">=": {"a": 1.0}}, {"!=": {"b": "x"}}, {"=": {"c": 2.0}}]
+    }
+    assert parse_query_string("not (a=1 or b=2)") == {
+        "not": {"or": [{"=": {"a": 1.0}}, {"=": {"b": 2.0}}]}
+    }
+    assert parse_query_string("id in [1,2]") == {"in": {"id": [1.0, 2.0]}}
+    assert parse_query_string("ended_at=null") == {"=": {"ended_at": None}}
+    assert parse_query_string("active=true") == {"=": {"active": True}}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_query_string("a === b")
+
+
+def test_query_string_compile_null_tolerant_ne(spark):
+    from pyspark.sql import Row
+
+    from gnocchi_spark.plans.filters import compile_query_string
+
+    df = spark.createDataFrame(
+        [Row(host="h1"), Row(host="h2"), Row(host=None)]
+    )
+    got = {r["host"] for r in df.where(compile_query_string("host!='h1'")).collect()}
+    # null-tolerant !=: NULL rows match (sqlalchemy.py:1593-1595)
+    assert got == {"h2", None}
