@@ -704,6 +704,67 @@ def tsdb_ops_clip_compare(spark, sf_dir):
 
 
 @query(
+    "tsdb_ops_resample_form",
+    f"""
+    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+               WHERE event_type='click' GROUP BY 1)
+    SELECT {_sql_bucket(7200, "b")} AS ts, round(avg(v), 6) AS value
+    FROM s GROUP BY 1
+    """,
+)
+def tsdb_ops_resample_form(spark, sf_dir):
+    # the operations-DSL resample form (operations.py:264-280): per-
+    # series re-bucket of already-aggregated points, mean of means
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {"click/mean": _mean_series(spark, sf_dir, "click", 3600.0)}, fill="null"
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean"])
+    ast = ["resample", "mean", 7200, ["metric", "click", "mean"]]
+    out = evaluate_to_long(ast, frame, 7200.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "tsdb_ops_aggregate_rate",
+    f"""
+    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='click' GROUP BY 1),
+         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+                   WHERE event_type='view' GROUP BY 1),
+         grid AS (SELECT coalesce(click.b, view.b) AS ts,
+                         coalesce(click.v, 0) + coalesce(view.v, 0) AS s
+                  FROM click FULL OUTER JOIN view ON click.b = view.b)
+    SELECT ts, round(s - lag(s) OVER (ORDER BY ts), 6) AS value
+    FROM grid QUALIFY lag(s) OVER (ORDER BY ts) IS NOT NULL
+    """,
+)
+def tsdb_ops_aggregate_rate(spark, sf_dir):
+    # rate: variant of cross-series aggregation (operations.py:232-240):
+    # nan-aware sum across series, then diff along time, first dropped
+    from gnocchi_spark.operators.align import align_series
+    from gnocchi_spark.plans.operations import SeriesFrame, evaluate_to_long
+
+    wide = align_series(
+        {
+            "click/mean": _mean_series(spark, sf_dir, "click", 3600.0),
+            "view/mean": _mean_series(spark, sf_dir, "view", 3600.0),
+        },
+        fill="null",
+    )
+    frame = SeriesFrame(df=wide, cols=["click/mean", "view/mean"])
+    ast = [
+        "aggregate",
+        "rate:sum",
+        ["metric", ["click", "mean"], ["view", "mean"]],
+    ]
+    out = evaluate_to_long(ast, frame, 3600.0)
+    return out.select("ts", F.round("value", 6).alias("value"))
+
+
+@query(
     "tsdb_ops_unary_math",
     f"""
     WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
