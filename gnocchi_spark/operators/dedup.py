@@ -250,10 +250,14 @@ def minhash_near_duplicates(
     # array layout end to end: signatures and Jaccard are map-side
     # projections; the only shuffles left are the band self-join and
     # the two array-fetch joins.  Persist covers the arrays feeding
-    # the signature subtree and both verify sides.
+    # the signature subtree and both verify sides; the count()
+    # materializes the cache EAGERLY — lazily, the three consumer
+    # stages race to build uncached partitions concurrently and each
+    # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s)
     arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    arrays.count()
     sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
     return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
@@ -283,6 +287,7 @@ def ngram_jaccard_pairs(
     arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    arrays.count()  # eager cache build (see minhash_near_duplicates)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
