@@ -153,3 +153,41 @@ def test_read_with_tail_refresh_on_read(spark, dirs):
     got = {r["bucket_ts"].minute: (r["mean"], r["count"]) for r in out.collect()}
     assert got[0] == (3.0, 3)  # (1+3+5)/3 — recomputed, replaces rollup row
     assert got[5] == (7.0, 1)
+
+
+def test_influx_lines_stream_to_rollup(spark, dirs):
+    # integration: protocol normalizer composing with the streaming
+    # rollup — the parser is a pure DataFrame transform, so the same
+    # code runs under readStream unchanged
+    from gnocchi_spark.sources import influxdb
+
+    lines1 = [
+        "cpu,host=h1 value=10 %d" % (1767225600 * 10**9),        # 2026-01-01 00:00:00
+        "cpu,host=h1 value=20 %d" % (1767225960 * 10**9),        # 00:06:00
+        "cpu,host=h2 value=5 %d" % (1767225600 * 10**9),
+        "cpu,host=h1 value=99 %d" % (1767229200 * 10**9),        # 01:00 watermark mover
+    ]
+    ldir = dirs["landing"]
+    import os
+
+    os.makedirs(ldir, exist_ok=True)
+    with open(f"{ldir}/batch1.txt", "w") as f:
+        f.write("\n".join(lines1))
+
+    raw = spark.readStream.format("text").load(ldir)
+    measures = influxdb.parse_lines(raw.withColumnRenamed("value", "line")).select(
+        F.concat_ws("/", "resource_id", "metric_name").alias("metric_id"),
+        "ts",
+        "value",
+        F.lit(None).cast("long").alias("seq"),
+    )
+    agg = si.streaming_rollup(measures, ["mean", "count"], 300.0, 600)
+    q = si.start_append_sink(agg, dirs["table"], dirs["ckpt"])
+    q.awaitTermination(120)
+    got = {
+        (r["metric_id"], r["bucket_ts"].minute): (r["mean"], r["count"])
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+    assert got[("h1/cpu.value", 0)] == (10.0, 1)
+    assert got[("h1/cpu.value", 5)] == (20.0, 1)
+    assert got[("h2/cpu.value", 0)] == (5.0, 1)
