@@ -1274,10 +1274,40 @@ def text_quality_by_lang(spark, sf_dir):
     )
 
 
-@query("text_language_id")
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of textstats.detect_language: per-language
+    stopword-hit ratio, argmax via struct greatest (score, then lang —
+    matching Spark's array_max struct ordering)."""
+    from gnocchi_spark.operators.textstats import STOPWORDS
+
+    scores = []
+    for lang, words in STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"SELECT doc_id, lang, '{lang}' AS cand, "
+            "CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, t -> list_contains([{wl}], t))) AS DOUBLE)"
+            " / len(toks) ELSE 0.0 END AS score FROM t"
+        )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents),
+    scores AS ({" UNION ALL ".join(scores)})
+    SELECT doc_id, lang,
+           CASE WHEN score > 0.0 THEN cand ELSE 'und' END AS detected_lang
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand DESC) = 1
+    """
+
+
+@query("text_language_id", _langid_oracle_sql())
 def text_language_id(spark, sf_dir):
-    # stopword-overlap language-ID heuristic (rows-only check: the
-    # heuristic's argmax over struct ordering is awkward in ANSI SQL)
+    # stopword-overlap language-ID heuristic; the argmax over
+    # (score, lang) struct ordering reproduces in DuckDB via greatest
     from gnocchi_spark.operators.textstats import detect_language
 
     docs = tables.load(spark, sf_dir, "documents")

@@ -222,3 +222,62 @@ def test_injector_shape_and_cadence(spark):
         (b["ts"] - a["ts"]).total_seconds() for a, b in zip(one, one[1:])
     }
     assert deltas == {2.0}
+
+
+# ---------------------------------------------------------------------------
+# batch POST auto-create (rest/api.py:1726-1849)
+# ---------------------------------------------------------------------------
+
+def test_batch_post_auto_create(spark):
+    from pyspark.sql import types as T
+
+    from gnocchi_spark.policy import ArchivePolicyRule
+    from gnocchi_spark.sources import batch_post
+
+    payload = spark.createDataFrame(
+        [
+            ("server-1", "cpu.util", NOW, 0.5),
+            ("server-1", "cpu.util", NOW, 0.7),
+            ("server-1", "mem.used", NOW, 100.0),
+            ("server-2", "cpu.util", NOW, 0.1),
+            ("server-1", "unmatched_metric", NOW, 1.0),
+        ],
+        ["original_resource_id", "metric_name", "ts", "value"],
+    )
+    rules = [
+        ArchivePolicyRule("cpu", "cpu.*", "high"),
+        ArchivePolicyRule("mem", "mem.*", "low"),
+    ]
+    dim_schema = T.StructType(
+        [
+            T.StructField("metric_id", T.StringType()),
+            T.StructField("resource_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("archive_policy_name", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("creator", T.StringType()),
+        ]
+    )
+    empty_dim = spark.createDataFrame([], dim_schema)
+
+    norm = batch_post.normalize_payload(payload, creator="cr")
+    dim1 = batch_post.upsert_metrics(norm, empty_dim, rules, creator="cr")
+    rows = {(r["resource_id"], r["name"]): r for r in dim1.collect()}
+    # 3 distinct (resource, metric) with matching rules; unmatched dropped
+    assert len(rows) == 3
+    s1_cpu = next(r for (rid, n), r in rows.items() if n == "cpu.util")
+    assert s1_cpu["archive_policy_name"] == "high"
+    # ids are deterministic: same payload -> same ids
+    norm2 = batch_post.normalize_payload(payload, creator="cr")
+    assert (
+        norm.select("metric_id").distinct().orderBy("metric_id").collect()
+        == norm2.select("metric_id").distinct().orderBy("metric_id").collect()
+    )
+    # idempotent upsert: re-running adds nothing
+    dim2 = batch_post.upsert_metrics(norm, dim1, rules, creator="cr")
+    assert dim2.count() == 3
+    # facts keyed by metric_id
+    facts = batch_post.measures_from_payload(norm)
+    assert facts.count() == 5
+    per_metric = facts.groupBy("metric_id").count().collect()
+    assert sorted(r["count"] for r in per_metric) == [1, 1, 1, 2]
