@@ -98,27 +98,64 @@ def doc_shingle_arrays(
     )
 
 
+MERSENNE_31 = 2147483647  # 2^31 - 1, the Carter-Wegman modulus
+
+
 def minhash_signatures_arrays(
     shingle_arrays: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash over the shingle *array*: ``array_min(transform(...))``
-    per seed — identical values to :func:`minhash_signatures` (min over
-    a set), but zero shuffle: the exploded groupBy was measured as the
-    dominant cost of the LSH pipeline at 5k docs (sort-aggregate over
-    1M rows); this is a pure projection Catalyst fuses into the scan.
+    """MinHash over the shingle *array* with a Carter-Wegman hash
+    family: per shingle, two 32-bit words (a, b) parse out of one md5;
+    hash_i = (a + i*b) mod (2^31-1).  Properties that matter:
+
+    - zero shuffle: pure projection fused into the scan (the exploded
+      groupBy alternative was the dominant cost at 5k docs);
+    - ONE md5 per shingle instead of ``num_hashes`` — the seed family
+      is integer arithmetic, and aggregation state is longs, not
+      32-char strings;
+    - exactly reproducible in SQL oracles (hex-parse + modular
+      arithmetic, all within BIGINT: a,b < 2^32, i < 32).
+
+    ``b | 1`` keeps the multiplier odd so no hash collapses toward a
+    constant family.
     """
-    def seeded(seed: str):
-        # single-arg lambda: a 2-arg lambda would be called as
-        # (element, index) by transform(), silently replacing the seed
-        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    df = shingle_arrays
+    if "__ab" not in df.columns:
+        df = with_hash_words(df)
+    def seeded(i: int):
+        # factory closure, NOT a default arg: a 2-arg lambda would be
+        # called by transform() as (element, index)
+        return lambda x: (x["a"] + F.lit(i) * x["b"]) % F.lit(MERSENNE_31)
 
     cols = [
-        F.array_min(F.transform(F.col("shingles"), seeded(f"s{i}:"))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("__ab"), seeded(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return shingle_arrays.select(
-        "doc_id", F.size("shingles").alias("n_shingles"), *cols
-    )
+    return df.select("doc_id", F.size("shingles").alias("n_shingles"), *cols)
+
+
+def with_hash_words(shingle_arrays: DataFrame) -> DataFrame:
+    """Attach the per-shingle (a, b) hash words as an array column.
+
+    Computed ONCE per shingle: without this, every per-seed transform
+    re-evaluates its own md5 (Catalyst does not share subexpressions
+    across separate lambda functions — measured 2x wall-clock).
+    Callers that persist the frame (minhash_near_duplicates) cache the
+    parsed words alongside the shingles.
+    """
+
+    def ab(s):
+        m = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(m, 9, 8), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("b"),
+        )
+
+    return shingle_arrays.withColumn("__ab", F.transform("shingles", ab))
 
 
 def jaccard_pairs_arrays(
@@ -254,7 +291,7 @@ def minhash_near_duplicates(
     # materializes the cache EAGERLY — lazily, the three consumer
     # stages race to build uncached partitions concurrently and each
     # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s)
-    arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
+    arrays = with_hash_words(doc_shingle_arrays(docs, text_col, id_col, k)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     arrays.count()

@@ -1182,10 +1182,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
       SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
       FROM documents,
            unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
+    ab AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS a,
+             CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) | 1 AS b
+      FROM sh),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('s{i}:' || shingle)) AS h{i}" for i in range(16))}
-      FROM sh GROUP BY doc_id),
+             {", ".join(f"min((a + {i} * b) % 2147483647) AS h{i}" for i in range(16))}
+      FROM ab GROUP BY doc_id),
     bands AS (
       SELECT doc_id, band, key FROM (
         {" UNION ALL ".join(
