@@ -243,7 +243,13 @@ def tsdb_calendar_week(spark, sf_dir):
 def tsdb_read_window(spark, sf_dir):
     # read path: metric+method+granularity+time-range pruned scan
     # (rest/api.py:496-559).  start/stop land on bucket boundaries here.
-    rollups = rollup(_measures(spark, sf_dir), ["mean"], 3600.0)
+    # The raw measure scan gets the range as a pushed-down BIGINT
+    # predicate (see tables.events_as_measures); get_measures re-applies
+    # it on buckets for the stored-rollup case.
+    m = tables.events_as_measures(
+        spark, sf_dir, start="2024-01-10 00:00:00", stop="2024-01-20 00:00:00"
+    )
+    rollups = rollup(m, ["mean"], 3600.0)
     out = get_measures(
         rollups, "purchase", "mean", 3600.0,
         start="2024-01-10 00:00:00", stop="2024-01-20 00:00:00",

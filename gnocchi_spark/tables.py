@@ -47,10 +47,44 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-def events_as_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_measures(
+    spark: SparkSession, sf_dir: str, start=None, stop=None
+) -> DataFrame:
     """Project the events stream onto the measures schema
-    (FIXTURES.md §1): (metric_id, ts, value) + seq for arrival order."""
-    return load(spark, sf_dir, "events").select(
+    (FIXTURES.md §1): (metric_id, ts, value) + seq for arrival order.
+
+    ``start``/``stop`` (datetime or ISO string) are applied to the RAW
+    nanosecond column *before* the ns->us conversion: Catalyst cannot
+    invert ``timestamp_micros(ts div 1000)``, so a filter on the
+    converted column never reaches the parquet scan — the raw-long
+    comparison does (row-group min/max skipping).  At 100 TB this is
+    the difference between a pruned read and a full scan for
+    refresh-on-read paths over raw measures.
+    """
+    import datetime as _dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_ns = dict(df.dtypes).get("ts") == "bigint"
+
+    def _ns(x):
+        if isinstance(x, str):
+            x = _dt.datetime.fromisoformat(x)
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=_dt.timezone.utc)
+        return int(x.timestamp() * 1_000_000_000)
+
+    if raw_ns:
+        if start is not None:
+            df = df.where(F.col("ts") >= F.lit(_ns(start)))
+        if stop is not None:
+            df = df.where(F.col("ts") < F.lit(_ns(stop)))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if start is not None:
+            df = df.where(F.col("ts") >= F.lit(start).cast("timestamp"))
+        if stop is not None:
+            df = df.where(F.col("ts") < F.lit(stop).cast("timestamp"))
+    return df.select(
         F.col("event_type").alias("metric_id"),
         F.col("ts"),
         F.col("value"),
