@@ -384,7 +384,15 @@ def simhash_near_duplicates(
     pair within max_hamming agrees exactly on >= 1 of n_bands byte
     bands when max_hamming < n_bands), exact Hamming verification via
     xor + bit_count."""
-    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    from pyspark import StorageLevel
+
+    # both sides of the band self-join consume the signatures; eager
+    # persist (one row per doc) avoids recomputing the token explode +
+    # 32 bit-vote sums twice
+    sigs = simhash_signatures(docs, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     long = sigs.select(
