@@ -259,6 +259,10 @@ def rollup_policy(
     fine_partials = _partials(
         measures, truncate_to_bucket(F.col(ts_col), finest), metric_col, ts_col, value_col
     ).cache()
+    # eager: the finalize + N-1 remerge consumers otherwise race to
+    # build uncached partitions concurrently, each recomputing the
+    # partial aggregation (measured 2.5x cold wall-clock at sf0.1)
+    fine_partials.count()
     for g in sorted(grans):
         p = fine_partials if g == finest else _remerge(fine_partials, g)
         outputs.append(melt_rollup(_finalize(p, mergeable), mergeable, g))
