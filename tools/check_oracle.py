@@ -74,11 +74,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
+    args: list[str] = []
+    skip = False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip:
+            skip = False
+            continue
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
 
     mod = load_entry()
     qs, oracles = mod.queries(), mod.oracle_sql()
