@@ -305,3 +305,35 @@ def test_query_string_compile_null_tolerant_ne(spark):
     got = {r["host"] for r in df.where(compile_query_string("host!='h1'")).collect()}
     # null-tolerant !=: NULL rows match (sqlalchemy.py:1593-1595)
     assert got == {"h2", None}
+
+
+def test_full_ffill_and_bfill(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    def ts(m):
+        return datetime.datetime(2026, 1, 1, 0, m)
+
+    a = spark.createDataFrame(
+        [Row(ts=ts(1), value=10.0), Row(ts=ts(3), value=30.0)]
+    )
+    b = spark.createDataFrame(
+        [Row(ts=ts(0), value=1.0), Row(ts=ts(2), value=2.0)]
+    )
+    from gnocchi_spark.operators.align import align_series
+
+    # full_ffill: forward fill then backward fill — no gaps remain,
+    # leading gap of `a` takes the first following value
+    wide = align_series({"a/mean": a, "b/mean": b}, fill="full_ffill")
+    rows = {r["ts"].minute: (r["a/mean"], r["b/mean"]) for r in wide.collect()}
+    assert rows[0] == (10.0, 1.0)   # a backfilled from 10 at :01
+    assert rows[1] == (10.0, 1.0)   # b forward-filled from :00
+    assert rows[2] == (10.0, 2.0)
+    assert rows[3] == (30.0, 2.0)   # b forward-filled from :02
+    # full_bfill: backward then forward — trailing gap of b takes the
+    # last preceding value
+    wide2 = align_series({"a/mean": a, "b/mean": b}, fill="full_bfill")
+    rows2 = {r["ts"].minute: (r["a/mean"], r["b/mean"]) for r in wide2.collect()}
+    assert rows2[0] == (10.0, 1.0)
+    assert rows2[3] == (30.0, 2.0)
