@@ -1358,6 +1358,64 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    scored_m AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a="e.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN cent c),
+    members AS (SELECT neighbor_id, cv, centroid_id FROM scored_m WHERE rn = 1),
+    scored_q AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS.format(a="q.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+    probes AS (SELECT query_id, qv, centroid_id FROM scored_q WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, m.neighbor_id,
+             round({_COS.format(a="p.qv", b="m.cv")}, 5) AS cosine
+      FROM members m JOIN probes p USING (centroid_id)
+      WHERE p.query_id != m.neighbor_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank,
+           neighbor_id, cosine
+    FROM cand
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    # IVF-partitioned ANN: deterministic centroids (first 8 vectors),
+    # single-cluster membership, 2-cluster probe — exact distances only
+    # inside probed clusters (~2/8 of the corpus per query)
+    from gnocchi_spark.operators.similarity import ivf_cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = ivf_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=2
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+    )
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     # LSH-bucketed approximate variant (rows-only: bucket membership is

@@ -133,3 +133,25 @@ def test_multimodal_plumbing(docs):
     assert out[6]["features"] == [0.0, 0.0, 0.0, 0.0]
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_ivf_recall_vs_exact(spark):
+    from gnocchi_spark import tables
+    from gnocchi_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(emb, q, k=5, n_centroids=8, n_probe=2).collect()
+    }
+    # probing 2/8 clusters must retain a reasonable fraction of the
+    # exact top-5 sets (deterministic given fixed centroids)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    # every approx hit is a real corpus pair with rank <= 5
+    assert all(qid != nid for qid, nid in approx)
