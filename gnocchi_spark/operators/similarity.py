@@ -255,3 +255,63 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_train_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, returning a
+    ``(centroid_id, centroid)`` DataFrame for :func:`ivf_cosine_topk`.
+
+    Deterministic: seeded from the first ``k`` vectors by id.  Each
+    iteration is ONE distributed pass — assign (broadcast centroids,
+    map-side) then re-center (single groupBy(cluster) averaging
+    per-dimension via ``posexplode``).  Only the k centroid rows ever
+    reach the driver; the corpus stays distributed throughout, so the
+    loop scales to any corpus the cluster holds.  Iterative and
+    stateful, hence pytest-verified rather than SQL-oracled.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+        # per-cluster, per-dimension mean -> rebuilt centroid arrays
+        dims = assigned.select(
+            "centroid_id",
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda s: s["m"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return centroids

@@ -155,3 +155,31 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.4, recall
     # every approx hit is a real corpus pair with rank <= 5
     assert all(qid != nid for qid, nid in approx)
+
+
+def test_ivf_kmeans_training_improves_assignment(spark):
+    from gnocchi_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_train_kmeans,
+    )
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    trained = ivf_train_kmeans(emb, k=4, iterations=3)
+    rows = trained.collect()
+    assert len(rows) == 4
+    assert all(len(r["centroid"]) == 64 for r in rows)
+
+    # mean assignment similarity with trained centroids beats the raw
+    # seed centroids (k-means ascent property on its own objective)
+    def mean_sim(cents):
+        a = ivf_assign(emb, cents, n_probe=1)
+        joined = a.join(cents, "centroid_id").select(
+            cosine(F.col("embedding"), F.col("centroid")).alias("s")
+        )
+        return joined.agg(F.avg("s")).collect()[0][0]
+
+    seeds = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assert mean_sim(trained) > mean_sim(seeds)
