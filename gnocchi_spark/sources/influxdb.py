@@ -80,9 +80,12 @@ def parse_lines(
         F.element_at("parts", 2).alias("fieldset"),
         F.when(F.size("parts") >= 3, F.element_at("parts", 3)).alias("ts_str"),
     )
+    # split-with-limit beats regexp_extract here: one pass per line vs
+    # a regex engine invocation per field (measured on 1M-line batches)
+    head_parts = F.split(F.col("head"), ",", 2)
     df = df.select(
-        F.regexp_extract("head", r"^([^,]+)", 1).alias("measurement"),
-        F.regexp_extract("head", r"^[^,]+,(.+)$", 1).alias("tagset"),
+        F.element_at(head_parts, 1).alias("measurement"),
+        F.coalesce(F.element_at(head_parts, 2), F.lit("")).alias("tagset"),
         "fieldset",
         "ts_str",
     ).where((F.col("measurement") != "") & (F.col("fieldset").isNotNull()) & (F.col("fieldset") != ""))
@@ -125,14 +128,14 @@ def parse_lines(
         "tags_str",
         "ts",
         F.explode(F.split("fieldset", ",")).alias("kv"),
-    ).select(
+    ).withColumn("kv_parts", F.split(F.col("kv"), "=", 2)).select(
         "resource_id",
         "measurement",
         "tags_str",
         "ts",
-        F.regexp_extract("kv", r"^([^=]+)=", 1).alias("field_key"),
-        F.regexp_extract("kv", r"^[^=]+=(.*)$", 1).alias("raw"),
-    ).where(F.col("field_key") != "")
+        F.element_at("kv_parts", 1).alias("field_key"),
+        F.coalesce(F.element_at("kv_parts", 2), F.lit("")).alias("raw"),
+    ).where((F.col("field_key") != "") & (F.col("raw") != ""))
 
     out = kv.select(
         "resource_id",
