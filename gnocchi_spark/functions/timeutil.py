@@ -16,20 +16,21 @@ from pyspark.sql import functions as F
 CALENDAR_GRANULARITIES = {"Y", "H", "Q", "M", "W", "D"}
 
 # gnocchi/calendar.py:95-100 — Y=year, H=half, Q=quarter, M=month, W=week.
-_DATE_TRUNC = {"Y": "year", "Q": "quarter", "M": "month", "W": "week", "D": "day"}
+_DATE_TRUNC = {"Y": "year", "Q": "quarter", "M": "month", "D": "day"}
 
 
 def truncate_to_bucket(ts: Column, granularity: float | str) -> Column:
     """Floor ``ts`` to its bucket start for a fixed (seconds) or calendar
-    granularity.  Stays a pure Column expression -> whole-stage codegen."""
+    granularity.  Stays a pure Column expression -> whole-stage codegen.
+
+    ``W`` follows the reference's Sunday-start weeks
+    (gnocchi/calendar.py:40-44 week_and_year), NOT ISO date_trunc('week');
+    callers wanting ISO Monday weeks should use date_trunc directly."""
     if isinstance(granularity, str) and granularity in CALENDAR_GRANULARITIES:
-        if granularity == "H":
-            # Half-year: truncate to year, add 6 months when month > 6
-            # (gnocchi/calendar.py:61-66 half_of_year).
-            year_start = F.date_trunc("year", ts)
-            return F.when(
-                F.month(ts) > 6, year_start + F.expr("INTERVAL 6 MONTHS")
-            ).otherwise(year_start)
+        if granularity in ("H", "W"):
+            from gnocchi_spark.functions.calendar import truncate_calendar
+
+            return truncate_calendar(ts, granularity)
         return F.date_trunc(_DATE_TRUNC[granularity], ts)
     gran_us = int(round(float(granularity) * 1_000_000))
     if gran_us <= 0:

@@ -29,10 +29,17 @@ class UnAggregableTimeseries(Exception):
     (HTTP 400 in the reference API)."""
 
 
-def stack_series(series: Mapping[str, DataFrame], ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """Union per-series (ts, value) frames into long (series, ts, value)."""
+def stack_series(
+    series: Mapping[str, DataFrame],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Union per-series (ts, value) frames into long (series, ts, value),
+    carrying any grouping columns through."""
     frames = [
         df.select(
+            *partition_cols,
             F.lit(label).alias("series"),
             F.col(ts_col).alias("ts"),
             F.col(value_col).cast("double").alias("value"),
@@ -63,7 +70,7 @@ def align_series(
     present — exactly processor.py:200-220.
     """
     labels = list(series)
-    long = stack_series(series, ts_col, value_col)
+    long = stack_series(series, ts_col, value_col, partition_cols)
     if start is not None:
         long = long.where(F.col("ts") >= F.lit(start).cast("timestamp"))
     if stop is not None:
@@ -113,40 +120,80 @@ def _enforce_overlap(
     stop,
     partition_cols: Sequence[str],
 ) -> DataFrame:
-    if partition_cols:
-        raise NotImplementedError(
-            "overlap enforcement (fill=None) is per-query, not per-group"
-        )
-    all_present = F.forall(
-        F.array(*[F.col(c) for c in labels]), lambda x: x.isNotNull()
+    """Per-group needed_percent_of_overlap enforcement + edge trim.
+
+    The reference evaluates processor.py:200-220 once per (grouped)
+    query; here every ``partition_cols`` group is checked and ANY
+    failing group raises (the API returns 400 for the whole request).
+
+    Shape: one tiny bounds aggregate (one row per group) broadcast back
+    onto the grid, trim/overlap flags as plain columns, and a SINGLE
+    validation action computing raw + trimmed stats per group in one
+    conditional-aggregation pass — no per-query scalar probes, no
+    empty-partition window.
+    """
+    pk = list(partition_cols)
+    ov = F.forall(F.array(*[F.col(c) for c in labels]), lambda x: x.isNotNull())
+    base = wide.withColumn("__ov", ov)
+
+    bound_aggs = [
+        F.min(F.when(F.col("__ov"), F.col("ts"))).alias("__first_ov"),
+        F.max(F.when(F.col("__ov"), F.col("ts"))).alias("__last_ov"),
+    ]
+    bounds = base.groupBy(*pk).agg(*bound_aggs) if pk else base.agg(*bound_aggs)
+    joined = (
+        base.join(F.broadcast(bounds), on=pk)
+        if pk
+        else base.crossJoin(F.broadcast(bounds))
     )
-    stats = wide.agg(
-        F.count("*").alias("n"),
-        F.min(F.when(all_present, F.col("ts"))).alias("first_ov"),
-        F.max(F.when(all_present, F.col("ts"))).alias("last_ov"),
-        F.count(F.when(all_present, F.lit(1))).alias("n_ov"),
-    ).collect()[0]
-    if stats["n"] == 0:
-        return wide
-    if stats["n_ov"] == 0 and needed_overlap > 0:
-        raise UnAggregableTimeseries("No overlap")
-    out = wide
-    # unbounded edges trim to the overlap region (processor.py:206-214)
-    if stop is None and stats["last_ov"] is not None:
-        out = out.where(F.col("ts") <= F.lit(stats["last_ov"]))
-    if start is None and stats["first_ov"] is not None:
-        out = out.where(F.col("ts") >= F.lit(stats["first_ov"]))
-    if stop is None or start is None:
-        trimmed = out.agg(
-            F.count("*").alias("n"), F.count(F.when(all_present, F.lit(1))).alias("n_ov")
-        ).collect()[0]
-    else:
-        trimmed = stats
-    if trimmed["n"]:
-        pct = trimmed["n_ov"] * 100.0 / trimmed["n"]
-        if pct < needed_overlap:
-            raise UnAggregableTimeseries(
-                "Less than %f%% of datapoints overlap in this timespan (%.2f%%)"
-                % (needed_overlap, pct)
+
+    # unbounded edges trim to the overlap region (processor.py:206-214);
+    # a group with no overlap at all (NULL bounds) keeps every row so the
+    # needed_overlap==0 contract still returns the full grid.
+    in_trim = F.lit(True)
+    if start is None:
+        in_trim = in_trim & (
+            F.col("__first_ov").isNull() | (F.col("ts") >= F.col("__first_ov"))
+        )
+    if stop is None:
+        in_trim = in_trim & (
+            F.col("__last_ov").isNull() | (F.col("ts") <= F.col("__last_ov"))
+        )
+    joined = joined.withColumn("__in_trim", in_trim)
+
+    stat_aggs = [
+        F.count(F.when(F.col("__ov"), F.lit(1))).alias("n_ov"),
+        F.count(F.when(F.col("__in_trim"), F.lit(1))).alias("n_t"),
+        F.count(F.when(F.col("__in_trim") & F.col("__ov"), F.lit(1))).alias("n_ov_t"),
+    ]
+    stats = (
+        joined.groupBy(*pk).agg(*stat_aggs) if pk else joined.agg(*stat_aggs)
+    ).collect()
+
+    failures = []
+    for r in stats:
+        group = tuple(r[c] for c in pk) if pk else None
+        if r["n_t"] == 0 and r["n_ov"] == 0:
+            continue  # empty grid / empty group
+        if r["n_ov"] == 0 and needed_overlap > 0:
+            failures.append((group, "No overlap"))
+            continue
+        if r["n_t"]:
+            pct = r["n_ov_t"] * 100.0 / r["n_t"]
+            if pct < needed_overlap:
+                failures.append(
+                    (
+                        group,
+                        "Less than %f%% of datapoints overlap in this timespan"
+                        " (%.2f%%)" % (needed_overlap, pct),
+                    )
+                )
+    if failures:
+        raise UnAggregableTimeseries(
+            "; ".join(
+                msg if g is None else f"group {g}: {msg}" for g, msg in failures
             )
-    return out
+        )
+    return joined.where(F.col("__in_trim")).drop(
+        "__ov", "__first_ov", "__last_ov", "__in_trim"
+    )

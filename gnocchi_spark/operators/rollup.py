@@ -175,7 +175,13 @@ def rollup(
 _PARTIAL_AGGS = {
     "cnt": lambda v, t: F.count(v),
     "s": lambda v, t: F.sum(v),
-    "ssq": lambda v, t: F.sum(v * v),
+    # (mean, m2) central moments instead of a raw sum-of-squares: Spark's
+    # var_pop is a Welford-style CentralMomentAgg, so the fine-level m2 is
+    # numerically stable even when |mean| >> std (the textbook
+    # ssq - s^2/cnt form cancels catastrophically there and can go
+    # negative under the sqrt).
+    "mean": lambda v, t: F.avg(v),
+    "m2": lambda v, t: F.var_pop(v) * F.count(v),
     "mn": lambda v, t: F.min(v),
     "mx": lambda v, t: F.max(v),
     "first_ts": lambda v, t: F.min(t),
@@ -183,6 +189,22 @@ _PARTIAL_AGGS = {
     "first_v": lambda v, t: F.min_by(v, t),
     "last_v": lambda v, t: F.max_by(v, t),
 }
+
+def _moment_zero() -> Column:
+    return F.struct(
+        F.lit(0).cast("long").alias("n"), F.lit(0.0).alias("mean"), F.lit(0.0).alias("m2")
+    )
+
+
+def _chan_merge(acc: Column, x: Column) -> Column:
+    """Chan et al. parallel-variance merge of (n, mean, M2) partials —
+    the same update Spark's own CentralMomentAgg.merge performs, expressed
+    as a Column fold so it stays inside whole-stage codegen."""
+    n = acc["n"] + x["n"]
+    delta = x["mean"] - acc["mean"]
+    mean = acc["mean"] + delta * x["n"] / n
+    m2 = acc["m2"] + x["m2"] + delta * delta * acc["n"] * x["n"] / n
+    return F.struct(n.alias("n"), mean.alias("mean"), m2.alias("m2"))
 
 
 def _partials(df: DataFrame, bucket: Column, metric_col: str, ts_col: str, value_col: str) -> DataFrame:
@@ -195,10 +217,22 @@ def _remerge(partials: DataFrame, granularity: float | str) -> DataFrame:
     """Merge fine partials into coarser buckets — input is already reduced
     to one row per (metric, fine bucket), so this shuffle is tiny."""
     b = truncate_to_bucket(F.col("bucket_ts"), granularity).alias("bucket_ts")
-    return partials.groupBy("metric_id", b).agg(
+    merged = partials.groupBy("metric_id", b).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("s").alias("s"),
-        F.sum("ssq").alias("ssq"),
+        # collect the fine (n, mean, M2) triples and Chan-merge them in a
+        # deterministic (sorted) order.  Bounded fan-in: at most
+        # coarse/fine elements per group (e.g. 1d over 1m = 1440 structs),
+        # so the array never approaches the raw point count.
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cnt").alias("n"),
+                    F.col("mean").alias("mean"),
+                    F.col("m2").alias("m2"),
+                )
+            )
+        ).alias("__moments"),
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
         F.min("first_ts").alias("first_ts"),
@@ -206,19 +240,24 @@ def _remerge(partials: DataFrame, granularity: float | str) -> DataFrame:
         F.min_by("first_v", "first_ts").alias("first_v"),
         F.max_by("last_v", "last_ts").alias("last_v"),
     )
+    folded = F.aggregate("__moments", _moment_zero(), _chan_merge)
+    return merged.withColumns(
+        {"mean": folded["mean"], "m2": folded["m2"]}
+    ).drop("__moments")
 
 
 def _finalize(partials: DataFrame, methods: Sequence[str]) -> DataFrame:
-    cnt, s, ssq = F.col("cnt"), F.col("s"), F.col("ssq")
+    cnt, s, m2 = F.col("cnt"), F.col("s"), F.col("m2")
     final = {
         "mean": s / cnt,
         "sum": s,
         "min": F.col("mn"),
         "max": F.col("mx"),
         "count": cnt.cast("double"),
-        # sample std from merged moments; suppressed for cnt <= 1
-        # (carbonara.py:180-182).
-        "std": F.when(cnt > 1, F.sqrt((ssq - s * s / cnt) / (cnt - 1))),
+        # sample std from Chan-merged M2; suppressed for cnt <= 1
+        # (carbonara.py:180-182).  greatest(0) guards the last-ulp
+        # negative that roundoff can leave even in the stable form.
+        "std": F.when(cnt > 1, F.sqrt(F.greatest(m2, F.lit(0.0)) / (cnt - 1))),
         "first": F.col("first_v"),
         "last": F.col("last_v"),
     }
@@ -256,6 +295,17 @@ def rollup_policy(
         return _union_all(outputs)
 
     finest = min(grans)
+    # A coarse granularity can only fold finest-level partials when every
+    # fine bucket nests inside one coarse bucket, i.e. g is an integer
+    # multiple of finest (buckets are epoch-aligned, so multiple => every
+    # coarse boundary is a fine boundary).  The reference computes each
+    # granularity independently (storage/__init__.py:583-692), so e.g.
+    # (60, 90) policies are valid; 90s buckets straddle 60s boundaries and
+    # must roll up from raw instead.
+    def _nests(g: float) -> bool:
+        ratio = g / finest
+        return abs(ratio - round(ratio)) < 1e-9
+
     fine_partials = _partials(
         measures, truncate_to_bucket(F.col(ts_col), finest), metric_col, ts_col, value_col
     ).cache()
@@ -264,6 +314,9 @@ def rollup_policy(
     # partial aggregation (measured 2.5x cold wall-clock at sf0.1)
     fine_partials.count()
     for g in sorted(grans):
+        if not _nests(g):
+            outputs.append(rollup(measures, methods, g, metric_col, ts_col, value_col, seq_col))
+            continue
         p = fine_partials if g == finest else _remerge(fine_partials, g)
         outputs.append(melt_rollup(_finalize(p, mergeable), mergeable, g))
         if direct:

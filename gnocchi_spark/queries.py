@@ -218,13 +218,14 @@ def tsdb_resample_5m_to_1h(spark, sf_dir):
     """,
 )
 def tsdb_calendar_week(spark, sf_dir):
-    # calendar (non-uniform) granularity W (calendar.py:95-100)
-    w = rollup_wide(_measures(spark, sf_dir), ["sum", "count"], "W")
-    return w.select(
-        "metric_id",
-        "bucket_ts",
-        F.round("sum", 4).alias("sum"),
-        F.col("count").cast("long").alias("count"),
+    # ISO (Monday-start) week bucketing; gnocchi's own Sunday-start 'W'
+    # grouping (calendar.py:95-100) is tsdb_calendar_sunday_week.
+    m = _measures(spark, sf_dir)
+    return m.groupBy(
+        "metric_id", F.date_trunc("week", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.round(F.sum("value"), 4).alias("sum"),
+        F.count("*").cast("long").alias("count"),
     )
 
 

@@ -126,6 +126,48 @@ def test_no_overlap_raises(spark):
     assert out.count() == 2
 
 
+def test_per_group_overlap_enforcement(spark):
+    """Grouped aggregates enforce needed_percent_of_overlap PER GROUP
+    (processor.py:200-220 runs once per group in the reference API).
+    Group g1 overlaps fully; g2 overlaps on 2 of 3 trimmed rows (66.7%)."""
+
+    def _grouped(pts):
+        return spark.createDataFrame(
+            [Row(grp=g, ts=t, value=float(v)) for g, t, v in pts]
+        )
+
+    t0, t1, t2 = (
+        _ts(2014, 1, 1, 12, 0, 0),
+        _ts(2014, 1, 1, 12, 1, 0),
+        _ts(2014, 1, 1, 12, 2, 0),
+    )
+    a = _grouped(
+        [("g1", t0, 1), ("g1", t1, 2), ("g2", t0, 3), ("g2", t1, 4), ("g2", t2, 5)]
+    )
+    # g2's gap is INTERIOR (12:01 missing between overlap edges 12:00 and
+    # 12:02) so the edge trim can't remove it: 2/3 overlap = 66.7%.
+    b = _grouped([("g1", t0, 5), ("g1", t1, 6), ("g2", t0, 7), ("g2", t2, 8)])
+
+    with pytest.raises(UnAggregableTimeseries, match="g2"):
+        align_series(
+            {"a/mean": a, "b/mean": b},
+            fill=None,
+            needed_overlap=100.0,
+            partition_cols=["grp"],
+        ).collect()
+
+    # at 50% every group passes and each group trims to its own overlap
+    # region; g2 keeps its interior gap row.
+    out = align_series(
+        {"a/mean": a, "b/mean": b},
+        fill=None,
+        needed_overlap=50.0,
+        partition_cols=["grp"],
+    )
+    rows = {(r["grp"], r["ts"]) for r in out.collect()}
+    assert rows == {("g1", t0), ("g1", t1), ("g2", t0), ("g2", t1), ("g2", t2)}
+
+
 def test_rolling_sum_div_scalar(spark):
     # test_rolling (:1427-1470): / (rolling sum 2) 2 at 5-minute mean
     m1 = [(_ts(2014, 1, 1, 12, 0, 1), 69), (_ts(2014, 1, 1, 12, 5, 31), 42),

@@ -188,6 +188,61 @@ def test_cascade_matches_direct(spark, carbonara_series):
         assert c[k] == pytest.approx(v, rel=1e-9), k
 
 
+def test_cascade_non_nested_granularity(spark, carbonara_series):
+    """A coarse granularity that is NOT an integer multiple of the finest
+    (60 s vs 90 s) cannot fold fine partials — 90 s buckets straddle 60 s
+    boundaries.  The policy path must fall back to direct rollup there
+    and still agree with independent computation (the reference computes
+    every granularity independently, storage/__init__.py:583-692)."""
+    policy = ArchivePolicy(
+        "p",
+        0,
+        (ArchivePolicyItem(60.0, points=100), ArchivePolicyItem(90.0, points=100)),
+        frozenset(["mean", "sum", "count", "std", "first", "last"]),
+    )
+    direct = rollup_policy(carbonara_series, policy, seq_col="seq", cascade=False)
+    cascade = rollup_policy(carbonara_series, policy, seq_col="seq", cascade=True)
+    d = {(r["method"], r["granularity"], r["bucket_ts"]): r["value"] for r in direct.collect()}
+    c = {(r["method"], r["granularity"], r["bucket_ts"]): r["value"] for r in cascade.collect()}
+    assert set(d) == set(c)
+    for k, v in d.items():
+        assert c[k] == pytest.approx(v, rel=1e-9), k
+    # sanity: 90 s buckets really do straddle (12:00:00 and 12:01:30 starts)
+    assert _ts(2014, 1, 1, 12, 1, 30) in {k[2] for k in d if k[1] == "90"}
+
+
+def test_cascade_std_large_offset_stable(spark):
+    """Catastrophic-cancellation guard: values 1e9 + [0,1,2] make the
+    textbook sqrt((ssq - s^2/cnt)/(cnt-1)) form go negative under the
+    sqrt in fp64.  The (count, mean, M2) Chan-merge partials must return
+    the true sample std (= 1.0) at both cascade levels."""
+    pts = [
+        (_ts(2014, 1, 1, 12, 0, 0), 1e9 + 0.0),
+        (_ts(2014, 1, 1, 12, 0, 20), 1e9 + 1.0),
+        (_ts(2014, 1, 1, 12, 0, 40), 1e9 + 2.0),
+        (_ts(2014, 1, 1, 12, 1, 0), 1e9 + 0.0),
+        (_ts(2014, 1, 1, 12, 1, 20), 1e9 + 1.0),
+        (_ts(2014, 1, 1, 12, 1, 40), 1e9 + 2.0),
+    ]
+    df = spark.createDataFrame([Row(metric_id="m", ts=t, value=v) for t, v in pts])
+    policy = ArchivePolicy(
+        "p",
+        0,
+        (ArchivePolicyItem(60.0, points=100), ArchivePolicyItem(300.0, points=100)),
+        frozenset(["std"]),
+    )
+    rows = {
+        (r["granularity"], r["bucket_ts"]): r["value"]
+        for r in rollup_policy(df, policy).collect()
+    }
+    assert rows[("60", _ts(2014, 1, 1, 12, 0, 0))] == pytest.approx(1.0, rel=1e-6)
+    assert rows[("60", _ts(2014, 1, 1, 12, 1, 0))] == pytest.approx(1.0, rel=1e-6)
+    # merged 300 s bucket: std of [0,1,2,0,1,2]+1e9 = sqrt(4/5)
+    assert rows[("300", _ts(2014, 1, 1, 12, 0, 0))] == pytest.approx(
+        math.sqrt(4 / 5), rel=1e-6
+    )
+
+
 def test_resample_read(spark, carbonara_series):
     # resample 60 s means to 180 s: mean of means (carbonara.py:594-598).
     rollups = rollup(carbonara_series, ["mean"], 60.0)
