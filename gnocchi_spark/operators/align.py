@@ -98,18 +98,24 @@ def align_series(
 def _directional_fill(
     wide: DataFrame, labels: list[str], direction: str, partition_cols: Sequence[str]
 ) -> DataFrame:
-    part = Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    if direction == "f":
-        w = part.orderBy(F.col("ts").asc()).rowsBetween(Window.unboundedPreceding, 0)
-        fn = F.last
-    else:
-        w = part.orderBy(F.col("ts").asc()).rowsBetween(0, Window.unboundedFollowing)
-        fn = F.first
-    return wide.select(
-        *partition_cols,
-        "ts",
-        *[fn(F.col(c), ignorenulls=True).over(w).alias(c) for c in labels],
-    )
+    if partition_cols:
+        part = Window.partitionBy(*partition_cols)
+        if direction == "f":
+            w = part.orderBy(F.col("ts").asc()).rowsBetween(Window.unboundedPreceding, 0)
+            fn = F.last
+        else:
+            w = part.orderBy(F.col("ts").asc()).rowsBetween(0, Window.unboundedFollowing)
+            fn = F.first
+        return wide.select(
+            *partition_cols,
+            "ts",
+            *[fn(F.col(c), ignorenulls=True).over(w).alias(c) for c in labels],
+        )
+    # ungrouped: a global window would funnel the whole grid through one
+    # task — use time-banded fill with cross-band carry instead
+    from gnocchi_spark.operators.banding import banded_fill
+
+    return banded_fill(wide, labels, direction=direction)
 
 
 def _enforce_overlap(

@@ -379,20 +379,31 @@ def _handle_unary(node, frame: SeriesFrame):
 
 
 def _diff(a: SeriesFrame, drop_first: bool, per_second: bool) -> SeriesFrame:
-    w = a.window()
-    df, out_cols = a.df, []
-    dt = (
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
-        / 1_000_000.0
-    )
+    if a.partition_cols:
+        w = a.window()
+        df = a.df.withColumn("__lag_ts", F.lag(F.col("ts")).over(w))
+        lag_ts, names = "__lag_ts", {}
+        for c in a.cols:
+            n = f"__lagp_{c}"
+            df = df.withColumn(n, F.lag(F.col(c)).over(w))
+            names[c] = n
+    else:
+        # ungrouped: banded lag instead of a global-sort window
+        from gnocchi_spark.operators.banding import banded_lag
+
+        df, names, lag_ts = banded_lag(a.df, list(a.cols))
+    dt = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col(lag_ts))) / 1_000_000.0
+    out_cols = []
     for c in a.cols:
         name = _newcol()
-        d = F.col(c) - F.lag(F.col(c)).over(w)
+        d = F.col(c) - F.col(names[c])
         df = df.withColumn(name, d / dt if per_second else d)
         out_cols.append(name)
     if drop_first:
-        df = df.withColumn("__rn", F.row_number().over(a.window()))
-        df = df.where(F.col("__rn") > 1).drop("__rn")
+        # exactly the (per-group) first timestamp has no predecessor
+        df = df.where(F.col(lag_ts).isNotNull())
+    df = df.drop(lag_ts, *names.values())
+    if drop_first:
         return SeriesFrame(df=df, cols=out_cols, partition_cols=a.partition_cols,
                            is_aggregated=a.is_aggregated)
     return replace(a, df=df, cols=out_cols)
@@ -419,36 +430,73 @@ def _handle_aggregation_operator(node, frame: SeriesFrame):
     raise ValueError(op)
 
 
+def _rolling_expr(agg: str, col: Column, w) -> Column:
+    if agg == "mean":
+        return F.avg(col).over(w)
+    if agg == "sum":
+        return F.coalesce(F.sum(col).over(w), F.lit(0.0))  # nansum
+    if agg == "min":
+        return F.min(col).over(w)
+    if agg == "max":
+        return F.max(col).over(w)
+    if agg == "count":
+        return F.count(col).over(w).cast("double")
+    if agg in ("std", "var"):
+        return F.var_pop(col).over(w) if agg == "var" else F.sqrt(F.var_pop(col).over(w))
+    if agg == "median":
+        return _interp_percentile(F.array_sort(F.collect_list(col).over(w)), F.lit(0.5))
+    raise ValueError(f"unsupported rolling aggregation {agg!r}")
+
+
 def _rolling(a: SeriesFrame, agg: str, window: int, rate: bool) -> SeriesFrame:
     """Trailing row-count window; output starts at point window-1
     (operations.py:243-261).  The window kernels are nan-aware, so nulls
     inside the window are skipped, and the window is over the global
-    time axis (rows), not non-null points."""
-    w = a.window().rowsBetween(-(window - 1), 0)
-    df, out_cols = a.df, []
-    for c in a.cols:
-        name = _newcol()
-        col = F.col(c)
-        if agg == "mean":
-            e = F.avg(col).over(w)
-        elif agg == "sum":
-            e = F.coalesce(F.sum(col).over(w), F.lit(0.0))  # nansum
-        elif agg == "min":
-            e = F.min(col).over(w)
-        elif agg == "max":
-            e = F.max(col).over(w)
-        elif agg == "count":
-            e = F.count(col).over(w).cast("double")
-        elif agg in ("std", "var"):
-            e = F.var_pop(col).over(w) if agg == "var" else F.sqrt(F.var_pop(col).over(w))
-        elif agg == "median":
-            e = _interp_percentile(F.array_sort(F.collect_list(col).over(w)), F.lit(0.5))
-        else:
-            raise ValueError(f"unsupported rolling aggregation {agg!r}")
-        df = df.withColumn(name, e)
-        out_cols.append(name)
-    df = df.withColumn("__rn", F.row_number().over(a.window()))
-    df = df.where(F.col("__rn") >= window).drop("__rn")
+    time axis (rows), not non-null points.
+
+    Ungrouped frames avoid the global sort: rows get a banded global row
+    number, are chunked by row number (every chunk except the last holds
+    exactly R rows because row numbers are dense), and each chunk's last
+    window-1 rows are replicated into the next chunk as halo context —
+    the trailing window then runs per chunk, fully parallel."""
+    k = window - 1
+    if a.partition_cols:
+        w = a.window().rowsBetween(-k, 0)
+        df, out_cols = a.df, []
+        for c in a.cols:
+            name = _newcol()
+            df = df.withColumn(name, _rolling_expr(agg, F.col(c), w))
+            out_cols.append(name)
+        df = df.withColumn("__rn", F.row_number().over(a.window()))
+        df = df.where(F.col("__rn") >= window).drop("__rn")
+    else:
+        from gnocchi_spark.operators.banding import banded_row_number
+
+        chunk_rows = max(4096, 4 * window)
+        df = banded_row_number(a.df, ts_col="ts")
+        df = df.withColumn(
+            "__chunk", F.floor((F.col("__rn") - 1) / F.lit(chunk_rows))
+        ).withColumn("__halo", F.lit(False))
+        if k > 0:
+            halo = (
+                df.where(((F.col("__rn") - 1) % chunk_rows) >= chunk_rows - k)
+                .withColumn("__chunk", F.col("__chunk") + 1)
+                .withColumn("__halo", F.lit(True))
+            )
+            df = df.unionByName(halo)
+        w = (
+            Window.partitionBy("__chunk")
+            .orderBy(F.col("__rn").asc())
+            .rowsBetween(-k, 0)
+        )
+        out_cols = []
+        for c in a.cols:
+            name = _newcol()
+            df = df.withColumn(name, _rolling_expr(agg, F.col(c), w))
+            out_cols.append(name)
+        df = df.where(~F.col("__halo") & (F.col("__rn") >= window)).drop(
+            "__chunk", "__halo", "__rn"
+        )
     out = SeriesFrame(df=df, cols=out_cols, partition_cols=a.partition_cols,
                       is_aggregated=a.is_aggregated)
     return _diff(out, drop_first=True, per_second=False) if rate else out
