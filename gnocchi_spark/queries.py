@@ -1417,17 +1417,61 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk")
+def _bucket_sql(planes, msb_first: bool = True) -> str:
+    """DuckDB expression computing the same integer bucket id as
+    similarity.lsh_bucket for the given hyperplanes: bit p set when
+    embedding . plane_p > 0, first plane most significant.  Generated
+    programmatically (the simhash-oracle pattern) — list_dot_product
+    against a literal array keeps each plane to one term."""
+    n = len(planes)
+    bits = []
+    for j, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        weight = 1 << ((n - 1 - j) if msb_first else j)
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0"
+            f" THEN {weight} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from gnocchi_spark.operators.similarity import hyperplanes
+
+    bucket = _bucket_sql(hyperplanes(6, 64))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a="q.embedding", b="c.embedding")}, 5) AS cosine
+      FROM v q JOIN v c
+        ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 10)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank,
+           neighbor_id, cosine
+    FROM cand
+    QUALIFY rank <= 5
+    """
+
+
+@query("ann_lsh_topk", _ann_lsh_oracle_sql())
 def ann_lsh_topk(spark, sf_dir):
-    # LSH-bucketed approximate variant (rows-only: bucket membership is
-    # engine-reproducible but the 64-dim plane dot products in SQL would
-    # be a 4000-term expression; correctness is covered by pytest
-    # comparing recall against the exact path)
+    # LSH-bucketed approximate variant.  The oracle reproduces the
+    # deterministic hyperplane buckets programmatically (6 plane
+    # dot-products against literal arrays) and the Hamming<=1
+    # multi-probe as bit_count(xor(...)) — a full end-to-end algorithm
+    # check, not rows-only.  Recall vs the exact path is pytest-covered.
     from gnocchi_spark.operators.similarity import lsh_cosine_topk
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(
+    out = lsh_cosine_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=6, probe_hamming=1
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
 
 
@@ -1494,35 +1538,42 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_embedding_cosine",
+def _emb_neardup_oracle_sql(
+    threshold: float = 0.4, n_bands: int = 4, band_planes: int = 6
+) -> str:
+    """Reproduce the banded hyperplane LSH in DuckDB: the same
+    deterministic band keys, the same any-band-agrees candidate rule,
+    exact cosine only notionally (the oracle may scan all pairs; the
+    RESULT set is identical to the banded candidates')."""
+    from gnocchi_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_bands * band_planes, 64)
+    band_cols = ", ".join(
+        f"{_bucket_sql(planes[b * band_planes:(b + 1) * band_planes])} AS band{b}"
+        for b in range(n_bands)
+    )
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {band_cols} FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 5) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({any_band})
+    WHERE round({cos}, 5) >= {threshold}
     """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 5) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                5) >= 0.4
-    """,
-)
+
+
+@query("dedup_embedding_cosine", _emb_neardup_oracle_sql())
 def dedup_embedding_cosine(spark, sf_dir):
-    # embedding-space near-duplicate pairs (cosine >= 0.4, exact).  The
-    # O(n^2) pair join is the correctness baseline; the scale path is
-    # the LSH-bucketed variant (ann_lsh_topk) which only joins
-    # bucket-mates.
-    from gnocchi_spark.operators.similarity import cosine
+    # embedding-space near-duplicate pairs (cosine >= 0.4) via banded
+    # hyperplane LSH: candidates from an equi self-join on band keys,
+    # exact cosine only within candidates — the O(n^2) pair space is
+    # never materialized (no Cross join in the plan; asserted in
+    # tests/test_llm_ops.py, which also measures recall against the
+    # exact all-pairs truth).
+    from gnocchi_spark.operators.similarity import embedding_near_duplicates
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cosine", F.round(cosine(F.col("ea"), F.col("eb")), 5)
-    )
-    return pairs.where(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
+    return embedding_near_duplicates(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

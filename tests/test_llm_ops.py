@@ -124,6 +124,38 @@ def test_lsh_recall_against_exact(spark, sf_dir):
     assert hits >= len(exact_top1) / 2
 
 
+def test_embedding_neardup_banded_lsh(spark, sf_dir):
+    """The banded-LSH near-dup pairs must be a PERFECT-precision subset
+    of the exact all-pairs truth (the retired all-pairs query, kept here
+    as the recall oracle), with no Cross join anywhere in the plan."""
+    from gnocchi_spark.operators.similarity import cosine, embedding_near_duplicates
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.35)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cross" not in plan, "banded LSH must not materialize the pair space"
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .where(F.col("cosine") >= 0.35)
+    )
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
+    want = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in truth.collect()}
+    assert set(got) <= set(want), "precision must be 1.0"
+    for k in got:
+        assert got[k] == want[k]
+    # this corpus's "near-dups" top out at cos~0.5 (nearly orthogonal —
+    # the hard LSH regime): expected per-pair collision at cos 0.35-0.5
+    # is 1-(1-(1-theta/pi)^6)^4 ~ 0.2-0.3; assert a safe floor so a
+    # banding regression (e.g. broken band keys -> zero candidates)
+    # fails loudly without making the test flaky.
+    assert len(got) >= max(2, int(0.10 * len(want))), (len(got), len(want))
+
+
 def test_multimodal_plumbing(docs):
     media = attach_payload(docs)
     out = {r["doc_id"]: r for r in decode_image_features(media, fake=True).collect()}
