@@ -18,11 +18,16 @@ Reference semantics reproduced (``rest/influxdb.py:154-259``):
 
 Implementation is pure Column expressions (regexp + map functions), so
 parsing stays inside whole-stage codegen — no Python in the hot path.
-Escaped delimiters (``\\,`` ``\\ `` ``\\=``) and quoted *string* field
-values containing spaces are not supported by this fast path; the
-reference skips string fields anyway, and escapes are rare in practice
-(the reference needs a full pyparsing grammar for them,
-``influxdb.py:40-91``).
+
+Escapes (reference grammar ``influxdb.py:40-55``): lines containing a
+backslash or quote take a sanitize branch — quoted string field values
+(``f="a b"``, escChar ``\\``) collapse to a marker token (string fields
+are skipped as measures anyway, ``influxdb.py:215-217``), and the
+escaped delimiters ``\\ `` ``\\,`` ``\\=`` become control-char
+sentinels so the split pipeline can't see them; tokens are unescaped
+after tokenization.  Clean lines never pay the extra replaces.  Quoted
+*measurements/tags/field keys* remain unsupported (dropped, documented)
+— the reference needs its full pyparsing grammar for those.
 """
 
 from __future__ import annotations
@@ -33,6 +38,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_TAG_RESOURCE_ID = "host"
+
+# sentinel control chars standing in for escaped delimiters during the
+# split phase; assumed absent from real payloads
+_S_SPACE, _S_COMMA, _S_EQ, _S_QSTR = "\x01", "\x02", "\x03", "\x04"
+
+
+def _sanitize(line: Column) -> Column:
+    """Hide quoted string field values and escaped delimiters from the
+    delimiter splits.  ``\\\\`` (escaped backslash) is left alone: the
+    reference's unquoted_string keeps a lone backslash literal, and the
+    left-to-right replace below then treats a following delimiter escape
+    correctly (``\\\\ `` -> literal backslash + literal space)."""
+    s = F.regexp_replace(line, r'="(?:[^"\\]|\\.)*"', "=" + _S_QSTR)
+    s = F.replace(s, F.lit("\\ "), F.lit(_S_SPACE))
+    s = F.replace(s, F.lit("\\,"), F.lit(_S_COMMA))
+    s = F.replace(s, F.lit("\\="), F.lit(_S_EQ))
+    return s
+
+
+def _unescape(col: Column) -> Column:
+    return F.translate(col, _S_SPACE + _S_COMMA + _S_EQ, " ,=")
 
 _NUMBER_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
 _INTEGER_RE = r"^[+-]?\d+i$"
@@ -73,8 +99,20 @@ def parse_lines(
     rollup ``groupBy``.
     """
     now_lit = F.lit(now) if now is not None else F.current_timestamp()
-    df = lines.select(
-        F.split(F.col(line_col), " ").alias("parts"),
+    raw = F.col(line_col)
+    # conditional sanitize: clean lines (the overwhelming majority) skip
+    # the regexp/replaces entirely — `when` branches evaluate per row
+    cooked = F.when(
+        raw.contains("\\") | raw.contains('"'), _sanitize(raw)
+    ).otherwise(raw)
+    df = (
+        lines.select(cooked.alias("__line"))
+        # a quote surviving sanitize = quoted measurement/tag/field-key
+        # (unsupported) or unbalanced quoting -> drop
+        .where(~F.col("__line").contains('"'))
+    )
+    df = df.select(
+        F.split(F.col("__line"), " ").alias("parts"),
     ).select(
         F.element_at("parts", 1).alias("head"),
         F.element_at("parts", 2).alias("fieldset"),
@@ -84,7 +122,7 @@ def parse_lines(
     # a regex engine invocation per field (measured on 1M-line batches)
     head_parts = F.split(F.col("head"), ",", 2)
     df = df.select(
-        F.element_at(head_parts, 1).alias("measurement"),
+        _unescape(F.element_at(head_parts, 1)).alias("measurement"),
         F.coalesce(F.element_at(head_parts, 2), F.lit("")).alias("tagset"),
         "fieldset",
         "ts_str",
@@ -92,6 +130,12 @@ def parse_lines(
 
     tags = F.when(F.col("tagset") == "", F.expr("map()")).otherwise(
         F.str_to_map("tagset", F.lit(","), F.lit("="))
+    )
+    # unescape AFTER tokenization (keys sort in unescaped order, as the
+    # reference's sorted(tags) does)
+    tags = F.transform_values(
+        F.transform_keys(tags, lambda k, _: _unescape(k)),
+        lambda _, v: _unescape(v),
     )
     df = df.withColumn("tags", tags).withColumn(
         "resource_id", F.element_at("tags", tag_to_rid)
@@ -133,7 +177,7 @@ def parse_lines(
         "measurement",
         "tags_str",
         "ts",
-        F.element_at("kv_parts", 1).alias("field_key"),
+        _unescape(F.element_at("kv_parts", 1)).alias("field_key"),
         F.coalesce(F.element_at("kv_parts", 2), F.lit("")).alias("raw"),
     ).where((F.col("field_key") != "") & (F.col("raw") != ""))
 

@@ -90,6 +90,64 @@ def test_influxdb_custom_rid_tag(spark):
     ]
 
 
+def test_influxdb_quoted_string_field_with_delimiters(spark):
+    # reference test_influxdb.py:144-148: a quoted string field whose
+    # value contains a space AND a comma must not derail the numeric
+    # field on the same line (string fields are skipped as measures)
+    got = _parse(
+        spark,
+        [
+            "system,host=abydos uptime=337369i,"
+            'uptime_format="3 days, 21:42" 1510150170000000000'
+        ],
+    )
+    assert got == [
+        (
+            "abydos",
+            "system.uptime",
+            datetime.datetime(2017, 11, 8, 14, 9, 30),
+            337369.0,
+        )
+    ]
+
+
+def test_influxdb_escaped_delimiters(spark):
+    # grammar influxdb.py:45-54: '\ ' '\,' '\=' unescape inside
+    # measurements, tag keys/values and field keys
+    got = _parse(
+        spark,
+        [r"disk\ usage,host=h1,path=C:\ drive,label=a\,b used\=pct=42 1000000000"],
+    )
+    assert got == [
+        (
+            "h1",
+            "disk usage.used=pct@label=a,b,path=C: drive",
+            datetime.datetime(1970, 1, 1, 0, 0, 1),
+            42.0,
+        )
+    ]
+
+
+def test_influxdb_escaped_backslash_stays_literal(spark):
+    # '\\' is NOT an escape pair: the reference's unquoted_string keeps
+    # a lone backslash literal, so '\\ ' = literal backslash + escaped
+    # space (both inside the token)
+    got = _parse(spark, ["m\\\\ x,host=h v=1 1000000000"])
+    assert got == [
+        ("h", "m\\ x.v", datetime.datetime(1970, 1, 1, 0, 0, 1), 1.0)
+    ]
+
+
+def test_influxdb_quoted_measurement_unsupported_dropped(spark):
+    # quoted measurements/tags need the full pyparsing grammar; the
+    # engine drops them instead of mis-parsing
+    got = _parse(
+        spark,
+        ['"my measurement",host=h v=1 1000000000', "m,host=h v=2 1000000000"],
+    )
+    assert got == [("h", "m.v", datetime.datetime(1970, 1, 1, 0, 0, 1), 2.0)]
+
+
 # ---------------------------------------------------------------------------
 # statsd
 # ---------------------------------------------------------------------------
