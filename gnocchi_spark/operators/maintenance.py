@@ -138,13 +138,14 @@ def compact_frozen_partitions(
     days = [r[0] for r in frozen.select(partition_col).distinct().collect()]
     if not days:
         return 0
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from gnocchi_spark.operators.writer import staged_partition_overwrite
+
     compacted = frozen.repartition(
         max(1, len(days) * target_files_per_partition), partition_col
-    ).persist()
-    compacted.count()  # materialize before overwriting source files
-    compacted.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
-    compacted.unpersist()
+    )
+    # stage-then-overwrite: never rewrite partitions from a plan that
+    # reads the files being replaced
+    staged_partition_overwrite(compacted, table_dir, partition_col)
     return len(days)
 
 

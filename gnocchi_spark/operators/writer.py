@@ -28,6 +28,34 @@ def write_partitioned_rollups(rollups: DataFrame, path: str) -> None:
     ).partitionBy("bucket_day").parquet(path)
 
 
+def staged_partition_overwrite(
+    df: DataFrame, table_dir: str, partition_col: str = "bucket_day"
+) -> None:
+    """Dynamic-partition-overwrite ``table_dir`` with ``df`` WITHOUT the
+    read-modify-overwrite race: ``df`` (whose plan typically reads the
+    very files the overwrite deletes) is first materialized to a stage
+    directory, and the overwrite reads back the staged files only — so
+    cache eviction or executor loss during the overwrite can never
+    recompute against removed inputs.  A transactional table format
+    (Delta/Iceberg MERGE) replaces this dance in a real deployment.
+
+    Stage cleanup uses local-filesystem semantics; object stores would
+    swap in their own remove call.
+    """
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    stage = f"{table_dir.rstrip('/')}__stage_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    # explicit schema: an empty df writes no part files and would
+    # otherwise fail inference (dynamic overwrite of nothing is a no-op)
+    staged = spark.read.schema(df.schema).parquet(stage)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staged.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    shutil.rmtree(stage.removeprefix("file:"), ignore_errors=True)
+
+
 def write_bucketed_rollups(
     rollups: DataFrame,
     table: str,

@@ -106,7 +106,13 @@ def _binary_col(op: str, a: Column, b: Column) -> Column:
             ">=": a >= b, "≥": a >= b, "ge": a >= b,
             "!=": a != b, "≠": a != b, "ne": a != b,
         }[op]
-        # numpy comparisons with NaN are False -> 0.0, never NULL
+        if op in ("!=", "≠", "ne"):
+            # numpy.not_equal: NaN != x is TRUE — a missing operand
+            # makes the pair unequal (reference operations.py:160-188)
+            return F.when(a.isNull() | b.isNull(), F.lit(1.0)).otherwise(
+                F.when(cmp, F.lit(1.0)).otherwise(F.lit(0.0))
+            )
+        # all other numpy comparisons with NaN are False -> 0.0, never NULL
         return F.when(cmp, F.lit(1.0)).otherwise(F.lit(0.0))
     raise ValueError(f"unknown binary operator {op!r}")
 

@@ -1917,7 +1917,7 @@ def tsdb_refresh_on_read(spark, sf_dir):
     m = _measures(spark, sf_dir)
     processed = m.where(F.col("ts") < cut)
     rolled = rollup_wide(processed, ["mean", "count"], 3600.0).select(
-        "metric_id", "bucket_ts", F.lit(3600.0).alias("granularity"), "mean", "count"
+        "metric_id", "bucket_ts", F.lit("3600").alias("granularity"), "mean", "count"
     )
     tail = m.where(F.col("ts") >= window_start)
     out = read_with_tail(rolled, tail, ["mean", "count"], 3600.0)

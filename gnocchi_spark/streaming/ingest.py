@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gnocchi_spark.functions.aggregates import agg_expr, safe_alias, std_having
-from gnocchi_spark.functions.timeutil import granularity_seconds
+from gnocchi_spark.functions.timeutil import granularity_label, granularity_seconds
 from gnocchi_spark.policy import parse_method
 
 MEASURES_SCHEMA = T.StructType(
@@ -128,7 +128,10 @@ def streaming_rollup(
     return agged.select(
         "metric_id",
         F.col("w.start").alias("bucket_ts"),
-        F.lit(secs).alias("granularity"),
+        # the string label shared with the batch long layout, so reads
+        # mixing streamed and batch-materialized buckets (get_measures
+        # filters on granularity_label) see ONE schema
+        F.lit(granularity_label(granularity)).alias("granularity"),
         *cols,
     )
 
@@ -167,9 +170,10 @@ def merge_batch_into_rollup(
     the reference's equivalent is _update_metric_splits re-reading and
     merging mutable splits (storage/__init__.py:370-430).
     """
+    from gnocchi_spark.operators.writer import staged_partition_overwrite
+
     spark = batch_df.sparkSession
     batch_df = batch_df.withColumn("bucket_day", F.to_date("bucket_ts"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         existing = spark.read.parquet(table_dir)
         has_existing = True
@@ -183,13 +187,11 @@ def merge_batch_into_rollup(
     keep = affected.join(
         batch_df.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
     )
-    merged = keep.unionByName(batch_df).persist()
-    # materialize before the overwrite: the plan reads the same files
-    # the dynamic overwrite will replace (Delta's MERGE removes this
-    # staging step in a real deployment)
-    merged.count()
-    merged.write.mode("overwrite").partitionBy("bucket_day").parquet(table_dir)
-    merged.unpersist()
+    # stage-then-overwrite: the merged plan reads the files the dynamic
+    # overwrite deletes; staging breaks that cycle durably (persist()
+    # only mitigated it — cache eviction mid-overwrite could recompute
+    # from removed files)
+    staged_partition_overwrite(keep.unionByName(batch_df), table_dir, "bucket_day")
 
 
 def start_merge_sink(
@@ -230,11 +232,10 @@ def read_with_tail(
     from gnocchi_spark.operators.rollup import rollup_wide
 
     tail = rollup_wide(unprocessed_measures, methods, granularity)
-    secs = float(granularity_seconds(granularity))
     tail = tail.select(
         "metric_id",
         "bucket_ts",
-        F.lit(secs).alias("granularity"),
+        F.lit(granularity_label(granularity)).alias("granularity"),
         *[safe_alias(m) for m in methods],
     )
     cols = ["metric_id", "bucket_ts", "granularity", *[safe_alias(m) for m in methods]]

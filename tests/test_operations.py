@@ -126,6 +126,25 @@ def test_no_overlap_raises(spark):
     assert out.count() == 2
 
 
+def test_not_equal_with_missing_operand(spark):
+    # numpy.not_equal(NaN, x) is True: '!=' must yield 1.0 when either
+    # side is missing, while every other comparison yields 0.0
+    a = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1), (_ts(2014, 1, 1, 12, 1, 0), 2)])
+    b = _series(spark, [(_ts(2014, 1, 1, 12, 0, 0), 1)])  # missing at 12:01
+    wide = align_series({"a/mean": a, "b/mean": b}, fill="null")
+    frame = SeriesFrame(df=wide, cols=["a/mean", "b/mean"])
+    ne = evaluate_to_long(
+        ["ne", ["metric", "a", "mean"], ["metric", "b", "mean"]], frame, 60.0
+    )
+    rows = {r["ts"]: r["value"] for r in ne.collect()}
+    assert rows == {_ts(2014, 1, 1, 12, 0, 0): 0.0, _ts(2014, 1, 1, 12, 1, 0): 1.0}
+    eq = evaluate_to_long(
+        ["eq", ["metric", "a", "mean"], ["metric", "b", "mean"]], frame, 60.0
+    )
+    rows = {r["ts"]: r["value"] for r in eq.collect()}
+    assert rows == {_ts(2014, 1, 1, 12, 0, 0): 1.0, _ts(2014, 1, 1, 12, 1, 0): 0.0}
+
+
 def test_per_group_overlap_enforcement(spark):
     """Grouped aggregates enforce needed_percent_of_overlap PER GROUP
     (processor.py:200-220 runs once per group in the reference API).

@@ -142,7 +142,7 @@ def test_read_with_tail_refresh_on_read(spark, dirs):
     unprocessed = [("m1", _t(0, 55), 5.0, 3), ("m1", _t(5, 0), 7.0, 4)]
     batch = spark.createDataFrame(processed, schema=si.MEASURES_SCHEMA)
     rolled = rollup_wide(batch, ["mean", "count"], 300.0).select(
-        "metric_id", "bucket_ts", F.lit(300.0).alias("granularity"), "mean", "count"
+        "metric_id", "bucket_ts", F.lit("300").alias("granularity"), "mean", "count"
     )
     # the tail recomputes its buckets from raw; overlapping bucket 14:00
     # must come from the recomputation including the processed points
