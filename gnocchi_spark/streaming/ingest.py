@@ -32,10 +32,12 @@ compress-frozen split lifecycle; on Delta Lake the same batch function
 becomes a keyed ``MERGE INTO``.
 
 ``rate:*`` methods need the previous raw point per metric (lag state,
-storage/__init__.py:618-622): they are supported on the
-``read_with_tail``/batch path, not in the streaming aggregation —
-mirroring the reference, which re-reads the raw back-window rather
-than merging rate aggregates.
+storage/__init__.py:618-622).  Rate aggregates are not mergeable
+partials, so the windowed streaming aggregation can't host them;
+``start_rate_merge_sink`` implements the reference's own answer — each
+micro-batch re-reads the raw back-window (+1 granularity of slack for
+the predecessor point) and recomputes every bucket from the earliest
+new point forward, merging into the rollup table.
 """
 
 from __future__ import annotations
@@ -84,8 +86,9 @@ def _window_aggs(
         base, _, _ = parse_method(m)
         if base == "rate":
             raise ValueError(
-                "rate:* needs per-metric lag state; use the batch/"
-                "read_with_tail path (see module docstring)"
+                "rate:* needs per-metric lag state; use "
+                "start_rate_merge_sink (micro-batch re-read) instead of "
+                "the windowed streaming aggregation"
             )
         aggs.append(agg_expr(m, value=value_col, ts=ts_col).alias(safe_alias(m)))
     return aggs
@@ -208,6 +211,113 @@ def start_merge_sink(
         rollup_stream.writeStream.outputMode("update")
         .foreachBatch(
             lambda df, _epoch: merge_batch_into_rollup(df, table_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rate_rollup_batch(
+    batch_df: DataFrame,
+    raw_store_dir: str,
+    table_dir: str,
+    methods: Sequence[str],
+    granularity: float | str,
+    back_window_seconds: float,
+    metric_col: str = "metric_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """One micro-batch of the streaming ``rate:*`` pipeline — the
+    reference's re-read design (storage/__init__.py:618-622): rate needs
+    each point's raw predecessor, so instead of merging rate aggregates
+    (impossible: they are not mergeable partials) every batch
+
+    1. lands its raw points in the raw store,
+    2. drops points older than (per-metric newest ts - back_window) —
+       BoundTimeSerie truncation (carbonara.py:321-373),
+    3. re-reads the store from just before the earliest new bucket
+       (back_window + one granularity of slack buys the predecessor
+       point, the "+1" in the reference), and
+    4. recomputes every bucket >= that earliest new bucket per metric —
+       the reference's recompute-from-first-new-timestamp — merging the
+       result into the rollup table.
+
+    All heavy steps are batch DataFrame plans (the lag window shuffles
+    by metric only for the affected metrics' re-read slice).
+    """
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.rollup import rollup
+
+    spark = batch_df.sparkSession
+    if not batch_df.take(1):
+        return
+    batch_df.write.mode("append").parquet(raw_store_dir)
+    store = spark.read.parquet(raw_store_dir)
+
+    # back-window truncation against the newest point per metric
+    newest = store.groupBy(F.col(metric_col).alias("__m")).agg(
+        F.max(ts_col).alias("__newest")
+    )
+    fresh = (
+        batch_df.join(
+            F.broadcast(newest), batch_df[metric_col] == F.col("__m")
+        )
+        .where(
+            F.col(ts_col)
+            >= F.col("__newest") - F.expr(f"INTERVAL {int(back_window_seconds)} SECONDS")
+        )
+        .drop("__m", "__newest")
+    )
+
+    # earliest affected bucket per metric
+    b0 = fresh.groupBy(F.col(metric_col).alias("__m")).agg(
+        F.min(truncate_to_bucket(F.col(ts_col), granularity)).alias("__b0")
+    )
+    slack = float(back_window_seconds) + float(granularity_seconds(granularity) or 0.0)
+    ctx = (
+        store.join(F.broadcast(b0), store[metric_col] == F.col("__m"))
+        .where(
+            F.col(ts_col) >= F.col("__b0") - F.expr(f"INTERVAL {int(slack)} SECONDS")
+        )
+    )
+    recomputed = (
+        rollup(ctx, list(methods), granularity, metric_col, ts_col, value_col)
+        .join(
+            F.broadcast(b0),
+            (F.col("metric_id") == F.col("__m")) & (F.col("bucket_ts") >= F.col("__b0")),
+        )
+        .drop("__m", "__b0")
+    )
+    merge_batch_into_rollup(recomputed, table_dir)
+
+
+def start_rate_merge_sink(
+    measures_stream: DataFrame,
+    raw_store_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    methods: Sequence[str],
+    granularity: float | str,
+    back_window_seconds: float,
+    trigger_available_now: bool = True,
+):
+    """Continuous ``rate:*`` rollups: foreachBatch over the RAW measure
+    stream (no streaming aggregation state — the raw store plus re-read
+    IS the lag state, exactly the reference's design)."""
+    writer = (
+        measures_stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _epoch: rate_rollup_batch(
+                df,
+                raw_store_dir,
+                table_dir,
+                methods,
+                granularity,
+                back_window_seconds,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )

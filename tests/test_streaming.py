@@ -155,6 +155,50 @@ def test_read_with_tail_refresh_on_read(spark, dirs):
     assert got[5] == (7.0, 1)
 
 
+def test_streaming_rate_late_point_updates_buckets(spark, dirs, tmp_path):
+    """Streaming rate:* via micro-batch re-read (storage/__init__.py:
+    618-622): a late point inside the back window must update BOTH its
+    own bucket's rate and the next bucket's first diff (the predecessor
+    changed); a point older than the back window is dropped."""
+    raw_store = str(tmp_path / "raw_store")
+
+    def _run():
+        stream = si.read_measures_stream(spark, dirs["landing"])
+        q = si.start_rate_merge_sink(
+            stream, raw_store, dirs["table"], dirs["ckpt"],
+            ["rate:mean"], 60.0, 600,
+        )
+        q.awaitTermination(120)
+        return {
+            r["bucket_ts"].replace(tzinfo=None): r["value"]
+            for r in spark.read.parquet(dirs["table"]).collect()
+        }
+
+    _write_batch(
+        spark,
+        dirs["landing"],
+        [
+            ("m1", _t(0, 0), 1.0, 1),
+            ("m1", _t(0, 30), 3.0, 2),
+            ("m1", _t(1, 10), 6.0, 3),
+        ],
+    )
+    got = _run()
+    # bucket 14:00: diffs [3-1]=2 -> mean 2; bucket 14:01: [6-3]=3
+    assert got == {_t(0): 2.0, _t(1): 3.0}
+
+    # late point 14:00:45 v=4 (within back_window=600s of newest 14:01:10)
+    _write_batch(spark, dirs["landing"], [("m1", _t(0, 45), 4.0, 4)])
+    got = _run()
+    # 14:00 diffs: [3-1, 4-3] -> 1.5; 14:01 first diff changes: 6-4=2
+    assert got == {_t(0): 1.5, _t(1): 2.0}
+
+    # a point beyond the back window (14:01:10 - 600s = 13:51:10) drops
+    _write_batch(spark, dirs["landing"], [("m1", _t(1, 10) - datetime.timedelta(minutes=20), 50.0, 5)])
+    got = _run()
+    assert got == {_t(0): 1.5, _t(1): 2.0}
+
+
 def test_influx_lines_stream_to_rollup(spark, dirs):
     # integration: protocol normalizer composing with the streaming
     # rollup — the parser is a pure DataFrame transform, so the same
