@@ -429,3 +429,114 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: returns
+    one row per node appearing in ``pairs`` with its component id (the
+    minimum node id of the component).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) rather than naive
+    min-label propagation: converges in O(log n) distributed rounds
+    regardless of component diameter, so a 100 TB pair graph with long
+    duplicate chains doesn't degenerate into O(diameter) shuffles.
+    Each round is two groupBy shuffles over the edge set; lineage is
+    truncated per round with localCheckpoint (a real deployment on a
+    cluster would checkpoint to durable storage instead).
+
+    Convergence is detected with an order-insensitive xxhash64 checksum
+    of the edge set — one scalar aggregate per round, no extra join.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _min_nbr(df):
+        # m(u) = min(N(u) + {u})
+        return df.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _checksum(df) -> int:
+        row = df.select(
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["c"] or 0, row["n"])
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: for every neighbor v > u, connect v to m(u)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = _min_nbr(sym)
+        edges = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient large->small, connect every neighbor
+        # (and u itself) to m(u)
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = _min_nbr(oriented)
+        edges = (
+            oriented.join(mins, "u")
+            .select(F.explode(F.array("u", "v")).alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: edges point every non-root node at its component root
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots)
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Cluster assignment for every document: transitive closure of the
+    near-duplicate ``pairs`` graph, singletons as their own cluster.
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) — the
+    keep-set of a dedup pipeline is ``is_canonical`` (the minimum doc id
+    of each cluster survives)."""
+    cc = connected_components(pairs, id_a, id_b)
+    assigned = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -91,6 +91,47 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def autotune_lsh_params(
+    n_items: int,
+    threshold: float = 0.9,
+    recall: float = 0.9,
+    max_bands: int = 64,
+    slack_bits: int = 2,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, band_planes)`` for banded hyperplane LSH so that
+    background candidate volume stays ~linear in corpus size while pairs
+    at ``threshold`` cosine are still caught with probability ``recall``.
+
+    The scale law (measured in BENCH scale_stress): with *fixed*
+    band_planes=r, two uncorrelated vectors share a band key with
+    constant probability 2**-r, so background candidates grow as
+    n_bands * N**2 / 2**r — quadratic.  Keeping candidates ~O(N)
+    requires 2**r ~ N, i.e. **r must grow with log2(N)**; recall lost
+    to the longer keys is bought back with more bands:
+
+      p1        = (1 - theta/pi) ** r      per-band collision at threshold
+      n_bands   = ceil(log(1-recall) / log(1-p1))   OR-construction
+
+    Expected background volume at the returned parameters is
+    n_bands * N / 2**slack_bits pairs per item-pair-space row, i.e.
+    linear.  ``max_bands`` caps the map-side cost (n_bands * r dot
+    products per vector); the cap binds only for thresholds near
+    orthogonality, where hyperplane LSH is fundamentally weak (the
+    p1/p2 gap vanishes) and an IVF route (ivf_cosine_topk) is the
+    better tool.
+    """
+    import math
+
+    n = max(int(n_items), 2)
+    r = max(6, math.ceil(math.log2(n)) + slack_bits)
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p1 = (1.0 - theta / math.pi) ** r
+    if p1 >= 1.0:
+        return 1, r
+    b = math.ceil(math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - p1))
+    return max(1, min(b, max_bands)), r
+
+
 def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
     """All bucket ids within Hamming distance <= radius of ``bucket``
     (the multi-probe set), as an array Column."""
@@ -104,6 +145,46 @@ def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
                 m |= 1 << b
             masks.append(m)
     return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
+
+
+def banded_keys(
+    vec: Column, planes: list[list[float]], n_bands: int, band_planes: int
+) -> Column:
+    """All ``n_bands`` band keys as one array<long> Column.
+
+    Bit-identical to calling :func:`lsh_bucket` per band (same fold
+    order, msb-first within the band), but the plane matrix is a single
+    array literal walked by one ``transform`` expression instead of
+    n_bands x band_planes independent aggregate subtrees — at
+    autotuned scale (20+ bands x log2(N) bits) the per-plane expression
+    layout overwhelms codegen; this keeps the signature stage one
+    compact higher-order expression.
+    """
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in w]) for w in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda w: F.when(
+            F.aggregate(
+                F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(bits, b * band_planes + 1, band_planes),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            )
+            for b in range(n_bands)
+        ]
+    )
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -204,29 +285,11 @@ def embedding_near_duplicates(
     with two extra joins; at 64-dim float that is the cheaper trade.
     """
     planes = hyperplanes(n_bands * band_planes, dim)
-    band_cols = [
-        lsh_bucket(
-            F.col(vec_col), planes[b * band_planes : (b + 1) * band_planes]
-        ).alias(f"__band{b}")
-        for b in range(n_bands)
-    ]
-    stacked = (
-        vectors.select(F.col(id_col), F.col(vec_col), *band_cols)
-        .select(
-            id_col,
-            vec_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"__band{b}").alias("key")
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    keys = banded_keys(F.col(vec_col), planes, n_bands, band_planes)
+    stacked = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(keys).alias("band", "key"),
     )
     a = stacked.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "band", "key"

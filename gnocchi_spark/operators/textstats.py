@@ -111,3 +111,64 @@ def document_stats(
         detect_language(t).alias("detected_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram (rolling-hash
+    role, here md5-derived so any engine reproduces it), slide a
+    ``window``-wide window over the positional hash sequence, keep the
+    minimum of each window, emit the distinct selected hashes per doc.
+
+    Guarantees: any shared substring of length >= window+k-1 between
+    two documents yields at least one shared fingerprint.
+
+    Entirely map-side — positions, hashes, window minima and dedup all
+    happen inside one array expression per row (no explode shuffle, no
+    window function); the only shuffle is the caller's join/groupBy on
+    the output.  Output: (doc_id, fingerprint) one row per distinct
+    selected hash.
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    # The gram-hash array MUST be a materialized column: referencing the
+    # transform expression from inside the window lambda would inline it
+    # per element and re-hash the whole document for every window
+    # position (O(n^2) md5 calls — measured 100x wall-clock).  Multiple
+    # references to a non-trivial projection stop Catalyst's
+    # CollapseProject from re-inlining it.
+    hashed = docs.withColumn(
+        "__h",
+        # sequence(1, n) is DESCENDING for n < 1 (see char_shingles):
+        # docs shorter than k must get an empty array explicitly
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    hashes = F.col("__h")
+    n_windows = F.size(hashes) - (window - 1)
+    fps = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    selected = F.when(n_windows >= 1, F.array_distinct(fps)).otherwise(
+        # short docs: fall back to one fingerprint over all grams
+        F.when(F.size(hashes) >= 1, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return hashed.select(
+        F.col(id_col).alias("doc_id"), F.explode(selected).alias("fingerprint")
+    )

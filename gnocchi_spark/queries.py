@@ -1182,10 +1182,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sh AS (
+# MinHash banding + exact-Jaccard verification as a reusable CTE chain
+# ending in mh_pairs(doc_a, doc_b, jaccard) — shared by the pairs query
+# and the clustering query so both oracles encode the SAME algorithm.
+_MINHASH_PAIRS_CTES = f"""
+    sh AS (
       SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
       FROM documents,
            unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
@@ -1215,13 +1216,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-      GROUP BY 1, 2)
-    SELECT i.doc_a, i.doc_b,
-           round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE n_inter / (na.n + nb.n - n_inter) >= 0.6
+      GROUP BY 1, 2),
+    mh_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             n_inter / (na.n + nb.n - n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE n_inter / (na.n + nb.n - n_inter) >= 0.6)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM mh_pairs
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1236,6 +1246,49 @@ def dedup_minhash_lsh(spark, sf_dir):
         threshold=0.6,
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    e AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      UNION
+      SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst),
+    comp AS (SELECT src AS did, min(dst) AS cluster_id FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+    csize AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+    SELECT a.doc_id, a.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           a.doc_id = a.cluster_id AS is_canonical
+    FROM assigned a JOIN csize s USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    # Duplicate-cluster assignment: transitive closure of the verified
+    # MinHash pair graph via alternating large-star/small-star rounds
+    # (O(log n) shuffles — diameter-independent), singletons kept as
+    # their own cluster; the keep-set is is_canonical.  The oracle
+    # computes the same closure with a recursive CTE over the same
+    # pair CTEs.
+    from gnocchi_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, band_size=4, threshold=0.6
+    )
+    return near_dup_clusters(docs, pairs)
 
 
 @query(
@@ -1265,6 +1318,43 @@ def text_stats(spark, sf_dir):
         F.size(tokens(t)).cast("long").alias("n_tokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.md5(normalize_text(t)).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_winnowing",
+    """
+    WITH pos AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(substr(text, i, 5)), 1, 8)) AS BIGINT) AS h,
+             length(text) - 4 AS n_grams
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
+    wins AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM pos),
+    full_wins AS (
+      SELECT DISTINCT doc_id, fp AS fingerprint
+      FROM wins WHERE i <= n_grams - 3),
+    short_docs AS (
+      SELECT doc_id, min(h) AS fingerprint FROM pos
+      WHERE n_grams BETWEEN 1 AND 3 GROUP BY doc_id)
+    SELECT doc_id, fingerprint FROM full_wins
+    UNION ALL
+    SELECT doc_id, fingerprint FROM short_docs
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    # Winnowing (MOSS) rolling-hash fingerprints, k=5 grams, window=4:
+    # any shared substring of length >= 8 chars yields a shared
+    # fingerprint.  Map-side array expression in Spark; the oracle
+    # reproduces the window minima with a SQL window function.
+    from gnocchi_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        tables.load(spark, sf_dir, "documents"), k=5, window=4
     )
 
 

@@ -215,3 +215,92 @@ def test_ivf_kmeans_training_improves_assignment(spark):
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     assert mean_sim(trained) > mean_sim(seeds)
+
+
+def test_connected_components_star_convergence(spark):
+    # two components (one a 5-chain — multiple star rounds needed), one
+    # isolated pair, plus a doc with no pairs at all
+    from gnocchi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in [(5, 4), (4, 3), (3, 2), (2, 1), (9, 8)]]
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_near_dup_clusters_singletons_and_canonicals(spark):
+    from gnocchi_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 7, 8]])
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3)])
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    assert [rows[i]["cluster_id"] for i in [1, 2, 3]] == [1, 1, 1]
+    assert rows[1]["cluster_size"] == 3 and rows[1]["is_canonical"]
+    assert not rows[2]["is_canonical"]
+    assert rows[7]["cluster_id"] == 7 and rows[7]["cluster_size"] == 1
+    assert rows[7]["is_canonical"] and rows[8]["is_canonical"]
+
+
+def test_autotune_lsh_params_scale_law():
+    from gnocchi_spark.operators.similarity import autotune_lsh_params
+
+    b1, r1 = autotune_lsh_params(500)
+    b2, r2 = autotune_lsh_params(5000)
+    b3, r3 = autotune_lsh_params(5_000_000)
+    # bits grow with log2(N) so background candidates stay ~linear
+    assert r1 < r2 < r3
+    assert r2 == 15  # ceil(log2 5000) + 2
+    # recall is bought back with more bands as keys get longer
+    assert b1 <= b2 <= b3
+
+
+def test_banded_keys_matches_per_band_lsh_bucket(spark, sf_dir):
+    from gnocchi_spark.operators.similarity import (
+        banded_keys,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").limit(50)
+    n_bands, band_planes = 4, 6
+    planes = hyperplanes(n_bands * band_planes, 64)
+    both = emb.select(
+        banded_keys(F.col("embedding"), planes, n_bands, band_planes).alias("fast"),
+        F.array(
+            *[
+                lsh_bucket(
+                    F.col("embedding"),
+                    planes[b * band_planes : (b + 1) * band_planes],
+                )
+                for b in range(n_bands)
+            ]
+        ).alias("ref"),
+    )
+    assert both.where(F.col("fast") != F.col("ref")).count() == 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from gnocchi_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "identical phrase here"  # >= window+k-1 = 8 chars shared
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"left context AAA {shared} right tail one"),
+            Row(doc_id=2, text=f"other opening ZZ {shared} different end"),
+            Row(doc_id=3, text="nothing in common with the others at all"),
+            Row(doc_id=4, text="tinydoc"),  # k <= len < k+window-1: fallback
+            Row(doc_id=5, text="abc"),  # shorter than k: no fingerprint
+        ]
+    )
+    out = winnowing_fingerprints(docs, k=5, window=4)
+    fp = {
+        i: {r["fingerprint"] for r in out.where(F.col("doc_id") == i).collect()}
+        for i in [1, 2, 3, 4, 5]
+    }
+    assert fp[1] & fp[2]  # shared substring -> shared fingerprint
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    assert len(fp[4]) == 1
+    assert len(fp[5]) == 0
