@@ -64,6 +64,222 @@ def rollup_policy_bench(spark, sf_dir):
     return rollup_policy(measures, policy, seq_col="seq")
 
 
+def _replicated_measures(spark, sf_dir, factor):
+    """events x factor with distinct metric ids per replica — the shape
+    of a deployment with factor-times more metrics."""
+    m = tables.events_as_measures(spark, sf_dir)
+    rep = spark.range(factor).select(F.col("id").cast("string").alias("__rep"))
+    return (
+        m.crossJoin(rep)
+        .withColumn("metric_id", F.concat_ws("_", "metric_id", "__rep"))
+        .drop("__rep")
+    )
+
+
+def _replicated_docs(spark, sf_dir, factor):
+    """documents x factor, each replica Caesar-ciphered by its index:
+    within a replica the near-dup structure is EXACTLY the original
+    corpus's (a bijective character map preserves shingle identity);
+    across replicas character shingles essentially never match.
+    Near-dup density stays constant, so candidate growth measures the
+    algorithm, not a synthetic blowup.  (A word-suffix salt is NOT
+    enough: k=5 character shingles inside words survive it and
+    cross-replica Jaccard stays band-detectable — measured 113x
+    candidate growth vs 11x with the cipher.)"""
+    d = tables.load(spark, sf_dir, "documents")
+    n = d.count()
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    reps = []
+    for r in range(factor):
+        rot = alpha[r:] + alpha[:r]
+        reps.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(r * (n + 1))).withColumn(
+                "text", F.translate(F.lower(F.col("text")), alpha, rot)
+            )
+        )
+    out = reps[0]
+    for rdf in reps[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+def _replicated_embeddings(spark, sf_dir, factor):
+    """embeddings x factor with a deterministic per-(replica, dim) sign
+    flip: cos(Sx, Sy) == cos(x, y) for a diagonal +-1 map, so
+    within-replica structure is exact while replicas decorrelate."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    n = e.count()
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x
+            * F.when(
+                F.pmod(F.xxhash64(F.col("__rep"), i, F.lit("signflip")), 2) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        ).cast("float"),
+    )
+    return (
+        e.crossJoin(rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * (n + 1))
+        .withColumn("embedding", flipped)
+        .drop("__rep")
+    )
+
+
+def ingest_throughput(spark, sf_dir, factor=10):
+    """Spark mirror of the reference injector protocol (BASELINE.md):
+    mean @ 5 min rollup over factor x the events table, measures/s."""
+    from gnocchi_spark.operators.rollup import rollup
+
+    m = _replicated_measures(spark, sf_dir, factor)
+    n = m.count()  # materializes the scan once = warm-up
+    t0 = time.time()
+    rollup(m, ["mean"], 300.0).write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+    return {
+        "n_measures": n,
+        "wall_s": round(wall, 3),
+        "measures_per_s": round(n / wall, 1),
+    }
+
+
+def baseline_section(spark, sf_dir):
+    """bench-vs-baseline ratio against the recorded reference numbers
+    (tools/baseline_ref.py -> BASELINE_NUMBERS.json)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BASELINE_NUMBERS.json")) as f:
+            ref = json.load(f)["injector_equivalent"]["measures_per_s"]
+    except Exception:
+        ref = None
+    spark_side = ingest_throughput(spark, sf_dir)
+    out = {"ref_measures_per_s": ref, **spark_side}
+    if ref:
+        out["ratio_ref_over_spark"] = round(ref / spark_side["measures_per_s"], 3)
+    return out
+
+
+def scale_stress(spark, sf_dir, factor=10):
+    """Judge task: run the heaviest operators at 1x and factor-x and
+    record wall growth plus dedup candidate-pair counts vs the N^2 pair
+    space — the empirical sub-quadratic claim."""
+    from gnocchi_spark.operators.dedup import (
+        doc_shingle_arrays,
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures_arrays,
+        simhash_near_duplicates,
+        with_hash_words,
+    )
+    from gnocchi_spark.operators.similarity import (
+        autotune_lsh_params,
+        embedding_near_duplicates,
+    )
+
+    docs1 = tables.load(spark, sf_dir, "documents")
+    docs10 = _replicated_docs(spark, sf_dir, factor)
+    emb1 = tables.load(spark, sf_dir, "embeddings")
+    emb10 = _replicated_embeddings(spark, sf_dir, factor)
+
+    # Banded hyperplane LSH must scale bits-per-band with log2(N) or the
+    # background candidate volume is quadratic (band collisions for
+    # uncorrelated vectors happen at a constant 2^-bits rate).  Tune the
+    # parameters to each corpus size, exactly as a deployment would.
+    n_emb1, n_emb10 = emb1.count(), emb10.count()
+    bands1, bits1 = autotune_lsh_params(n_emb1)
+    bands10, bits10 = autotune_lsh_params(n_emb10)
+
+    def emb_neardup(emb, bands, bits, threshold=0.9):
+        return embedding_near_duplicates(
+            emb, threshold=threshold, n_bands=bands, band_planes=bits
+        )
+
+    def timed(make_df):
+        t0 = time.time()
+        make_df().write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        return dt
+
+    queries = {}
+    for name, mk1, mk10 in [
+        ("dedup_minhash_lsh", lambda: minhash_near_duplicates(docs1),
+         lambda: minhash_near_duplicates(docs10)),
+        ("dedup_simhash", lambda: simhash_near_duplicates(docs1),
+         lambda: simhash_near_duplicates(docs10)),
+        ("dedup_embedding_lsh", lambda: emb_neardup(emb1, bands1, bits1),
+         lambda: emb_neardup(emb10, bands10, bits10)),
+        ("rollup_policy_cascade", lambda: rollup_policy_bench(spark, sf_dir),
+         lambda: _rollup_policy_on(_replicated_measures(spark, sf_dir, factor))),
+    ]:
+        t1, t10 = timed(mk1), timed(mk10)
+        queries[name] = {
+            "t1": t1,
+            "t10": t10,
+            "wall_growth": round(t10 / t1, 2) if t1 else None,
+        }
+
+    def minhash_cands(docs):
+        arrays = with_hash_words(doc_shingle_arrays(docs))
+        n = lsh_candidate_pairs(minhash_signatures_arrays(arrays)).count()
+        spark.catalog.clearCache()
+        return n
+
+    def simhash_cands(docs):
+        n = simhash_near_duplicates(docs, max_hamming=32).count()
+        spark.catalog.clearCache()
+        return n
+
+    def emb_cands(emb):
+        bands, bits = autotune_lsh_params(emb.count())
+        n = emb_neardup(emb, bands, bits, threshold=-1.0).count()
+        spark.catalog.clearCache()
+        return n
+
+    n_docs1, n_docs10 = docs1.count(), docs10.count()
+    candidates = {}
+    for name, fn, in1, in10, n1, n10 in [
+        ("minhash", minhash_cands, docs1, docs10, n_docs1, n_docs10),
+        ("simhash", simhash_cands, docs1, docs10, n_docs1, n_docs10),
+        ("embedding_lsh", emb_cands, emb1, emb10, n_emb1, n_emb10),
+    ]:
+        c1, c10 = fn(in1), fn(in10)
+        candidates[name] = {
+            "n_items": [n1, n10],
+            "cand1": c1,
+            "cand10": c10,
+            "cand_growth": round(c10 / c1, 2) if c1 else None,
+            "pairspace_growth": round(
+                (n10 * (n10 - 1)) / (n1 * (n1 - 1)), 2
+            ),
+        }
+    return {
+        "factor": factor,
+        "queries": queries,
+        "candidates": candidates,
+        "emb_lsh_params": {
+            "x1": {"n_bands": bands1, "band_planes": bits1},
+            "x10": {"n_bands": bands10, "band_planes": bits10},
+        },
+    }
+
+
+def _rollup_policy_on(measures):
+    from gnocchi_spark.operators.rollup import rollup_policy
+    from gnocchi_spark.policy import ArchivePolicy, ArchivePolicyItem
+
+    policy = ArchivePolicy(
+        "bench",
+        0,
+        (ArchivePolicyItem(300.0, points=100000), ArchivePolicyItem(3600.0, points=100000)),
+        frozenset(["mean", "sum", "min", "max", "count", "std", "first", "last"]),
+    )
+    return rollup_policy(measures, policy, seq_col="seq")
+
+
 def run_query(spark, make_df) -> float:
     # time construction AND execution: operators with eager cache
     # builds (dedup) do real work at plan-construction time
@@ -92,17 +308,17 @@ def main() -> None:
         timings[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    payload["baseline"] = baseline_section(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0":
+        payload["scale_stress"] = scale_stress(spark, sf_dir)
+    print(json.dumps(payload))
     spark.stop()
 
 
