@@ -1120,6 +1120,72 @@ def resource_groupby_aggregates(spark, sf_dir):
     )
 
 
+@query(
+    "aggregates_api_end_to_end",
+    f"""
+    WITH res AS (
+      SELECT DISTINCT user_id, user_id % 4 AS tier FROM events
+      WHERE user_id < 40),
+    filt AS (SELECT * FROM res WHERE tier >= 2),
+    metrics AS (SELECT DISTINCT user_id, event_type AS name FROM events),
+    members AS (
+      SELECT f.user_id, f.tier FROM filt f
+      JOIN metrics m ON m.user_id = f.user_id AND m.name LIKE 'c%'),
+    per_series AS (
+      SELECT e.user_id, {_sql_bucket(3600)} AS b, avg(e.value) AS v
+      FROM events e JOIN members r ON e.user_id = r.user_id
+      WHERE e.event_type = 'click'
+      GROUP BY 1, 2)
+    SELECT r.tier, p.b AS ts, round(avg(p.v * 8), 6) AS value
+    FROM per_series p JOIN members r ON p.user_id = r.user_id
+    GROUP BY 1, 2
+    """,
+)
+def aggregates_api_end_to_end(spark, sf_dir):
+    # POST /v1/aggregates end to end (rest/aggregates/api.py:558-672):
+    # resource search via the query-string DSL -> wildcard metric match
+    # ('c*' -> click) -> per-resource mean rollup -> operations pipeline
+    # (scalar '*8', then 'aggregate mean' across each group's series) ->
+    # groupby=tier.  One declarative plan: the series axis stays LONG
+    # (aggregate-mean across member series == groupBy avg over present
+    # values — the same NaN-aware semantics the wide-matrix evaluator
+    # implements) because pivoting each group to a (ts x members) grid,
+    # as the reference's per-group processor does, would put a
+    # driver-side loop over groups in front of a 100 TB fact table.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.resources import wildcard_metrics
+    from gnocchi_spark.plans.filters import compile_query_string
+    from gnocchi_spark.plans.operations import _binary_col
+
+    ev = tables.load(spark, sf_dir, "events")
+    resources = (
+        ev.select("user_id", (F.col("user_id") % 4).alias("tier"))
+        .where(F.col("user_id") < 40)
+        .distinct()
+    )
+    filt = resources.where(compile_query_string("tier >= 2"))
+    metrics = ev.select("user_id", F.col("event_type").alias("name")).distinct()
+    members = filt.join(
+        wildcard_metrics(metrics, "c*").select("user_id"), "user_id"
+    )
+    per_series = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(members), "user_id")
+        .groupBy(
+            "user_id",
+            "tier",
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("ts"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    scaled = per_series.withColumn(
+        "v", _binary_col("*", F.col("v"), F.lit(8.0))
+    )
+    return scaled.groupBy("tier", "ts").agg(
+        F.round(F.avg("v"), 6).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / similarity / text analysis / multimodal
 # (BASELINE.json north star, beyond the reference's own surface)
@@ -1355,6 +1421,53 @@ def text_winnowing(spark, sf_dir):
 
     return winnowing_fingerprints(
         tables.load(spark, sf_dir, "documents"), k=5, window=4
+    )
+
+
+@query(
+    "pipeline_corpus_filter",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_NORM_SQL} AS ntext FROM documents
+      WHERE length(text) > 0),
+    canon AS (
+      SELECT md5(ntext) AS h, min(doc_id) AS keep_id FROM norm GROUP BY 1),
+    stats AS (
+      SELECT n.doc_id, n.text,
+             array_length(string_split(n.ntext, ' ')) AS n_tokens,
+             length(regexp_replace(n.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+               / length(n.text) AS punct
+      FROM norm n JOIN canon c ON md5(n.ntext) = c.h AND n.doc_id = c.keep_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(punct, 6) AS punct_ratio
+    FROM stats
+    WHERE n_tokens BETWEEN 5 AND 5000 AND round(punct, 6) < 0.1
+    """,
+)
+def pipeline_corpus_filter(spark, sf_dir):
+    # The filter stage of a training-data pipeline in one plan: exact
+    # dedup keep-set (canonical = min doc id per normalized-text hash)
+    # semi-joined back to the corpus, then quality gates on token count
+    # and punctuation density.  Shuffles once on the text hash; the
+    # gates are map-side.
+    from gnocchi_spark.operators.dedup import exact_dedup, normalize_text
+    from gnocchi_spark.operators.textstats import punct_ratio, tokens
+
+    t = F.col("text")
+    docs = tables.load(spark, sf_dir, "documents").where(F.length(t) > 0)
+    keep = exact_dedup(docs).select(F.col("representative").alias("doc_id"))
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.size(tokens(t)).cast("long").alias("n_tokens"),
+            F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        )
+        .where(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 5000)
+            & (F.col("punct_ratio") < 0.1)
+        )
     )
 
 
@@ -1841,6 +1954,45 @@ def tsdb_calendar_half(spark, sf_dir):
         "metric_id", truncate_calendar(F.col("ts"), "H").alias("bucket_ts")
     ).agg(
         F.round(F.sum("value"), 4).alias("sum"),
+        F.count("*").cast("long").alias("count"),
+    )
+
+
+@query(
+    "calendar_extract_profile",
+    """
+    SELECT event_type AS metric_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(weekofyear(ts) AS INT) AS iso_week,
+           CAST(dayofyear(ts) - 1 AS INT) AS doy,
+           CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST((month(ts) - 1) // 6 + 1 AS INT) AS half,
+           round(avg(value), 6) AS mean,
+           CAST(count(*) AS BIGINT) AS count
+    FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    """,
+)
+def calendar_extract_profile(spark, sf_dir):
+    # every calendar extract of gnocchi/calendar.py:19-92 at once, as
+    # rollup group keys: 0-based day-of-year and Sunday-0 day-of-week
+    # shims, half-of-year (no date_trunc equivalent), ISO week
+    from gnocchi_spark.functions import calendar as cal
+
+    m = _measures(spark, sf_dir)
+    ts = F.col("ts")
+    return m.groupBy(
+        "metric_id",
+        cal.year(ts).alias("y"),
+        cal.month_of_year(ts).alias("m"),
+        cal.iso_week_of_year(ts).alias("iso_week"),
+        cal.day_of_year(ts).alias("doy"),
+        cal.day_of_week(ts).alias("dow"),
+        cal.quarter_of_year(ts).alias("q"),
+        cal.half_of_year(ts).alias("half"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("count"),
     )
 
