@@ -25,6 +25,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Repartition an input whose IO-based partitioning undersizes the
+    CPU-dense work that follows.
+
+    Parquet text compresses 3-5x and the shingle explode then multiplies
+    bytes by another ~100x, so a 30 MB documents file scans as ONE
+    128 MB-target partition and the per-shingle md5 stages run on a
+    single core (measured: a 5-minute single-task stage at sf0.1 x10).
+    A round-robin shuffle of the raw rows is orders of magnitude cheaper
+    than serializing the hash work.  No-op when the scan already carries
+    enough partitions (a real 100 TB table does), so this never REDUCES
+    parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase + whitespace-collapse normalization used by exact dedup
     and fingerprinting."""
@@ -291,9 +310,9 @@ def minhash_near_duplicates(
     # materializes the cache EAGERLY — lazily, the three consumer
     # stages race to build uncached partitions concurrently and each
     # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s)
-    arrays = with_hash_words(doc_shingle_arrays(docs, text_col, id_col, k)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    arrays = with_hash_words(
+        doc_shingle_arrays(spread_for_compute(docs), text_col, id_col, k)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     arrays.count()
     sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
@@ -321,7 +340,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    arrays = doc_shingle_arrays(docs, text_col, id_col, k).persist(
+    arrays = doc_shingle_arrays(spread_for_compute(docs), text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     arrays.count()  # eager cache build (see minhash_near_duplicates)
@@ -389,7 +408,7 @@ def simhash_near_duplicates(
     # both sides of the band self-join consume the signatures; eager
     # persist (one row per doc) avoids recomputing the token explode +
     # 32 bit-vote sums twice
-    sigs = simhash_signatures(docs, text_col, id_col, bits).persist(
+    sigs = simhash_signatures(spread_for_compute(docs), text_col, id_col, bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs.count()

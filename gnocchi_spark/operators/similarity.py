@@ -284,8 +284,11 @@ def embedding_near_duplicates(
     ~vec_size * n_bands replication) rather than re-fetching vectors
     with two extra joins; at 64-dim float that is the cheaper trade.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
     planes = hyperplanes(n_bands * band_planes, dim)
     keys = banded_keys(F.col(vec_col), planes, n_bands, band_planes)
+    vectors = spread_for_compute(vectors)
     stacked = vectors.select(
         F.col(id_col),
         F.col(vec_col),

@@ -135,6 +135,9 @@ def winnowing_fingerprints(
     the output.  Output: (doc_id, fingerprint) one row per distinct
     selected hash.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    docs = spread_for_compute(docs)
     t = F.col(text_col)
     n_grams = F.length(t) - (k - 1)
     # The gram-hash array MUST be a materialized column: referencing the
