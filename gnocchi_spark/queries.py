@@ -1933,6 +1933,78 @@ def ingest_prometheus(spark, sf_dir):
     )
 
 
+_PROM_WIRE_BASE_MS = 1_700_000_000_000
+
+
+def _prom_wire_payloads() -> list[bytes]:
+    """Deterministic snappy+protobuf WriteRequest bodies (40 POSTs of
+    5 series x 20 samples).  The oracle regenerates the same logical
+    rows from the formula, so a byte-level decode bug breaks the
+    hash match."""
+    from gnocchi_spark.sources.prometheus import encode_write_request
+
+    payloads = []
+    for p in range(40):
+        series = []
+        for t in range(5):
+            labels = {
+                "__name__": f"m{(p * 5 + t) % 7}",
+                "job": f"j{p % 3}",
+                "instance": f"i{t % 2}",
+            }
+            samples = [
+                (
+                    _PROM_WIRE_BASE_MS + (p * 100 + t * 20 + s) * 60_000,
+                    ((p * 5 + t) * 20 + s) % 97 * 0.25,
+                )
+                for s in range(20)
+            ]
+            series.append((labels, samples))
+        payloads.append(encode_write_request(series))
+    return payloads
+
+
+@query(
+    "ingest_prometheus_wire",
+    f"""
+    WITH raw AS (
+      SELECT 'm' || CAST((p.range * 5 + t.range) % 7 AS VARCHAR) AS metric_name,
+             'j' || CAST(p.range % 3 AS VARCHAR) || '@i' || CAST(t.range % 2 AS VARCHAR)
+               AS original_resource_id,
+             epoch_ms({_PROM_WIRE_BASE_MS} + (p.range * 100 + t.range * 20 + s.range) * 60000)
+               AS ts,
+             CAST(((p.range * 5 + t.range) * 20 + s.range) % 97 AS DOUBLE) * 0.25 AS value
+      FROM range(0, 40) p, range(0, 5) t, range(0, 20) s
+    )
+    SELECT metric_name, original_resource_id, {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(value), 6) AS mean, CAST(count(*) AS BIGINT) AS n
+    FROM raw GROUP BY 1, 2, 3
+    """,
+)
+def ingest_prometheus_wire(spark, sf_dir):
+    # full wire path: snappy+protobuf POST bodies (api.py:2334-2346)
+    # decoded executor-side (mapInPandas, pure-Python codecs) ->
+    # normalize -> hourly mean.  The oracle recomputes the expected
+    # rows from the fixture formula, never touching the bytes, so the
+    # hash match certifies the whole decode stack.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.sources import prometheus
+
+    payloads = spark.createDataFrame(
+        [(bytearray(b),) for b in _prom_wire_payloads()], "payload binary"
+    )
+    decoded = prometheus.decode_write_requests(payloads)
+    out = prometheus.normalize(decoded, creator="admin")
+    return out.groupBy(
+        "metric_name",
+        "original_resource_id",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 @query(
     "tsdb_calendar_half",
     """
