@@ -123,6 +123,55 @@ def test_rate_mean(spark):
     assert rows[_ts(2014, 1, 1, 12, 1, 0)] == pytest.approx(4.0)
 
 
+def test_rate_counter_reset_golden(spark):
+    # test_carbonara.py:161-187 test_derived_mean — rate:mean over 12
+    # points incl. a counter reset (105 -> 5 gives a -100 diff).
+    stamps = [
+        (12, 0, 0), (12, 0, 4), (12, 1, 2), (12, 1, 14), (12, 1, 24),
+        (12, 2, 4), (12, 2, 35), (12, 2, 42), (12, 3, 2), (12, 3, 22),
+        (12, 3, 42), (12, 4, 9),
+    ]
+    values = [50, 55, 65, 66, 70, 83, 92, 103, 105, 5, 7, 23]
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1, h, m, s), value=float(v))
+            for (h, m, s), v in zip(stamps, values)
+        ]
+    )
+    rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["rate:mean"], 60.0).collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): pytest.approx(5.0),
+        _ts(2014, 1, 1, 12, 1, 0): pytest.approx(5.0),
+        _ts(2014, 1, 1, 12, 2, 0): pytest.approx(11.0),
+        _ts(2014, 1, 1, 12, 3, 0): pytest.approx(-32.0),
+        _ts(2014, 1, 1, 12, 4, 0): pytest.approx(16.0),
+    }
+
+
+def test_rate_hole_golden(spark):
+    # test_carbonara.py:189-212 test_derived_hole — rate:last with a
+    # missing 12:02 bucket; the diff spans the hole (70 -> 105 = 35)
+    # and lands in the later point's bucket.
+    stamps = [
+        (12, 0, 0), (12, 0, 4), (12, 1, 2), (12, 1, 14), (12, 1, 24),
+        (12, 3, 2), (12, 3, 22), (12, 3, 42), (12, 4, 9),
+    ]
+    values = [50, 55, 65, 66, 70, 105, 108, 200, 202]
+    df = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2014, 1, 1, h, m, s), value=float(v))
+            for (h, m, s), v in zip(stamps, values)
+        ]
+    )
+    rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["rate:last"], 60.0).collect()}
+    assert rows == {
+        _ts(2014, 1, 1, 12, 0, 0): pytest.approx(5.0),
+        _ts(2014, 1, 1, 12, 1, 0): pytest.approx(4.0),
+        _ts(2014, 1, 1, 12, 3, 0): pytest.approx(92.0),
+        _ts(2014, 1, 1, 12, 4, 0): pytest.approx(2.0),
+    }
+
+
 def test_dedup_last_write_wins(spark):
     # carbonara.py:92-105 — duplicate timestamps: latest arrival wins.
     df = spark.createDataFrame(
