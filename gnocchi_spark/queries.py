@@ -1472,6 +1472,128 @@ def pipeline_corpus_filter(spark, sf_dir):
 
 
 @query(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    # reproducible per-language sample: top-20 under the md5(doc_id)
+    # total order.  The operator prunes locally before the per-stratum
+    # window, so no stratum ever funnels through one task (the naive
+    # single-window plan the oracle runs is exactly what it avoids).
+    from gnocchi_spark.operators.sampling import stratified_sample
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang"], 20, "doc_id").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v WHERE list_sum(list_transform(e, x -> x * x)) > 0),
+    q AS (
+      SELECT vec_id, nrm,
+             list_transform(e, x -> greatest(-127, least(127,
+               CAST(round(x / nrm * 127) AS INT)))) AS qv
+      FROM n)
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(len(list_filter(qv, x -> x != 0)) AS INT) AS q_nonzero
+    FROM q
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    # int8 storage quantization of the embedding corpus (4x shrink for
+    # ANN serving): L2-normalize then round(x*127) clamp [-127,127].
+    # Map-only plan — no shuffle, no UDF; the oracle recomputes the
+    # identical fold-order double arithmetic so the hash match checks
+    # the quantizer bit-for-bit.  Scalar digests (sum/min/max/nonzero)
+    # stand in for the array column, which the compare harness cannot
+    # sort on.
+    from gnocchi_spark.operators.similarity import l2_normalize, norm, quantize_int8
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    q = quantize_int8(l2_normalize(e))
+    return (
+        emb.where(norm(e) > 0)
+        .select(
+            "vec_id",
+            F.round(norm(e), 6).alias("l2_norm"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "q_sum"
+            ),
+            F.array_max(q).alias("q_max"),
+            F.array_min(q).alias("q_min"),
+            F.size(F.filter(q, lambda x: x != 0)).alias("q_nonzero"),
+        )
+    )
+
+
+@query(
+    "corpus_token_histogram",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, {_NORM_SQL} AS ntext FROM documents
+      WHERE length(text) > 0),
+    tok AS (
+      SELECT lang,
+             array_length(string_split(ntext, ' ')) AS n_tokens
+      FROM norm)
+    SELECT lang,
+           CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def corpus_token_histogram(spark, sf_dir):
+    # corpus length profile: log2-bucketed token-count histogram per
+    # language — the summary a pipeline uses to set sequence-length and
+    # packing parameters.  One partial-aggregated shuffle over (lang,
+    # bucket); token counting is map-side.
+    from gnocchi_spark.operators.textstats import tokens
+
+    t = F.col("text")
+    docs = tables.load(spark, sf_dir, "documents").where(F.length(t) > 0)
+    n_tokens = F.size(tokens(t)).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy(
+            "lang",
+            F.floor(F.log2(F.col("n_tokens") + 1)).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@query(
     "text_quality_by_lang",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
