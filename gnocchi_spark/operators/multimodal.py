@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -92,3 +93,122 @@ def decode_image_features(
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize every image payload to ``width x height`` (1:1 rows).
+
+    Real path would be ``PIL.Image.open(...).resize((w, h))`` per
+    payload inside the Arrow batch; absent PIL the ``fake=True``
+    stand-in produces a deterministic ``w*h``-byte payload by striding
+    the source bytes (preserves "content determines output" so tests
+    and oracles can verify the plumbing byte-for-byte).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL; pass fake=True for the "
+                    "deterministic byte-stride stand-in"
+                )
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if not b:
+                    out.append(b"\x00" * target)
+                elif len(b) >= target:
+                    step = len(b) // target
+                    out.append(b[:: step][:target])
+                else:
+                    reps = -(-target // len(b))
+                    out.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+#: fake framing: one frame per this many payload bytes, capped
+FRAME_STRIDE_BYTES = 512
+MAX_FRAMES = 8
+
+
+def fake_frame_count(n_bytes: int) -> int:
+    """Deterministic frame count for the stand-in sampler."""
+    return min(MAX_FRAMES, max(1, n_bytes // FRAME_STRIDE_BYTES))
+
+
+def sample_frames(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Sample frames from every video payload (1 -> N rows).
+
+    Real path: ffmpeg keyframe extraction per payload inside the Arrow
+    batch.  The ``fake=True`` stand-in splits the payload into
+    ``fake_frame_count`` contiguous chunks (frame ``i`` of ``n`` spans
+    bytes ``[i*L//n, (i+1)*L//n)``), which exercises the genuinely
+    Spark-side concerns — the row explosion inside ``mapInPandas``,
+    the per-frame schema, and downstream partition sizing — with
+    engine-reproducible boundary math.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; pass fake=True for "
+                    "the deterministic chunking stand-in"
+                )
+            ids, idxs, totals, sizes, blobs = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n = fake_frame_count(len(b))
+                for i in range(n):
+                    lo = i * len(b) // n
+                    hi = (i + 1) * len(b) // n
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n)
+                    sizes.append(hi - lo)
+                    blobs.append(b[lo:hi])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame_bytes": sizes,
+                    "frame": blobs,
+                }
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)

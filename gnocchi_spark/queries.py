@@ -1818,6 +1818,34 @@ def multimodal_features(spark, sf_dir):
     return out.select("doc_id", "media_type", "n_bytes")
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             least(8, greatest(1, octet_length(encode(text)) // 512))
+               AS n_frames
+      FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((i + 1) * n_bytes // n_frames
+                - i * n_bytes // n_frames AS BIGINT) AS frame_bytes
+    FROM sized, unnest(generate_series(0, n_frames - 1)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    # frame-sampling plumbing: 1 payload row -> N frame rows inside the
+    # Arrow batch (deterministic chunking stand-in for ffmpeg); the
+    # oracle reproduces the boundary math, certifying the explosion
+    # shape and per-frame sizes
+    from gnocchi_spark.operators.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(tables.load(spark, sf_dir, "documents"))
+    out = sample_frames(media, fake=True)
+    return out.select("doc_id", "frame_idx", "n_frames", "frame_bytes")
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB mirror of operators.dedup.simhash_near_duplicates
     (32 bits, 4 bands, hamming <= 3): per-hex-digit bit votes, banded

@@ -167,6 +167,37 @@ def test_multimodal_plumbing(docs):
         decode_image_features(media, fake=False).collect()
 
 
+def test_multimodal_resize(docs):
+    from gnocchi_spark.operators.multimodal import resize_images
+
+    media = attach_payload(docs)
+    out = {r["doc_id"]: r for r in resize_images(media, 4, 3, fake=True).collect()}
+    text1 = b"the quick brown fox jumps over the lazy dog"
+    # source longer than 12 bytes: strided downsample
+    step = len(text1) // 12
+    assert bytes(out[1]["payload"]) == text1[::step][:12]
+    assert (out[1]["width"], out[1]["height"], out[1]["n_bytes"]) == (4, 3, 12)
+    # empty payload: zero-filled target
+    assert bytes(out[6]["payload"]) == b"\x00" * 12
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        resize_images(media, 4, 3, fake=False).collect()
+
+
+def test_multimodal_frame_sample_bytes(spark):
+    from gnocchi_spark.operators.multimodal import attach_payload, sample_frames
+
+    # 1100-byte payload -> 2 frames of 550; frames reassemble the source
+    text = "ab" * 550
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(
+        sample_frames(attach_payload(df), fake=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["n_frames"] for r in rows] == [2, 2]
+    assert [r["frame_bytes"] for r in rows] == [550, 550]
+    assert b"".join(bytes(r["frame"]) for r in rows) == text.encode()
+
+
 def test_ivf_recall_vs_exact(spark):
     from gnocchi_spark import tables
     from gnocchi_spark.operators.similarity import cosine_topk, ivf_cosine_topk
