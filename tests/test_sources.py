@@ -257,13 +257,11 @@ def test_prometheus_normalize(spark):
     assert rid["api@i1"] == str(uuid.uuid5(ns, "api@i1\x00cr"))
 
 
-def test_prometheus_decode_stubbed():
-    try:
-        prometheus.decode_write_request(b"\x00")
-    except NotImplementedError:
-        pass
-    else:  # pragma: no cover
-        raise AssertionError("expected NotImplementedError")
+def test_prometheus_decode_real():
+    # The wire decode is implemented in pure Python (see
+    # tests/test_prometheus_wire.py for full coverage); an empty snappy
+    # block decodes to an empty WriteRequest, not a stub error.
+    assert prometheus.decode_write_request(b"\x00") == []
 
 
 # ---------------------------------------------------------------------------
