@@ -1,0 +1,321 @@
+"""Training-data pipeline operators beyond dedup/ANN: benchmark
+decontamination, domain-mixture sampling, intra-document repetition
+scoring, TF-IDF keyword extraction, and sequence packing.
+
+These are the corpus-preparation steps a large-scale LLM data pipeline
+runs after dedup (operators/dedup.py) and quality scoring
+(operators/textstats.py).  All are pure Column expressions — no Python
+in the loop — and every shuffle is on a key with bounded per-group
+size, so the plans survive a 100 TB corpus:
+
+- decontamination broadcasts the (small) benchmark gram set; the only
+  shuffle is the per-document hit count.
+- mixture sampling is map-only (deterministic md5 thresholding).
+- repetition scoring is map-only (per-row array algebra).
+- TF-IDF shuffles on (doc, term) then broadcasts the vocabulary-sized
+  document-frequency table back.
+- sequence packing computes the global token prefix-sum with the
+  distributed two-phase scan (per-band subtotals -> tiny fold ->
+  broadcast back), never a global empty-PARTITION-BY window — the same
+  pattern as operators/banding.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.sampling import sample_key
+from gnocchi_spark.operators.textstats import tokens
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams from a MATERIALIZED token
+    array column.  Documents with fewer than ``n`` tokens yield an
+    empty array (``sequence`` would count DOWN for a negative span, so
+    the guard is explicit).
+
+    ``col`` must be a plain column reference, not an inline expression:
+    the slice lambda reads it once per gram position, so an inlined
+    ``split(...)`` would re-tokenize the document O(n_tokens) times —
+    the same per-element-inlining trap documented at
+    textstats.winnowing_fingerprints.
+    """
+    m = F.size(col) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_token_ngrams(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    out_col: str = "__grams",
+    distinct: bool = False,
+) -> DataFrame:
+    """Attach a word-``n``-gram array column computed via a
+    materialized intermediate token array.  Both intermediates are
+    referenced more than once downstream, which stops Catalyst's
+    CollapseProject from re-inlining the tokenization into every gram
+    slice (measured 6x on the decontamination plan: the inlined form
+    re-built the gram array per EXPLODED row)."""
+    d = df.withColumn("__toks", tokens(F.col(text_col)))
+    g = token_ngrams(F.col("__toks"), n)
+    if distinct:
+        g = F.array_distinct(g)
+    return d.withColumn(out_col, g).drop("__toks")
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark set (the standard
+    n-gram-overlap test-set-leakage check run before pretraining).
+
+    Returns one row per contaminated training document:
+    (doc_id, n_grams, n_contaminated, contamination_ratio,
+    n_bench_docs) where n_grams counts the document's DISTINCT grams,
+    n_contaminated those also present in the benchmark, and
+    n_bench_docs the number of distinct benchmark documents hit.
+
+    Scale shape: the benchmark side (eval sets are thousands of
+    documents, not billions) is broadcast, so the exploded training
+    grams never shuffle for the join; the only wide exchange is the
+    final per-document count.  Gram explosion is bounded by document
+    token count, not corpus size.
+    """
+    train_grams = with_token_ngrams(train, n, text_col, distinct=True).select(
+        F.col(id_col).alias("doc_id"),
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("gram"),
+    )
+    bench_grams = (
+        with_token_ngrams(bench, n, text_col, distinct=True)
+        .select(
+            F.col(id_col).alias("bench_doc"),
+            F.explode("__grams").alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.countDistinct("gram").alias("n_contaminated"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams").cast("double"), 6
+            ).alias("contamination_ratio"),
+            F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+def mixture_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """Convert per-domain keep rates to integer md5-bucket thresholds
+    (rate of the 2^32 space).  Integer comparison avoids any
+    cross-engine float-boundary ambiguity in the keep predicate."""
+    return {k: int(v * 2**32) for k, v in rates.items()}
+
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each document with
+    its source's configured probability, decided by a content-
+    independent hash of the id (first 8 md5 hex digits as a uniform
+    32-bit integer).  Replayable across runs, partitionings and
+    engines — rerunning with a higher rate KEEPS every previously kept
+    document (nested samples), which is what mixture-tuning sweeps
+    need.  Sources absent from ``rates`` are dropped.
+
+    Map-only: no shuffle, no RNG state; filters push down to the scan.
+    """
+    thresholds = mixture_thresholds(rates)
+    bucket = F.conv(F.substring(sample_key(F.col(id_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    src = F.col(source_col)
+    thr = F.lit(0).cast("long")
+    for name, t in sorted(thresholds.items()):
+        thr = F.when(src == name, F.lit(t).cast("long")).otherwise(thr)
+    return docs.where(bucket < thr)
+
+
+def repetition_profile(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition score: the fraction of word ``n``-grams
+    that are repeats of an earlier gram in the same document — the
+    boilerplate / looping-text signal quality filters cut on (high
+    ratio = templated or degenerate text).
+
+    Entirely map-side: gram array, distinct count and ratio are one
+    array expression per row; there is NO shuffle at all.  Output:
+    (doc_id, n_grams, n_dup, dup_ratio).
+    """
+    grams = F.col("__grams")
+    docs = with_token_ngrams(docs, n, text_col)
+    n_grams = F.size(grams)
+    n_dup = n_grams - F.size(F.array_distinct(grams))
+    return docs.where(n_grams >= 1).select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup"),
+        F.round(n_dup.cast("double") / n_grams.cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document (idf = ln(N/df), rank
+    ties broken by term so the output is a deterministic total order).
+
+    Scale shape: term frequencies aggregate on (doc, term) — partial
+    map-side combine, bounded per-group size.  The document-frequency
+    table is vocabulary-sized, so it (and the single-row corpus count)
+    broadcast back onto the tf frame; the ranking window partitions by
+    document, never globally.
+    """
+    t = F.col(text_col)
+    base = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"), t.alias("__text")
+    )
+    tf = (
+        base.select("doc_id", F.explode(tokens(F.col("__text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = base.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_size: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in id order and cut the stream into fixed ``ctx``-token chunks;
+    report per-chunk occupancy (how many documents touch each chunk,
+    how many of its tokens are filled, the first/last contributing
+    document).  This is the concat-and-chunk batching layout
+    pretraining pipelines use, and its stats drive ctx/packing-ratio
+    choices.
+
+    The global token prefix-sum is computed WITHOUT a global window:
+    documents band by ``id DIV band_size``; per-band subtotals (a tiny
+    frame, one row per band) fold into exclusive offsets inside a
+    single-row array aggregate, which broadcasts back; the running sum
+    within a band partitions by band.  Same two-phase-scan shape as
+    operators/banding.py — no empty-PARTITION-BY window anywhere, so
+    the plan parallelizes at any corpus size.
+    """
+    t = F.col(text_col)
+    d = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(t)).cast("long").alias("n_tokens"),
+        (F.col(id_col).cast("long") - F.pmod(F.col(id_col).cast("long"), band_size))
+        .alias("band"),
+    )
+    band_totals = d.groupBy("band").agg(F.sum("n_tokens").alias("btot"))
+    # exclusive prefix over the (tiny) band summary: sort into one
+    # array, fold carrying the running total — an ordinary aggregate,
+    # not a window
+    arr = F.array_sort(F.collect_list(F.struct("band", "btot")))
+    folded = band_totals.agg(
+        F.aggregate(
+            arr,
+            F.struct(
+                F.lit(0).cast("long").alias("acc"),
+                F.array().cast("array<struct<band:long,off:long>>").alias("out"),
+            ),
+            lambda a, x: F.struct(
+                (a["acc"] + x["btot"]).alias("acc"),
+                F.concat(
+                    a["out"],
+                    F.array(
+                        F.struct(
+                            x["band"].alias("band"), a["acc"].alias("off")
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda a: a["out"],
+        ).alias("offs")
+    ).select(F.explode("offs").alias("o")).select("o.band", "o.off")
+    w = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        d.join(F.broadcast(folded), "band")
+        .withColumn("end", F.col("off") + F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("end") - F.col("n_tokens"))
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.expr(f"start DIV {ctx}"), F.expr(f"(end - 1) DIV {ctx}")
+        )
+    ).alias("chunk_id")
+    return (
+        placed.select("doc_id", "start", "end", chunk)
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.least(F.col("end"), (F.col("chunk_id") + 1) * ctx)
+                - F.greatest(F.col("start"), F.col("chunk_id") * ctx)
+            ).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -2418,3 +2418,194 @@ def injector_synthetic(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+# Word n-gram CTE chain shared by the decontamination / repetition
+# oracles: normalized text -> token list -> space-joined n-grams.
+def _gram_sql(n: int, distinct: bool) -> str:
+    inner = (
+        f"list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return f"""
+    norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    grams AS (
+      SELECT doc_id, {inner} AS g
+      FROM toks WHERE len(t) >= {n})"""
+
+
+@query(
+    "decontaminate_ngram",
+    f"""
+    WITH {_gram_sql(5, distinct=True)},
+    eg AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_doc, gram FROM eg
+      WHERE doc_id % 20 = 0)
+    SELECT e.doc_id,
+           CAST(min(e.n_grams) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT e.gram) AS BIGINT) AS n_contaminated,
+           round(count(DISTINCT e.gram)
+                 / CAST(min(e.n_grams) AS DOUBLE), 6) AS contamination_ratio,
+           CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+    FROM eg e JOIN bench b USING (gram)
+    WHERE e.doc_id % 20 <> 0
+    GROUP BY 1
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    # benchmark decontamination: training docs sharing any word 5-gram
+    # with the held-out slice (doc_id % 20 == 0 plays the eval set).
+    # The benchmark gram set broadcasts; training grams never shuffle
+    # for the membership join.
+    from gnocchi_spark.operators.pipeline import ngram_decontaminate
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(train, bench, n=5)
+
+
+#: per-source keep rates for the mixture-sampling query: five rate
+#: tiers cycling over the 20 synthetic sources.
+_MIXTURE_RATES = {f"src{i}": (i % 5 + 1) / 10 for i in range(20)}
+
+
+def _mixture_case_sql() -> str:
+    from gnocchi_spark.operators.pipeline import mixture_thresholds
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN {t}"
+        for s, t in sorted(mixture_thresholds(_MIXTURE_RATES).items())
+    )
+    return f"CASE source {whens} ELSE 0 END"
+
+
+@query(
+    "sample_domain_mixture",
+    f"""
+    SELECT doc_id, source, lang
+    FROM (SELECT doc_id, source, lang,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS bucket
+          FROM documents)
+    WHERE bucket < {_mixture_case_sql()}
+    """,
+)
+def sample_domain_mixture(spark, sf_dir):
+    # deterministic domain-mixture sampling: per-source keep rates
+    # applied via md5(doc_id) thresholding — map-only, replayable, and
+    # nested across rate sweeps (higher rate keeps a superset).
+    from gnocchi_spark.operators.pipeline import domain_mixture_sample
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return domain_mixture_sample(docs, _MIXTURE_RATES)
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH {_gram_sql(3, distinct=False)}
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dup,
+           round((len(g) - len(list_distinct(g)))
+                 / CAST(len(g) AS DOUBLE), 6) AS dup_ratio
+    FROM grams
+    """,
+)
+def text_repetition(spark, sf_dir):
+    # intra-document repetition: fraction of word 3-grams that repeat
+    # an earlier gram — the boilerplate/looping-text quality signal.
+    # Pure map-side array algebra, zero shuffles.
+    from gnocchi_spark.operators.pipeline import repetition_profile
+
+    return repetition_profile(tables.load(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "tfidf_keywords",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM norm),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * ln((SELECT n FROM n) / d.df) AS tfidf
+      FROM tf t JOIN df d USING (term)),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tfidf, 9) DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords(spark, sf_dir):
+    # top-3 TF-IDF keywords per document; the df table is
+    # vocabulary-sized and broadcasts back onto the tf frame, the
+    # ranking window partitions per doc (no skew, no global sort).
+    from gnocchi_spark.operators.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(tables.load(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "pack_sequences_512",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(array_length(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0),
+    c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS endp
+      FROM d),
+    e AS (SELECT doc_id, CAST(endp - n AS BIGINT) AS startp,
+                 CAST(endp AS BIGINT) AS endp
+          FROM c),
+    x AS (
+      SELECT doc_id, startp, endp,
+             unnest(range(startp // 512, (endp - 1) // 512 + 1)) AS chunk_id
+      FROM e)
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(endp, (chunk_id + 1) * 512)
+                    - greatest(startp, chunk_id * 512)) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM x GROUP BY 1
+    """,
+)
+def pack_sequences_512(spark, sf_dir):
+    # GPT-style concat-and-chunk sequence packing into 512-token
+    # context windows; per-chunk occupancy stats.  The global token
+    # prefix-sum runs as a distributed two-phase scan (per-band
+    # subtotals -> tiny fold -> broadcast), never a global window —
+    # the oracle's single ORDER BY window is exactly the plan this
+    # operator avoids.
+    from gnocchi_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(
+        tables.load(spark, sf_dir, "documents"), ctx=512
+    )
