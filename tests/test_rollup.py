@@ -314,3 +314,128 @@ def test_calendar_granularity(spark):
     # monthly
     rows = {r["bucket_ts"]: r["value"] for r in rollup(df, ["count"], "M").collect()}
     assert rows == {_ts(2015, 1, 1): 1.0, _ts(2015, 3, 1): 1.0, _ts(2015, 8, 1): 1.0}
+
+
+def test_resample_calendar_gabbi_scenario(spark):
+    """Full port of gnocchi/tests/functional/gabbits/resample-calendar.yaml:
+    seven measures rolled up at 1 day, then read-time calendar resample
+    for Y/H/Q/M/W with the scenario's exact expected buckets (the W
+    expectations pin the reference's SUNDAY-start weeks: 2015-03-01 is
+    a Sunday)."""
+    from gnocchi_spark.operators.read import resample_rollup
+
+    measures = spark.createDataFrame(
+        [
+            Row(metric_id="m", ts=_ts(2015, 3, 1, 14, 34, 12), value=10.0),
+            Row(metric_id="m", ts=_ts(2015, 3, 6, 14, 34, 12), value=12.0),
+            Row(metric_id="m", ts=_ts(2015, 4, 1, 14, 34, 12), value=2.0),
+            Row(metric_id="m", ts=_ts(2015, 4, 6, 14, 34, 12), value=4.0),
+            Row(metric_id="m", ts=_ts(2015, 10, 6, 14, 34, 12), value=7.0),
+            Row(metric_id="m", ts=_ts(2016, 1, 6, 14, 34, 12), value=12.0),
+            Row(metric_id="m", ts=_ts(2016, 2, 6, 14, 34, 12), value=4.0),
+        ]
+    )
+    daily = rollup(measures, ["mean"], 86400.0)
+    got_daily = {
+        r["bucket_ts"]: r["value"] for r in daily.collect()
+    }
+    assert got_daily == {
+        _ts(2015, 3, 1): 10.0,
+        _ts(2015, 3, 6): 12.0,
+        _ts(2015, 4, 1): 2.0,
+        _ts(2015, 4, 6): 4.0,
+        _ts(2015, 10, 6): 7.0,
+        _ts(2016, 1, 6): 12.0,
+        _ts(2016, 2, 6): 4.0,
+    }
+
+    expected = {
+        "Y": {_ts(2015, 1, 1): 7.0, _ts(2016, 1, 1): 8.0},
+        "H": {
+            _ts(2015, 1, 1): 7.0,
+            _ts(2015, 7, 1): 7.0,
+            _ts(2016, 1, 1): 8.0,
+        },
+        "Q": {
+            _ts(2015, 1, 1): 11.0,
+            _ts(2015, 4, 1): 3.0,
+            _ts(2015, 10, 1): 7.0,
+            _ts(2016, 1, 1): 8.0,
+        },
+        "M": {
+            _ts(2015, 3, 1): 11.0,
+            _ts(2015, 4, 1): 3.0,
+            _ts(2015, 10, 1): 7.0,
+            _ts(2016, 1, 1): 12.0,
+            _ts(2016, 2, 1): 4.0,
+        },
+        "W": {
+            _ts(2015, 3, 1): 11.0,
+            _ts(2015, 3, 29): 2.0,
+            _ts(2015, 4, 5): 4.0,
+            _ts(2015, 10, 4): 7.0,
+            _ts(2016, 1, 3): 12.0,
+            _ts(2016, 1, 31): 4.0,
+        },
+    }
+    for period, want in expected.items():
+        got = {
+            r["bucket_ts"]: r["value"]
+            for r in resample_rollup(daily, "mean", period).collect()
+        }
+        assert got == want, f"calendar resample {period}"
+
+
+def test_rate_derived_gabbi_scenario(spark):
+    """Port of gnocchi/tests/functional/gabbits/metric-derived.yaml:
+    18 monotone-ish measures at 1-minute granularity; rate:mean,
+    rate:95pct, rate:max and plain max with the scenario's exact
+    expected per-bucket values (rate pre-diffs via lag, so the first
+    raw point contributes no rate sample)."""
+    vals = [
+        ("14:33:00", 10), ("14:34:10", 13), ("14:34:20", 13),
+        ("14:34:30", 15), ("14:34:40", 18), ("14:34:50", 20),
+        ("14:35:00", 22), ("14:35:10", 26), ("14:35:20", 30),
+        ("14:35:30", 31), ("14:35:40", 37), ("14:35:50", 55),
+        ("14:36:00", 62), ("14:36:10", 100), ("14:36:20", 102),
+        ("14:36:30", 103), ("14:36:40", 104), ("14:36:50", 110),
+    ]
+    measures = spark.createDataFrame(
+        [
+            Row(
+                metric_id="m",
+                ts=dt.datetime(2015, 3, 6, *map(int, hms.split(":"))),
+                value=float(v),
+            )
+            for hms, v in vals
+        ]
+    )
+    expected = {
+        "rate:mean": {
+            _ts(2015, 3, 6, 14, 34): 2.0,
+            _ts(2015, 3, 6, 14, 35): 5.833333333333333,
+            _ts(2015, 3, 6, 14, 36): 9.166666666666666,
+        },
+        "rate:95pct": {
+            _ts(2015, 3, 6, 14, 34): 3.0,
+            _ts(2015, 3, 6, 14, 35): 15.0,
+            _ts(2015, 3, 6, 14, 36): 30.25,
+        },
+        "rate:max": {
+            _ts(2015, 3, 6, 14, 34): 3.0,
+            _ts(2015, 3, 6, 14, 35): 18.0,
+            _ts(2015, 3, 6, 14, 36): 38.0,
+        },
+        "max": {
+            _ts(2015, 3, 6, 14, 33): 10.0,
+            _ts(2015, 3, 6, 14, 34): 20.0,
+            _ts(2015, 3, 6, 14, 35): 55.0,
+            _ts(2015, 3, 6, 14, 36): 110.0,
+        },
+    }
+    for method, want in expected.items():
+        got = {
+            r["bucket_ts"]: r["value"]
+            for r in rollup(measures, [method], 60.0).collect()
+        }
+        assert got == pytest.approx(want), f"method {method}"
