@@ -2609,3 +2609,104 @@ def pack_sequences_512(spark, sf_dir):
     return pack_sequences(
         tables.load(spark, sf_dir, "documents"), ctx=512
     )
+
+
+@query(
+    "pretrain_prep_end_to_end",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    train0 AS (SELECT * FROM base WHERE doc_id % 20 <> 0),
+    bench0 AS (SELECT * FROM base WHERE doc_id % 20 = 0),
+    -- stage 1: quality gates (token count, punctuation density)
+    q AS (
+      SELECT t.doc_id, t.source, t.nt,
+             array_length(string_split(t.nt, ' ')) AS n_tokens
+      FROM train0 t
+      JOIN documents d USING (doc_id)
+      WHERE array_length(string_split(t.nt, ' ')) BETWEEN 5 AND 5000
+        AND round(length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                  / length(d.text), 6) < 0.1),
+    -- stage 2: exact dedup, keep min doc_id per normalized text
+    keep AS (SELECT md5(nt) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+    dq AS (SELECT q.* FROM q JOIN keep k ON q.doc_id = k.doc_id),
+    -- stage 3: drop docs sharing any 5-gram with the benchmark slice
+    tg AS (
+      SELECT dq.doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, array_length(string_split(nt, ' ')) - 3),
+               i -> array_to_string((string_split(nt, ' '))[i:i+4], ' ')
+             ))) AS gram
+      FROM dq WHERE array_length(string_split(nt, ' ')) >= 5),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, array_length(string_split(nt, ' ')) - 3),
+               i -> array_to_string((string_split(nt, ' '))[i:i+4], ' ')
+             ))) AS gram
+      FROM bench0 WHERE array_length(string_split(nt, ' ')) >= 5),
+    contaminated AS (
+      SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+    clean AS (
+      SELECT dq.* FROM dq
+      WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    -- stage 4: deterministic mixture sampling by source
+    sampled AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT clean.*,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS bucket
+        FROM clean)
+      WHERE bucket < {{mixture_case}}),
+    -- stage 5: concat-and-chunk packing at 512 tokens
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS endp
+      FROM sampled),
+    e AS (SELECT doc_id, CAST(endp - n_tokens AS BIGINT) AS startp,
+                 CAST(endp AS BIGINT) AS endp
+          FROM c),
+    x AS (
+      SELECT doc_id, startp, endp,
+             unnest(range(startp // 512, (endp - 1) // 512 + 1)) AS chunk_id
+      FROM e)
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(endp, (chunk_id + 1) * 512)
+                    - greatest(startp, chunk_id * 512)) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM x GROUP BY 1
+    """.replace("{mixture_case}", _mixture_case_sql()),
+)
+def pretrain_prep_end_to_end(spark, sf_dir):
+    # The whole pretraining-data-prep pipeline as ONE Spark plan:
+    # quality gates -> exact dedup -> benchmark decontamination (drop
+    # any doc sharing a 5-gram with the held-out slice) -> domain
+    # mixture sampling -> 512-token sequence packing.  Every stage is
+    # the library operator; the composition stays lazy so Catalyst
+    # fuses the map-side gates and reuses the normalized-text scan.
+    from gnocchi_spark.operators.dedup import exact_dedup
+    from gnocchi_spark.operators.pipeline import (
+        domain_mixture_sample,
+        ngram_decontaminate,
+        pack_sequences,
+    )
+    from gnocchi_spark.operators.textstats import punct_ratio, tokens
+
+    t = F.col("text")
+    docs = tables.load(spark, sf_dir, "documents").where(F.length(t) > 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+
+    n_tokens = F.size(tokens(t))
+    gated = train.where(
+        n_tokens.between(5, 5000) & (F.round(punct_ratio(t), 6) < 0.1)
+    )
+    keep = exact_dedup(gated).select(F.col("representative").alias("doc_id"))
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    contaminated = ngram_decontaminate(deduped, bench, n=5).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    sampled = domain_mixture_sample(clean, _MIXTURE_RATES)
+    return pack_sequences(sampled, ctx=512)
