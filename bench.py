@@ -45,6 +45,9 @@ HEADLINE = [
     "ingest_collectd",
     "tsdb_refresh_on_read",
     "maintenance_retention",
+    "decontaminate_ngram",
+    "tfidf_keywords",
+    "pack_sequences_512",
 ]
 
 
@@ -162,10 +165,21 @@ def baseline_section(spark, sf_dir):
     return out
 
 
+def _decontaminate_on(docs):
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.pipeline import ngram_decontaminate
+
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(train, bench, n=5)
+
+
 def scale_stress(spark, sf_dir, factor=10):
     """Judge task: run the heaviest operators at 1x and factor-x and
     record wall growth plus dedup candidate-pair counts vs the N^2 pair
     space — the empirical sub-quadratic claim."""
+    from gnocchi_spark.operators.pipeline import pack_sequences
     from gnocchi_spark.operators.dedup import (
         doc_shingle_arrays,
         lsh_candidate_pairs,
@@ -214,6 +228,10 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: emb_neardup(emb10, bands10, bits10)),
         ("rollup_policy_cascade", lambda: rollup_policy_bench(spark, sf_dir),
          lambda: _rollup_policy_on(_replicated_measures(spark, sf_dir, factor))),
+        ("decontaminate_ngram", lambda: _decontaminate_on(docs1),
+         lambda: _decontaminate_on(docs10)),
+        ("pack_sequences", lambda: pack_sequences(docs1, ctx=512),
+         lambda: pack_sequences(docs10, ctx=512)),
     ]:
         t1, t10 = timed(mk1), timed(mk10)
         queries[name] = {
