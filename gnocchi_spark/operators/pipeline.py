@@ -319,3 +319,182 @@ def pack_sequences(
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def token_histogram_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-histogram quality signals: total tokens,
+    distinct tokens, the most-frequent-token share and mean word
+    length — the raw inputs of Gopher/C4-style heuristic filters
+    (repetition-heavy or vocabulary-collapsed text scores badly on
+    max_token_ratio / type_token_ratio long before a model sees it).
+
+    One explode feeds a (doc, token) partial-aggregated count; the
+    per-document fold is a second, much smaller aggregation on doc id.
+    Every signal derives from that histogram, so the explode is paid
+    once.  No Python, no window.
+    """
+    base = docs.where(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    hist = (
+        base.select("doc_id", F.explode(tokens(F.col("__text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tokens = F.sum("c")
+    return hist.groupBy("doc_id").agg(
+        n_tokens.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(F.max("c") / n_tokens.cast("double"), 6).alias("max_token_ratio"),
+        F.round(F.count("*") / n_tokens.cast("double"), 6).alias("type_token_ratio"),
+        F.round(
+            F.sum(F.length("tok") * F.col("c")) / n_tokens.cast("double"), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100000,
+    min_ttr: float = 0.4,
+    max_top_ratio: float = 0.12,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-rule heuristic gate (Rae et al. 2021 §A1.1 shape): length
+    bounds, type-token-ratio floor, most-frequent-token ceiling and
+    mean-word-length band.  Emits every document with its signals and a
+    0/1 ``passes`` verdict so the caller can either filter or audit the
+    rule mix.  Cost is exactly token_histogram_signals.
+    """
+    sig = token_histogram_signals(docs, id_col, text_col)
+    passes = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("type_token_ratio") >= min_ttr)
+        & (F.col("max_token_ratio") <= max_top_ratio)
+        & (F.col("mean_word_len") >= min_mwl)
+        & (F.col("mean_word_len") <= max_mwl)
+    )
+    return sig.withColumn("passes", passes.cast("int"))
+
+
+def _exclusive_band_offsets(band_totals: DataFrame, value_col: str) -> DataFrame:
+    """(band, total) -> (band, off) exclusive prefix sums, computed by
+    sorting the tiny band summary into one array and folding — an
+    ordinary aggregate, never a global window.  Same two-phase-scan
+    core as pack_sequences; factored out for reuse."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("band"), F.col(value_col).alias("btot")))
+    )
+    return (
+        band_totals.agg(
+            F.aggregate(
+                arr,
+                F.struct(
+                    F.lit(0).cast("long").alias("acc"),
+                    F.array().cast("array<struct<band:long,off:long>>").alias("out"),
+                ),
+                lambda a, x: F.struct(
+                    (a["acc"] + x["btot"]).alias("acc"),
+                    F.concat(
+                        a["out"],
+                        F.array(F.struct(x["band"].alias("band"), a["acc"].alias("off"))),
+                    ).alias("out"),
+                ),
+                lambda a: a["out"],
+            ).alias("offs")
+        )
+        .select(F.explode("offs").alias("o"))
+        .select("o.band", "o.off")
+    )
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: str = "42",
+    id_col: str = "doc_id",
+    key_bands: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard layout:
+    every document gets a position in the md5(seed:id) total order, a
+    round-robin shard assignment and its position within the shard.
+    Rerunning with the same seed reproduces the epoch order bit-for-bit
+    on any cluster size or partitioning — the property a resumable
+    pretraining data loader needs.
+
+    The global rank is a banded two-phase scan: documents band by their
+    key's first byte (uniform by construction, so bands stay balanced
+    at any corpus size), per-band counts fold into exclusive offsets
+    (tiny aggregate), and the within-band rank windows per band — no
+    global ORDER BY window, no single-task sort.  Round-robin sharding
+    (shard = pos % n_shards) keeps shard sizes within 1 of each other,
+    unlike hash-mod sharding whose binomial spread needs rebalancing.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col).alias("doc_id")).withColumn("__k", key)
+    d = d.withColumn(
+        "band",
+        F.pmod(F.conv(F.substring("__k", 1, 2), 16, 10).cast("long"), key_bands),
+    )
+    totals = d.groupBy("band").agg(F.count("*").alias("n"))
+    offs = _exclusive_band_offsets(totals, "n")
+    w = Window.partitionBy("band").orderBy("__k", "doc_id")
+    return (
+        d.join(F.broadcast(offs), "band")
+        .withColumn(
+            "shuffle_pos", (F.col("off") + F.row_number().over(w) - 1).cast("long")
+        )
+        .select(
+            "doc_id",
+            "shuffle_pos",
+            F.pmod(F.col("shuffle_pos"), n_shards).cast("int").alias("shard"),
+            (F.col("shuffle_pos") / n_shards).cast("long").alias("shard_pos"),
+        )
+    )
+
+
+def duplicated_ngram_coverage(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    criterion at word granularity): for each document, the fraction of
+    its distinct word ``n``-grams that also occur in at least one other
+    document.  Pipelines cut or re-weight documents whose coverage
+    exceeds a threshold — it catches long shared boilerplate spans that
+    whole-document hashing misses.
+
+    Scale shape: distinct grams explode once; the document-frequency
+    count partial-aggregates on the gram key (frequent boilerplate
+    grams combine map-side, so skew collapses before the shuffle); the
+    gram->df join is co-partitioned with that aggregation.  Nothing is
+    ever quadratic in corpus size — the pair space is never formed.
+    """
+    grams = (
+        with_token_ngrams(docs, n, text_col, distinct=True)
+        .select(F.col(id_col).alias("doc_id"), F.explode("__grams").alias("gram"))
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.round(
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_coverage"),
+        )
+    )

@@ -2710,3 +2710,99 @@ def pretrain_prep_end_to_end(spark, sf_dir):
     clean = deduped.join(contaminated, "doc_id", "left_anti")
     sampled = domain_mixture_sample(clean, _MIXTURE_RATES)
     return pack_sequences(sampled, ctx=512)
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    hist AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM norm, unnest(string_split(nt, ' ')) AS t(tok)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_token_ratio,
+             round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio,
+             round(sum(length(tok) * c) / CAST(sum(c) AS DOUBLE), 6)
+               AS mean_word_len
+      FROM hist GROUP BY 1)
+    SELECT *,
+           CAST(n_tokens BETWEEN 30 AND 100000
+                AND type_token_ratio >= 0.4
+                AND max_token_ratio <= 0.12
+                AND mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS passes
+    FROM sig
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    # Gopher-style heuristic quality gate: token-histogram signals
+    # (length, type-token ratio, most-frequent-token share, mean word
+    # length) plus the 0/1 rule verdict.  One explode, two
+    # partial-aggregated shuffles; no Python, no window.
+    from gnocchi_spark.operators.pipeline import gopher_quality_filter
+
+    return gopher_quality_filter(tables.load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+               AS shuffle_pos
+      FROM keyed)
+    SELECT doc_id, shuffle_pos,
+           CAST(shuffle_pos % 16 AS INT) AS shard,
+           CAST(shuffle_pos // 16 AS BIGINT) AS shard_pos
+    FROM pos
+    """,
+)
+def corpus_shuffle(spark, sf_dir):
+    # deterministic epoch-order shuffle + round-robin shard layout for
+    # a resumable pretraining loader.  The global md5 rank is a banded
+    # two-phase scan (per-key-byte bands, tiny offset fold, per-band
+    # windows) — the oracle's single global ORDER BY window is exactly
+    # the plan the operator avoids at corpus scale.
+    from gnocchi_spark.operators.pipeline import corpus_shuffle as _shuffle
+
+    return _shuffle(
+        tables.load(spark, sf_dir, "documents"), n_shards=16, seed="42"
+    )
+
+
+@query(
+    "dedup_ngram_coverage",
+    f"""
+    WITH {_gram_sql(8, distinct=True)},
+    eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    dfreq AS (SELECT gram, count(*) AS df FROM eg GROUP BY 1)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_coverage
+    FROM eg e JOIN dfreq d USING (gram)
+    GROUP BY 1
+    """,
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    # exact-substring duplication signal (Lee et al. 2022 criterion at
+    # word granularity): fraction of each document's distinct 8-grams
+    # occurring in >= 2 documents.  Gram df partial-aggregates on the
+    # gram key, so boilerplate skew collapses map-side; the pair space
+    # is never materialized.
+    from gnocchi_spark.operators.pipeline import duplicated_ngram_coverage
+
+    return duplicated_ngram_coverage(
+        tables.load(spark, sf_dir, "documents"), n=8
+    )

@@ -222,3 +222,109 @@ def test_pack_sequences_no_global_window(spark):
 
     docs = _docs(spark, ["a b c", "d e f"])
     assert global_window_lines(pack_sequences(docs, ctx=4)) == []
+
+
+# ---------------------------------------------------------------------------
+# quality rules / corpus shuffle / duplicated-ngram coverage
+# ---------------------------------------------------------------------------
+
+def test_token_histogram_signals_hand_computed(spark):
+    from gnocchi_spark.operators.pipeline import token_histogram_signals
+
+    # "a a a b" -> 4 tokens, 2 distinct, max ratio 0.75, ttr 0.5,
+    # mean word length 1.0
+    out = token_histogram_signals(_docs(spark, ["a a a b"])).collect()[0]
+    assert out["n_tokens"] == 4
+    assert out["n_distinct"] == 2
+    assert out["max_token_ratio"] == 0.75
+    assert out["type_token_ratio"] == 0.5
+    assert out["mean_word_len"] == 1.0
+
+
+def test_gopher_filter_verdict_matches_signals(spark):
+    from gnocchi_spark.operators.pipeline import gopher_quality_filter
+
+    # doc 0: 40 distinct 3-char words -> passes every rule
+    # doc 1: "spam spam ..." -> max_token_ratio 1.0, ttr tiny -> fails
+    # doc 2: too short -> fails the length floor
+    good = " ".join(f"w{i:02d}" for i in range(40))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            _docs(spark, [good, "spam " * 40, "tiny doc"])
+        ).collect()
+    }
+    assert out[0]["passes"] == 1
+    assert out[1]["passes"] == 0 and out[1]["max_token_ratio"] == 1.0
+    assert out[2]["passes"] == 0 and out[2]["n_tokens"] == 2
+
+
+def test_corpus_shuffle_deterministic_total_order(spark):
+    from gnocchi_spark.operators.pipeline import corpus_shuffle
+
+    docs = _docs(spark, [f"doc {i}" for i in range(50)])
+    a = corpus_shuffle(docs, n_shards=4, seed="s1")
+    b = corpus_shuffle(docs, n_shards=4, seed="s1")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    rows = a.collect()
+    # positions are a permutation of 0..49
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(50))
+    # round-robin: shard sizes differ by at most 1; shard/pos derive
+    # from the global position
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert r["shard"] == r["shuffle_pos"] % 4
+        assert r["shard_pos"] == r["shuffle_pos"] // 4
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_corpus_shuffle_seed_changes_order(spark):
+    from gnocchi_spark.operators.pipeline import corpus_shuffle
+
+    docs = _docs(spark, [f"doc {i}" for i in range(50)])
+    a = {r["doc_id"]: r["shuffle_pos"] for r in corpus_shuffle(docs, seed="s1").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in corpus_shuffle(docs, seed="s2").collect()}
+    assert a != b
+
+
+def test_corpus_shuffle_no_global_window(spark):
+    from tests.test_banding import global_window_lines
+
+    from gnocchi_spark.operators.pipeline import corpus_shuffle
+
+    docs = _docs(spark, ["a", "b", "c"])
+    assert global_window_lines(corpus_shuffle(docs)) == []
+
+
+def test_duplicated_ngram_coverage_hand_computed(spark):
+    from gnocchi_spark.operators.pipeline import duplicated_ngram_coverage
+
+    shared = "one two three four"  # the shared 4-gram
+    docs = _docs(
+        spark,
+        [
+            shared + " alpha beta",   # grams: 3, one shared
+            shared + " gamma delta",  # grams: 3, one shared
+            "p q r s t u",            # grams: 3, none shared
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in duplicated_ngram_coverage(docs, n=4).collect()
+    }
+    assert out[0]["n_grams"] == 3 and out[0]["n_dup_grams"] == 1
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_dup_grams"] == 0
+    assert out[0]["dup_coverage"] == round(1 / 3, 6)
+
+
+def test_duplicated_ngram_coverage_counts_doc_once(spark):
+    from gnocchi_spark.operators.pipeline import duplicated_ngram_coverage
+
+    # the repeated gram INSIDE one doc must not count as corpus-level
+    # duplication (distinct grams per doc before the df count)
+    docs = _docs(spark, ["x y x y x y", "unrelated words here four"])
+    out = {
+        r["doc_id"]: r for r in duplicated_ngram_coverage(docs, n=2).collect()
+    }
+    assert out[0]["n_dup_grams"] == 0
