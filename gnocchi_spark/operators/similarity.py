@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -531,3 +531,178 @@ def ivf_train_kmeans(
             )
         )
     return centroids
+
+
+def label_centroid_outliers(
+    vectors: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding outliers: the ``k`` vectors least similar
+    (cosine) to their own group's mean embedding.  The data-curation
+    pass that surfaces mislabeled / off-domain documents before
+    training on a labeled corpus.
+
+    Scale shape: the centroid is ``dim`` ordinary avg aggregates — one
+    partial-aggregated shuffle on the label key, output one row per
+    label — then broadcasts back onto the corpus; scoring is map-side
+    and the ranking window partitions per label.  The corpus never
+    shuffles on anything wider than the label key.
+    """
+    e = F.col(vec_col)
+    sums = vectors.groupBy(label_col).agg(
+        *[F.avg(e[i].cast("double")).alias(f"__c{i}") for i in range(dim)]
+    )
+    cent = sums.select(
+        label_col,
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__centroid"),
+    )
+    scored = vectors.join(F.broadcast(cent), label_col).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(e, F.col("__centroid")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook encode + asymmetric-distance serve
+# ---------------------------------------------------------------------------
+
+
+def pq_deterministic_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: codeword ``j`` of subspace ``s`` is
+    the ``s``-th slice of the corpus vector with id ``j`` (the first
+    ``k`` ids).  The same stand-in-for-k-means convention as the IVF
+    query's first-N centroids — reproducible in SQL, so the whole
+    encode+serve path is oracle-checkable end to end.  Returns
+    codebooks[s][j] = list of dim//m floats (driver-side: k rows).
+    """
+    d = dim // m
+    rows = (
+        vectors.where(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [
+        [[float(x) for x in r[vec_col][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sub(vec: Column, s: int, d: int) -> Column:
+    return F.slice(vec, s * d + 1, d)
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, folded in array order."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codes (argmin squared-distance
+    codeword per subspace; distances rounded to 9 dp before the argmin
+    and ties broken by the lowest code so any engine picks the same
+    codeword).  Map-only — the codebook is a plan literal; output is
+    (id, codes array<int>), an 8-byte-per-vector index at m=8, k<=256.
+    """
+    d = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in w]) for w in cb])
+        dists = F.transform(
+            cb_lit, lambda w: F.round(_d2(_sub(F.col(vec_col), s, d), w), 9)
+        )
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    return vectors.select(
+        F.col(id_col), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ serving: rank corpus vectors per query by asymmetric distance
+    (exact query subvector vs the neighbor's quantized codeword),
+    never touching the original corpus floats at query time.
+
+    Scale shape: the corpus side is the tiny ``codes`` index (m bytes a
+    vector); queries broadcast against it, the per-pair cost is m
+    lookup+add steps (the classic ADC table walk), and ranking windows
+    per query.  The full-precision corpus is read once at encode time,
+    then serving scans only the index — the point of PQ at 100 TB.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in w]) for w in cb])
+            for cb in codebooks
+        ]
+    )
+    approx = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + _d2(
+                F.slice(F.col("__qv"), s * d + 1, d),
+                F.element_at(
+                    F.element_at(cb_lit, s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ),
+        ),
+        6,
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+        .withColumn("adc_dist", approx)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "adc_dist")
+    )

@@ -2806,3 +2806,101 @@ def dedup_ngram_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(
         tables.load(spark, sf_dir, "documents"), n=8
     )
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH c AS (
+      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cx
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY 1, 2),
+    cent AS (SELECT label, list(cx ORDER BY i) AS centroid FROM c GROUP BY 1),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], cent.centroid)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(cent.centroid, cent.centroid))),
+                   5) AS cosine
+      FROM embeddings e JOIN cent USING (label))
+    SELECT label,
+           CAST(row_number() OVER (PARTITION BY label
+                                   ORDER BY cosine, vec_id) AS INT) AS rank,
+           vec_id, cosine
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    # per-label centroid outliers: the 10 vectors least similar to
+    # their own group's mean embedding — the mislabeled/off-domain
+    # curation signal.  Centroid = 64 avg aggregates on the label key
+    # (partial map-side combine), broadcast back; scoring map-side;
+    # ranking windows per label.
+    from gnocchi_spark.operators.similarity import label_centroid_outliers
+
+    return label_centroid_outliers(
+        tables.load(spark, sf_dir, "embeddings"), k=10
+    )
+
+
+@query(
+    "ann_pq_topk",
+    """
+    WITH cw AS (
+      SELECT s, e.vec_id AS j,
+             list_transform(e.embedding[s*8+1 : s*8+8],
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings e, range(0, 8) t(s) WHERE e.vec_id < 16),
+    sub AS (
+      SELECT v.vec_id, s,
+             list_transform(v.embedding[s*8+1 : s*8+8],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings v, range(0, 8) t(s)),
+    dists AS (
+      SELECT sub.vec_id, sub.s, cw.j,
+             round(list_sum(list_transform(range(1, 9),
+                     i -> (sub.sv[i] - cw.c[i]) ** 2)), 9) AS d2
+      FROM sub JOIN cw ON sub.s = cw.s),
+    enc AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, j) AS rn
+            FROM dists)
+      WHERE rn = 1),
+    terms AS (
+      SELECT qs.vec_id AS query_id, enc.vec_id AS neighbor_id, qs.s,
+             list_sum(list_transform(range(1, 9),
+               i -> (qs.sv[i] - cw.c[i]) ** 2)) AS t
+      FROM sub qs
+      JOIN enc ON enc.s = qs.s AND enc.vec_id != qs.vec_id
+      JOIN cw ON cw.s = enc.s AND cw.j = enc.code
+      WHERE qs.vec_id < 10),
+    adc AS (
+      SELECT query_id, neighbor_id, round(sum(t), 6) AS adc_dist
+      FROM terms GROUP BY 1, 2)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS INT)
+             AS rank,
+           neighbor_id, adc_dist
+    FROM adc
+    QUALIFY rank <= 5
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    # product-quantization ANN: 8 subspaces x 16 codewords
+    # (deterministic codebooks = subvectors of the first 16 corpus
+    # ids, the IVF first-N-centroids convention), corpus encoded to 8
+    # codes/vector, queries served by asymmetric distance against the
+    # codewords alone.  The oracle reproduces encode AND serve, so the
+    # hash match checks the full PQ pipeline.
+    from gnocchi_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_deterministic_codebooks,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_deterministic_codebooks(emb, m=8, k=16, dim=64)
+    return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), cbs, k=5)

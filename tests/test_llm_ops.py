@@ -335,3 +335,68 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
     assert len(fp[4]) == 1
     assert len(fp[5]) == 0
+
+
+# ---------------------------------------------------------------------------
+# label-centroid outliers + product quantization
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_label_centroid_outliers_finds_planted_outlier(spark):
+    from gnocchi_spark.operators.similarity import label_centroid_outliers
+
+    # label 0: three near-identical vectors + one opposite-direction
+    # outlier; the outlier must rank first (least similar to centroid)
+    base = [1.0, 0.5] + [0.0] * 62
+    rows = [
+        (0, [v + 0.01 * i for i, v in enumerate(base)], 0),
+        (1, [v + 0.02 for v in base], 0),
+        (2, base, 0),
+        (3, [-v for v in base], 0),
+    ]
+    out = label_centroid_outliers(_vecs(spark, rows), k=2).collect()
+    assert [r["vec_id"] for r in out if r["rank"] == 1] == [3]
+
+
+def test_pq_encode_codebook_vectors_self_code(spark):
+    from gnocchi_spark.operators.similarity import (
+        pq_deterministic_codebooks,
+        pq_encode,
+    )
+
+    # deterministic corpus: 16 distinct vectors -> codebooks ARE their
+    # subvectors, so vector j must encode to code j in every subspace
+    rows = [
+        (i, [float((i * 7 + j * 3) % 23) - 11.0 for j in range(64)], 0)
+        for i in range(16)
+    ]
+    df = _vecs(spark, rows)
+    cbs = pq_deterministic_codebooks(df, m=8, k=16, dim=64)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(df, cbs).collect()}
+    for i in range(16):
+        assert enc[i] == [i] * 8, f"vector {i} encoded as {enc[i]}"
+
+
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    from gnocchi_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_deterministic_codebooks,
+    )
+
+    # 20 spread-out vectors; vector 17 duplicates vector 3 -> ADC
+    # distance 0 between them, so each must rank the other first
+    rows = [
+        (i, [float((i * 11 + j * 5) % 17) - 8.0 for j in range(64)], 0)
+        for i in range(17)
+    ]
+    rows.append((17, rows[3][1], 0))
+    df = _vecs(spark, rows)
+    cbs = pq_deterministic_codebooks(df, m=8, k=16, dim=64)
+    out = pq_adc_topk(df, df.where(F.col("vec_id") == 17), cbs, k=3).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 3 and top["adc_dist"] == 0.0
