@@ -46,8 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query correctness window covers every operator
+    family (see queries.CHECK_ORDER; the tail is verified by
+    tools/check_oracle.py, full-78 results committed per round)."""
+    return _q.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

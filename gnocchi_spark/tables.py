@@ -25,14 +25,31 @@ TABLES = (
 )
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (ltz).
+
+    Parquet timestamps written with isAdjustedToUTC=false arrive as
+    TIMESTAMP_NTZ under Spark 4's NTZ inference, and time functions like
+    ``unix_micros`` reject NTZ.  Under the engine's UTC session the cast
+    is value-preserving (NTZ wall-clock == UTC instant), and it also
+    round-trips through ``toPandas`` in any session timezone because
+    cast-in and render-out use the same zone.
+    """
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot map
-        # to TimestampType; with spark.sql.legacy.parquet.nanosAsLong it
-        # arrives as a long of nanoseconds.  Convert to Spark's native
-        # us-precision timestamp (the driver data is us-aligned, so this
-        # is lossless here; SURVEY.md §1.2 documents the ns->us policy).
+        # events.ts has been parquet TIMESTAMP(NANOS) in some testdata
+        # generations, which Spark 4 cannot map to TimestampType; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
+        # nanoseconds.  Convert to Spark's native us-precision timestamp
+        # (the driver data is us-aligned, so this is lossless here;
+        # SURVEY.md §1.2 documents the ns->us policy).
         if dict(df.dtypes).get("ts") == "bigint":
             # integral division: `/` would go through double, whose
             # 53-bit mantissa cannot hold ns epochs (~1.7e18) — raw
@@ -40,7 +57,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-    return df
+    return normalize_timestamps(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -64,7 +81,7 @@ def events_as_measures(
     import datetime as _dt
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw_ns = dict(df.dtypes).get("ts") == "bigint"
+    ts_type = dict(df.dtypes).get("ts")
 
     def _ns(x):
         if isinstance(x, str):
@@ -73,17 +90,25 @@ def events_as_measures(
             x = x.replace(tzinfo=_dt.timezone.utc)
         return int(x.timestamp() * 1_000_000_000)
 
-    if raw_ns:
+    if ts_type == "bigint":
         if start is not None:
             df = df.where(F.col("ts") >= F.lit(_ns(start)))
         if stop is not None:
             df = df.where(F.col("ts") < F.lit(_ns(stop)))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
+        # Filter on the column's OWN type before any cast: an NTZ column
+        # compared to an NTZ literal (constant-folded from the cast below)
+        # stays a plain scan predicate, so parquet row-group min/max
+        # skipping still applies.  Casting the column first would wrap the
+        # scan column in a timezone-dependent expression Catalyst cannot
+        # push down.
+        lit_type = "timestamp_ntz" if ts_type == "timestamp_ntz" else "timestamp"
         if start is not None:
-            df = df.where(F.col("ts") >= F.lit(start).cast("timestamp"))
+            df = df.where(F.col("ts") >= F.lit(start).cast(lit_type))
         if stop is not None:
-            df = df.where(F.col("ts") < F.lit(stop).cast("timestamp"))
+            df = df.where(F.col("ts") < F.lit(stop).cast(lit_type))
+        df = normalize_timestamps(df)
     return df.select(
         F.col("event_type").alias("metric_id"),
         F.col("ts"),
