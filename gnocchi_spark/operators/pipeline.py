@@ -498,3 +498,77 @@ def duplicated_ngram_coverage(
             ).alias("dup_coverage"),
         )
     )
+
+
+def span_dedup_profile(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 20,
+) -> DataFrame:
+    """Span-level exact duplication profile (the fixed-window form of
+    paragraph dedup a la C4/RefinedWeb: documents here are single-block
+    text, so "paragraph" = consecutive ``span_words``-word windows).
+
+    Per document: number of spans, number of spans whose exact text
+    occurs more than once anywhere in the corpus, and the duplicated
+    fraction.  Downstream consumers drop or rewrite documents whose
+    dup_ratio exceeds a policy threshold.
+
+    Scale shape: chunking is map-only array algebra; duplication counts
+    are ONE shuffle keyed by span hash (a window count, partial-agg
+    friendly since identical spans co-locate), and the per-doc re-agg is
+    a second shuffle keyed by doc.  Nothing is ever quadratic; the
+    frequent-span skew (e.g. boilerplate) lands on single keys where
+    AQE skew-split applies.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(doc_id), F.posexplode(spans).alias("pos", "span")
+    ).withColumn("span_hash", F.md5(F.col("span")))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    counted = exploded.withColumn("occ", occ)
+    return counted.groupBy(doc_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_spans"),
+        F.round(
+            F.sum((F.col("occ") > 1).cast("double")) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): no lookaround, no backrefs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns=PII_PATTERNS,
+) -> DataFrame:
+    """Detect-and-mask PII spans (emails, IPv4s, phone-shaped numbers).
+
+    Adds one ``n_<kind>`` count per pattern plus ``redacted`` with all
+    matches replaced by their tags, applied in patterns order (email
+    before ip before phone so partial overlaps resolve identically
+    everywhere).  Map-only — counts and replacement are per-row JVM
+    regex; no shuffle at any scale.
+    """
+    out = docs
+    red = F.col(text_col)
+    for kind, pat, tag in patterns:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)

@@ -706,3 +706,69 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "adc_dist")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare pairs
+    ONLY within a cluster; a vector is dropped when some same-cluster
+    vector with a smaller id is more similar than ``threshold``.
+
+    Returns one row per corpus vector: (vec_id, cluster_id, keep,
+    dup_of, dup_cosine) — dup_of is the smallest qualifying earlier id
+    (deterministic representative), NULL when kept.
+
+    Scale shape: this is the cluster-bounded quadratic that makes
+    SemDeDup tractable — pair volume is sum(|cluster|^2), controlled by
+    scaling n_clusters with corpus size so |cluster| stays bounded
+    (~sqrt-N clusters at 100 TB); the cluster equi-join shuffles each
+    side once on cluster_id and AQE splits skewed clusters.  Centroids
+    here are the deterministic first-k convention (ivf_cosine_topk) so
+    the DuckDB oracle can replay the assignment; swap ivf_train_kmeans
+    in production.
+    """
+    from pyspark.sql import Window
+
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+    members = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "centroid_id"
+    )
+    a = members.select(
+        F.col("vid").alias("a_id"), F.col("v").alias("av"), "centroid_id"
+    )
+    b = members.select(
+        F.col("vid").alias("b_id"), F.col("v").alias("bv"), "centroid_id"
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("b_id") < F.col("a_id"))
+        .withColumn("pcos", F.round(cosine(F.col("av"), F.col("bv")), 5))
+        .where(F.col("pcos") > F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("b_id").asc())
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("vid"),
+            F.col("b_id").alias("dup_of"),
+            F.col("pcos").alias("dup_cosine"),
+        )
+    )
+    return members.join(best, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        "dup_cosine",
+    )

@@ -2906,6 +2906,271 @@ def ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), cbs, k=5)
 
 
+@query(
+    "asof_join_nearest",
+    """
+    WITH lo AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+               AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT e.event_id, e.user_id, e.ts, b.o_orderdate AS order_ts,
+           b.o_orderkey AS order_key, round(b.o_totalprice, 2) AS order_total
+    FROM events e
+    LEFT JOIN (SELECT * FROM lo WHERE rn = 1) b USING (event_id)
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    # as-of join (merge_asof / DuckDB ASOF JOIN semantics): each event
+    # picks up the user's most recent order at-or-before the event time.
+    # Spark plan is the union+running-last form — one shuffle, never a
+    # range-join row explosion (operators/asof.py docstring).  The
+    # oracle's windowed formulation (not ASOF JOIN) pins the same
+    # (o_orderdate, o_orderkey) tie-break so the hash is deterministic.
+    from gnocchi_spark.operators.asof import asof_join
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+        matched_ts_col="order_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "order_ts",
+        F.col("o_orderkey").alias("order_key"),
+        F.round("o_totalprice", 2).alias("order_total"),
+    )
+
+
+@query(
+    "sessionize_gap",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+             AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM s2 GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap(spark, sf_dir):
+    # gap-based sessionization (30-min inactivity gap), one row per
+    # session with start/end/duration/count/value-sum.  Single shuffle
+    # on user_id; the batch twin of Structured Streaming's
+    # session_window.
+    from gnocchi_spark.operators.asof import session_stats
+
+    ev = tables.load(spark, sf_dir, "events")
+    out = session_stats(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        gap_seconds=1800.0,
+        value_col="value",
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+@query(
+    "dedup_span_exact",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(
+               1, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+      FROM w),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(words[((i - 1) * 10 + 1):(i * 10)], ' ') AS span
+      FROM idx),
+    c AS (SELECT *, count(*) OVER (PARTITION BY span) AS occ FROM spans)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def dedup_span_exact(spark, sf_dir):
+    # span-level exact dedup profile: 10-word windows hashed across the
+    # corpus; per doc, how many of its spans occur more than once
+    # anywhere (C4-style paragraph dedup, fixed-window form).
+    from gnocchi_spark.operators.pipeline import span_dedup_profile
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return span_dedup_profile(docs, span_words=10)
+
+
+@query(
+    "pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 > 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' ping 10.' || (doc_id % 250)::VARCHAR || '.0.1'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 < 4
+                     THEN ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS INT)
+             AS n_phone,
+           CAST(length(redacted) AS INT) AS red_len,
+           md5(redacted) AS red_md5
+    FROM red
+    """,
+)
+def pii_redact(spark, sf_dir):
+    # PII detect-and-mask over deterministically augmented text (the
+    # synthetic corpus contains no PII, so emails/IPv4s/phone numbers
+    # derived from doc_id are appended on BOTH sides; ~1/3 of docs lack
+    # each kind, exercising the zero-match path).  The md5 of the
+    # redacted text proves byte-identical masking between Java regex
+    # and RE2.  Map-only — no shuffle at any scale.
+    from gnocchi_spark.operators.pipeline import pii_redact as _pii
+
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" ping 10."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 < 4,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = _pii(aug, text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.length("redacted").cast("int").alias("red_len"),
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    sm AS (
+      SELECT e.vec_id AS vid, e.embedding AS v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a="e.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN cent c),
+    m AS (SELECT vid, v, centroid_id FROM sm WHERE rn = 1),
+    p AS (
+      SELECT a.vid AS a_id, b.vid AS b_id,
+             round({_COS.format(a="a.v", b="b.v")}, 5) AS pcos
+      FROM m a JOIN m b USING (centroid_id) WHERE b.vid < a.vid),
+    q AS (SELECT * FROM p WHERE pcos > 0.4),
+    best AS (
+      SELECT a_id, b_id AS dup_of, pcos AS dup_cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY b_id) AS rn
+      FROM q)
+    SELECT m.vid AS vec_id, m.centroid_id AS cluster_id,
+           (b.dup_of IS NULL) AS keep, b.dup_of, b.dup_cosine
+    FROM m LEFT JOIN (SELECT a_id, dup_of, dup_cosine FROM best WHERE rn = 1) b
+      ON m.vid = b.a_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    # SemDeDup (cluster-then-compare semantic dedup): pairs are scored
+    # only within a cluster, so the quadratic is bounded by cluster
+    # size; drop rule = an earlier same-cluster vector with cosine >
+    # 0.4 (the corpus's near-dup planting threshold).
+    from gnocchi_spark.operators.similarity import semantic_dedup
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
@@ -2930,16 +3195,15 @@ CHECK_ORDER = [
     "tsdb_rate_mean_1h",
     "tsdb_resample_5m_to_1h",
     "tsdb_calendar_week",
-    "tsdb_calendar_sunday_week",
     # §2.2 scan/store + read paths
     "tsdb_read_window",
     "tsdb_multi_granularity_read",
     "tsdb_refresh_on_read",
-    # §2.4 operations DSL (one per construct family; variants in tail)
+    # §2.4 operations DSL (one per construct family; variants in tail —
+    # the aggregate and rate-of-change forms are exercised inside the
+    # checked aggregates_api_end_to_end / tsdb_rate_mean_1h rows)
     "tsdb_ops_arith_fill0",
-    "tsdb_ops_aggregate_mean",
     "tsdb_ops_rolling_mean4",
-    "tsdb_ops_rateofchangesec",
     "tsdb_ops_clip_compare",
     # §2.5 alignment/fill
     "tsdb_fill_ffill",
@@ -2961,20 +3225,23 @@ CHECK_ORDER = [
     "ingest_statsd_flush",
     "ingest_collectd",
     "ingest_prometheus_wire",
-    "injector_synthetic",
     # §2.2/§2.10 maintenance + policy + streaming-adjacent
     "maintenance_retention",
     "maintenance_inactivity",
     "metric_backlog",
     "policy_rule_assignment",
-    # OLAP flagship
+    # OLAP flagship + time-series relational ops Spark lacks natively
     "tpch_q1_pricing_summary",
+    "asof_join_nearest",
+    "sessionize_gap",
     # LLM-pipeline first-class ops
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_span_exact",
+    "pii_redact",
     "text_quality_by_lang",
     "pipeline_corpus_filter",
     "pack_sequences_512",
