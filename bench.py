@@ -48,6 +48,11 @@ HEADLINE = [
     "decontaminate_ngram",
     "tfidf_keywords",
     "pack_sequences_512",
+    "asof_join_nearest",
+    "sessionize_gap",
+    "dedup_span_exact",
+    "pii_redact",
+    "dedup_semantic",
 ]
 
 

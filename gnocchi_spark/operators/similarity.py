@@ -45,6 +45,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sql_dot(a: str, b: str, dim: int) -> str:
+    """SQL text for the positional dot product of two fixed-``dim``
+    array columns.  Bit-identical to ``dot`` (cast-to-double per
+    element, left-to-right fold) but plain arithmetic: stays inside
+    whole-stage codegen instead of the interpreted higher-order-function
+    path, and builds in one expr() parse instead of hundreds of py4j
+    Column round-trips — both matter once expressions touch millions of
+    candidate pairs."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def sql_norm(a: str, dim: int) -> str:
+    """SQL text for the L2 norm of a fixed-``dim`` array column;
+    bit-identical to ``norm`` (see sql_dot)."""
+    return "sqrt(" + sql_dot(a, a, dim) + ")"
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-length copy of an array<float/double> column (double out)."""
     n = norm(a)
@@ -398,27 +418,54 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest centroids by
     cosine (ties: lower centroid id).
 
-    The centroid table is tiny and broadcast; assignment is a
-    broadcast nested-loop scored map-side then a per-vector top-N —
-    the corpus itself never shuffles by anything but its own id.
+    The centroid table is tiny (k rows — an IVF codebook, not data), so
+    it is collected once and inlined as literal arrays: assignment
+    becomes a per-row argmax expression — MAP-ONLY, zero shuffle, zero
+    join.  The previous form (broadcast cross-join + row_number window)
+    shuffled the entire corpus by vector id just to rank k candidate
+    scores per row; at 100 TB that window exchange dominated the whole
+    ANN plan.  Scores round to 6 dp before ranking (oracle parity with
+    the DuckDB replay, same as the window form used).
     """
-    from pyspark.sql import Window
+    import math
 
-    c = F.broadcast(
-        centroids.select(
-            F.col("centroid_id"), F.col("centroid").alias("_cv")
+    rows = centroids.select("centroid_id", "centroid").collect()
+    if not rows:
+        raise ValueError("centroids is empty")
+
+    # The whole argmax is generated as ONE SQL string and parsed
+    # JVM-side: composing ~1000 Column objects through py4j costs ~10 s
+    # of driver round-trips, while one expr() call is milliseconds.
+    # Plain arithmetic (no higher-order functions) keeps it inside
+    # whole-stage codegen, where the 8 textually-repeated vector-norm
+    # subtrees collapse via subexpression elimination.
+    #
+    # Bit parity with the zip_with/aggregate form this replaces (which
+    # the DuckDB oracles replay): every sum folds left-to-right with
+    # elements cast to double first, and centroid norms fold
+    # sequentially in Python — identical IEEE operation sequences.
+    dim = len(rows[0]["centroid"])
+    elem = [f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)]
+    vnorm_sql = sql_norm(vec_col, dim)
+    entries = []
+    for r in rows:
+        ws = [float(x) for x in r["centroid"]]
+        cn = 0.0
+        for x in ws:
+            cn += x * x
+        dot_sql = " + ".join(f"{e} * {w!r}D" for e, w in zip(elem, ws))
+        score = f"round(({dot_sql}) / ({vnorm_sql} * {math.sqrt(cn)!r}D), 6)"
+        entries.append(
+            f"named_struct('negscore', -({score}), "
+            f"'cid', {int(r['centroid_id'])})"
         )
+    # struct sort: negscore asc == cosine desc, then centroid id asc
+    ranked = F.expr("sort_array(array(" + ", ".join(entries) + "))")
+    picks = F.transform(
+        F.slice(ranked, 1, min(n_probe, len(rows))), lambda s: s["cid"]
     )
-    scored = vectors.crossJoin(c).withColumn(
-        "_cscore", F.round(cosine(F.col(vec_col), F.col("_cv")), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .where(F.col("_crank") <= n_probe)
-        .select(id_col, vec_col, "centroid_id")
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(picks).alias("centroid_id")
     )
 
 
@@ -740,19 +787,42 @@ def semantic_dedup(
         .limit(n_clusters)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
     )
-    members = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "centroid_id"
+    dim = len(corpus.select(vec_col).first()[0])
+    # per-side norms computed once BEFORE the pair join (|pairs| >>
+    # |members|), and all vector math on the codegen sql_dot path —
+    # same bits as cosine(), ~10x the throughput on the pair stage
+    members = (
+        ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+        .select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "centroid_id"
+        )
+        .withColumn("vn", F.expr(sql_norm("v", dim)))
     )
+    # The pair join's key space is only n_clusters values, which caps
+    # join parallelism at n_clusters tasks (AQE won't split them: the
+    # partitions are many small rows, not oversized bytes).  Salt the
+    # A side and replicate the B side so the quadratic scoring spreads
+    # over n_clusters * SALT tasks; output pairs are identical.
+    SALT = 8
     a = members.select(
-        F.col("vid").alias("a_id"), F.col("v").alias("av"), "centroid_id"
-    )
+        F.col("vid").alias("a_id"), F.col("v").alias("av"),
+        F.col("vn").alias("an"), "centroid_id",
+    ).withColumn("__salt", F.pmod(F.hash("a_id"), F.lit(SALT)))
     b = members.select(
-        F.col("vid").alias("b_id"), F.col("v").alias("bv"), "centroid_id"
+        F.col("vid").alias("b_id"), F.col("v").alias("bv"),
+        F.col("vn").alias("bn"), "centroid_id",
+    ).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
     )
     pairs = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "__salt"])
         .where(F.col("b_id") < F.col("a_id"))
-        .withColumn("pcos", F.round(cosine(F.col("av"), F.col("bv")), 5))
+        .withColumn(
+            "pcos",
+            F.round(
+                F.expr(sql_dot("av", "bv", dim)) / (F.col("an") * F.col("bn")), 5
+            ),
+        )
         .where(F.col("pcos") > F.lit(float(threshold)))
     )
     w = Window.partitionBy("a_id").orderBy(F.col("b_id").asc())
