@@ -355,3 +355,55 @@ def read_with_tail(
         how="left_anti",
     )
     return base.unionByName(tail.select(*cols))
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.asof.session_stats``: gap-based
+    session windows via Spark's native ``session_window`` aggregation.
+
+    The watermark bounds session state exactly like back_window bounds
+    bucket state in streaming_rollup: a session closes (and, in append
+    mode, emits exactly once) when the watermark passes its end + gap.
+    State is keyed (key, session), uniform per key — no hot-key risk
+    beyond the key distribution itself.
+
+    Semantics note vs the batch operator: ``session_window`` starts a
+    new session when the gap is STRICTLY exceeded only after
+    [start, last+gap) closes, i.e. a point at exactly last+gap opens a
+    new session, where the batch operator keeps it (diff > gap).  The
+    batch golden test pins the batch rule; this one pins Spark's,
+    matching the reference's tolerance for boundary drift between
+    batch/stream paths (carbonara BoundTimeSerie vs AggregatedTimeSerie
+    rounding).
+    """
+    w = stream.withWatermark(ts_col, watermark)
+    gap = f"{gap_seconds} seconds"
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return (
+        w.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("session.start").alias("window_start"),
+            "session_start",
+            "session_end",
+            "n_events",
+            *(["value_sum"] if value_col else []),
+        )
+    )

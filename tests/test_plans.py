@@ -1,0 +1,82 @@
+"""Physical-plan regression sweep over the whole query catalog.
+
+Round-1 verdict flagged two scale anti-patterns (all-pairs joins and
+empty-partition windows).  Rather than guarding individual queries,
+this sweeps every registered query at sf0.001 and asserts neither
+pattern can creep back in.  Plans are built and optimized but not
+executed, so the sweep stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gnocchi_spark.queries import QUERIES
+
+# Queries allowed to carry a broadcast nested-loop join: the
+# broadcast side is provably tiny (a handful of query vectors or
+# literal codebooks), which is the sanctioned pattern for top-k
+# serving — NOT a data-x-data cartesian.
+BNL_ALLOWED = {
+    "ann_cosine_topk",  # broadcast 10 query vectors against the corpus
+    "ann_pq_topk",      # same shape: broadcast probe set, corpus streams
+    "tfidf_keywords",   # broadcast 1-row corpus-size scalar (cross)
+}
+
+# Queries allowed a global (empty partitionBy) window: single-series
+# ops-DSL reads on an already-aggregated frame whose size is bounded
+# by the policy's point count, documented in operators/banding.py.
+GLOBAL_WINDOW_ALLOWED: set[str] = set()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_no_unexpected_nested_loop_joins(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNL_ALLOWED
+    ]
+    assert not bad, f"unexpected nested-loop join in: {bad}"
+
+
+def test_no_empty_partition_windows(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if _has_global_window(p) and n not in GLOBAL_WINDOW_ALLOWED
+    ]
+    assert not bad, f"empty-partition window in: {bad}"
+
+
+def _has_global_window(plan: str) -> bool:
+    # A physical Window node prints "Window [funcs], [partition], [order]".
+    # Empty lists are omitted, so two-group nodes are ambiguous: the
+    # second group is either a partition list (unsorted window — fine)
+    # or an order list (GLOBAL sorted window — the scale hazard).  Order
+    # expressions always carry a sort direction, so the second group is
+    # an order list iff it contains ASC/DESC.
+    for line in plan.splitlines():
+        s = line.strip()
+        while s[:1] in "+-*: (":
+            s = s[1:].strip()
+        if not s.startswith("Window "):
+            continue
+        groups = s.split("], [")
+        if len(groups) == 1:
+            return True  # no partition, no order: global
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            return True  # second group is a sort spec -> empty partition
+    return False

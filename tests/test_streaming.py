@@ -235,3 +235,43 @@ def test_influx_lines_stream_to_rollup(spark, dirs):
     assert got[("h1/cpu.value", 0)] == (10.0, 1)
     assert got[("h1/cpu.value", 5)] == (20.0, 1)
     assert got[("h2/cpu.value", 0)] == (5.0, 1)
+
+
+def test_streaming_session_window(spark, dirs, tmp_path):
+    # sessions per metric with a 60 s gap: m1 has two sessions (break
+    # at 14:10), m2 one; the closing point at 14:20 advances the
+    # watermark past every session end + gap so append mode emits all
+    rows = [
+        ("m1", _t(0, 0), 1.0, 1),
+        ("m1", _t(0, 30), 2.0, 2),
+        ("m1", _t(1, 20), 3.0, 3),   # 50 s gap: same session
+        ("m1", _t(10, 0), 4.0, 4),   # new session
+        ("m2", _t(0, 0), 5.0, 5),
+        ("m9", _t(20, 0), 0.0, 6),   # watermark pusher
+    ]
+    _write_batch(spark, dirs["landing"], rows)
+    stream = si.read_measures_stream(spark, dirs["landing"])
+    agg = si.streaming_session_stats(
+        stream, ["metric_id"], gap_seconds=60.0, watermark="0 seconds",
+        value_col="value",
+    )
+    out_dir = str(tmp_path / "sessions")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["metric_id"], r["session_start"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    s1 = got[("m1", _t(0, 0))]
+    assert s1["n_events"] == 3 and s1["value_sum"] == 6.0
+    assert s1["session_end"] == _t(1, 20)
+    s2 = got[("m1", _t(10, 0))]
+    assert s2["n_events"] == 1 and s2["value_sum"] == 4.0
+    assert ("m2", _t(0, 0)) in got
