@@ -200,12 +200,13 @@ def jaccard_pairs_arrays(
     )
 
 
-def lsh_candidate_pairs(
+def band_long(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Band the signature and self-join on band keys: docs agreeing on
-    any full band become candidate pairs (classic MinHash-LSH banding).
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    """Long-form LSH band table (doc_id, band, key) — one row per
+    (doc, band), key = md5 over the band's signature slice.  This is the
+    layout a production pipeline PERSISTS as its dedup index (bucketed
+    by key, so an incremental batch joins with zero index shuffle)."""
     n_bands = num_hashes // band_size
     bands = [
         F.md5(
@@ -215,7 +216,7 @@ def lsh_candidate_pairs(
         ).alias("band_key")
         for b in range(n_bands)
     ]
-    long = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
@@ -224,6 +225,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on band keys: docs agreeing on
+    any full band become candidate pairs (classic MinHash-LSH banding).
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    long = band_long(signatures, num_hashes, band_size)
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(
@@ -558,4 +568,66 @@ def near_dup_clusters(
         "cluster_id",
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def incremental_minhash_matches(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    sig_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup lookup: match a NEW batch of documents
+    against an already-indexed corpus — the shape a production 100-TB
+    pipeline actually runs (nobody re-deduplicates the whole corpus per
+    ingest; they keep a band index and stream batches against it).
+
+    Candidates come from an equi-join of the batch's band keys against
+    the corpus band table (``band_long`` — persisted+bucketed by key in
+    production, making this join shuffle-free on the index side).
+    Verification uses SIGNATURE agreement (fraction of matching minhash
+    positions, an unbiased Jaccard estimator) rather than exact shingle
+    Jaccard, because the index stores 16 ints per corpus doc — the
+    original corpus text is never re-read.
+
+    Returns (new_id, corpus_id, sig_est) for matches with
+    ``sig_est >= sig_threshold``.
+    """
+    def sigs(d: DataFrame) -> DataFrame:
+        arrays = with_hash_words(doc_shingle_arrays(d, text_col, id_col, k))
+        return minhash_signatures_arrays(arrays, num_hashes)
+
+    new_sigs = sigs(new_docs)
+    corpus_sigs = sigs(corpus_docs)  # production: read from the stored index
+
+    nb = band_long(new_sigs, num_hashes, band_size).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    ob = band_long(corpus_sigs, num_hashes, band_size).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    cand = nb.join(ob, ["band", "key"]).select("new_id", "corpus_id").distinct()
+
+    a = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{i}").alias(f"na{i}") for i in range(num_hashes)],
+    )
+    b = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"h{i}").alias(f"nb{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        term = (F.col(f"na{i}") == F.col(f"nb{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("sig_est")
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select("new_id", "corpus_id", est)
+        .where(F.col("sig_est") >= F.lit(float(sig_threshold)))
     )

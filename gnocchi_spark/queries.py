@@ -3171,6 +3171,67 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(emb, n_clusters=8, threshold=0.4)
 
 
+_INC_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d)"
+    " AS key FROM sig" % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+    for b in range(4)
+)
+
+
+@query(
+    "dedup_incremental_minhash",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
+    ab AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS a,
+             CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) | 1 AS b
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min((a + {i} * b) % 2147483647) AS h{i}" for i in range(16))}
+      FROM ab GROUP BY doc_id),
+    bands AS ({_INC_BANDS}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+      FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+    SELECT c.new_id, c.corpus_id,
+           round(({" + ".join(
+               f"CASE WHEN sn.h{i} = so.h{i} THEN 1 ELSE 0 END"
+               for i in range(16)
+           )}) / 16.0, 6) AS sig_est
+    FROM cand c
+    JOIN sig sn ON sn.doc_id = c.new_id
+    JOIN sig so ON so.doc_id = c.corpus_id
+    WHERE ({" + ".join(
+        f"CASE WHEN sn.h{i} = so.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    )}) / 16.0 >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    # incremental ingest dedup: odd doc_ids play the NEW batch, even
+    # ids the already-indexed corpus; candidates via band-key equi-join
+    # against the (persistable) band index, verified by minhash
+    # signature agreement — the corpus text is never re-read.
+    from gnocchi_spark.operators.dedup import incremental_minhash_matches
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = incremental_minhash_matches(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        num_hashes=16,
+        band_size=4,
+        sig_threshold=0.5,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("sig_est", 6).alias("sig_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
@@ -3241,8 +3302,8 @@ CHECK_ORDER = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_span_exact",
+    "dedup_incremental_minhash",
     "pii_redact",
-    "text_quality_by_lang",
     "pipeline_corpus_filter",
     "pack_sequences_512",
     "ann_lsh_topk",

@@ -71,3 +71,28 @@ def test_semantic_dedup_drop_rule(spark):
     assert out[11]["keep"]  # same cluster as 1 but below threshold
     # every corpus vector gets exactly one verdict row
     assert len(out) == 4
+
+
+def test_incremental_minhash_matches(spark):
+    from gnocchi_spark.operators.dedup import incremental_minhash_matches
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of doc 0 (one word changed)
+            (1, "the quick brown fox jumps over the lazy cat again and again"),
+            # unrelated
+            (3, "unrelated text with no overlap whatsoever in its shingles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_matches(new, corpus, sig_threshold=0.5).collect()
+    got = {(r["new_id"], r["corpus_id"]): r["sig_est"] for r in out}
+    assert (1, 0) in got and got[(1, 0)] >= 0.5
+    assert all(k[0] != 3 for k in got)  # unrelated doc matches nothing
