@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_span_exact",
     "pii_redact",
     "dedup_semantic",
+    "dedup_incremental_minhash",
 ]
 
 
