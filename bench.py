@@ -85,6 +85,54 @@ def _replicated_measures(spark, sf_dir, factor):
     )
 
 
+def _replicated_events_orders(spark, sf_dir, factor):
+    """events+orders x factor with disjoint user key-spaces per replica
+    — the as-of/session workload of a deployment with factor-times more
+    users (per-key row counts unchanged, so growth measures the
+    operators' scaling on key count, their 100-TB axis)."""
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .crossJoin(rep)
+        .withColumn("user_id", F.col("user_id") + F.col("__rep") * 1000000)
+        .drop("__rep")
+    )
+    orders = (
+        tables.load(spark, sf_dir, "orders")
+        .crossJoin(rep)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("__rep") * 1000000)
+        .drop("__rep")
+    )
+    return ev, orders
+
+
+def _asof_on(ev, orders):
+    from gnocchi_spark.operators.asof import asof_join
+
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        ),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+
+
+def _sessions_on(ev):
+    from gnocchi_spark.operators.asof import session_stats
+
+    return session_stats(
+        ev, ["user_id"], gap_seconds=1800.0, value_col="value", tie_col="event_id"
+    )
+
+
 def _replicated_docs(spark, sf_dir, factor):
     """documents x factor, each replica Caesar-ciphered by its index:
     within a replica the near-dup structure is EXACTLY the original
@@ -203,6 +251,8 @@ def scale_stress(spark, sf_dir, factor=10):
     docs10 = _replicated_docs(spark, sf_dir, factor)
     emb1 = tables.load(spark, sf_dir, "embeddings")
     emb10 = _replicated_embeddings(spark, sf_dir, factor)
+    ev1, ord1 = _replicated_events_orders(spark, sf_dir, 1)
+    ev10, ord10 = _replicated_events_orders(spark, sf_dir, factor)
 
     # Banded hyperplane LSH must scale bits-per-band with log2(N) or the
     # background candidate volume is quadratic (band collisions for
@@ -238,6 +288,10 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _decontaminate_on(docs10)),
         ("pack_sequences", lambda: pack_sequences(docs1, ctx=512),
          lambda: pack_sequences(docs10, ctx=512)),
+        ("asof_join", lambda: _asof_on(ev1, ord1),
+         lambda: _asof_on(ev10, ord10)),
+        ("sessionize", lambda: _sessions_on(ev1),
+         lambda: _sessions_on(ev10)),
     ]:
         t1, t10 = timed(mk1), timed(mk10)
         queries[name] = {

@@ -597,9 +597,23 @@ def incremental_minhash_matches(
     Returns (new_id, corpus_id, sig_est) for matches with
     ``sig_est >= sig_threshold``.
     """
+    from pyspark import StorageLevel
+
     def sigs(d: DataFrame) -> DataFrame:
-        arrays = with_hash_words(doc_shingle_arrays(d, text_col, id_col, k))
-        return minhash_signatures_arrays(arrays, num_hashes)
+        # spread: the shingle+md5 stage is CPU-dense on a scan-sized
+        # partitioning (see spread_for_compute); persist: each side's
+        # signatures feed TWO consumers (band join + agreement verify),
+        # and recomputing the md5-per-shingle subtree doubled the
+        # wall-clock (measured 36 s -> ~8 s at sf0.1).  Signatures are
+        # 16 ints/doc — the cache is tiny.
+        arrays = with_hash_words(
+            doc_shingle_arrays(spread_for_compute(d), text_col, id_col, k)
+        )
+        s = minhash_signatures_arrays(arrays, num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        s.count()
+        return s
 
     new_sigs = sigs(new_docs)
     corpus_sigs = sigs(corpus_docs)  # production: read from the stored index

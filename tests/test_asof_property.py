@@ -1,0 +1,128 @@
+"""Property-based differential tests: asof_join vs pandas.merge_asof
+and sessionize vs a straight-line pandas reference, over randomized
+small inputs (hypothesis).  Complements the golden tests in
+test_asof.py with coverage of degenerate shapes: empty sides, single
+rows, all-one-key, gaps exactly at the bound, and unmatched keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.asof import asof_join, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=s)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=3, unique=True))
+    left = []
+    for k in keys:
+        secs = draw(st.lists(st.integers(0, 500), min_size=0, max_size=6))
+        left += [(k, s) for s in secs]
+    right = []
+    for k in keys:
+        # unique right timestamps per key: pandas merge_asof has no
+        # deterministic tie rule to compare against
+        secs = draw(
+            st.lists(st.integers(0, 500), min_size=0, max_size=6, unique=True)
+        )
+        right += [(k, s) for s in secs]
+    return left, right
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    if not left_rows:
+        return
+    lpdf = pd.DataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(left_rows)],
+        columns=["k", "ts", "lid"],
+    )
+    rpdf = pd.DataFrame(
+        [(k, _ts(s), 100 + i) for i, (k, s) in enumerate(right_rows)],
+        columns=["k", "ts", "rv"],
+    )
+    ldf = spark.createDataFrame(lpdf.assign(ts=lpdf["ts"]))
+    rdf = (
+        spark.createDataFrame(rpdf.assign(ts=rpdf["ts"]))
+        if len(rpdf)
+        else spark.createDataFrame([], "k bigint, ts timestamp, rv bigint")
+    )
+    got = (
+        asof_join(ldf, rdf, ["k"], payload_cols=["rv"], tie_col="rv")
+        .toPandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid", ignore_index=True)
+    assert list(got["lid"]) == list(expected["lid"])
+    g = [None if pd.isna(x) else int(x) for x in got["rv"]]
+    e = [None if pd.isna(x) else int(x) for x in expected["rv"]]
+    assert g == e
+
+
+@st.composite
+def session_case(draw):
+    rows = []
+    for k in range(draw(st.integers(1, 2))):
+        secs = draw(
+            st.lists(st.integers(0, 400), min_size=1, max_size=8, unique=True)
+        )
+        rows += [(k, s) for s in secs]
+    gap = draw(st.sampled_from([30, 60, 100]))
+    return rows, gap
+
+
+def _pandas_sessions(rows, gap):
+    out = {}
+    df = pd.DataFrame(rows, columns=["k", "s"]).sort_values(["k", "s"])
+    for k, grp in df.groupby("k"):
+        sid = 0
+        prev = None
+        for s in grp["s"]:
+            if prev is None or s - prev > gap:
+                sid += 1
+            out[(k, s)] = sid
+            prev = s
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=session_case())
+def test_sessionize_matches_pandas_reference(spark, case):
+    rows, gap = case
+    df = spark.createDataFrame(
+        [(k, _ts(s), k * 1000 + s) for k, s in rows],
+        "k long, ts timestamp, eid long",
+    )
+    got = {
+        (r["k"], int((r["ts"] - EPOCH).total_seconds())): r["session_id"]
+        for r in sessionize(df, ["k"], gap_seconds=gap, tie_col="eid").collect()
+    }
+    assert got == _pandas_sessions(rows, gap)
