@@ -59,6 +59,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         [(k, _ts(s), 100 + i) for i, (k, s) in enumerate(right_rows)],
         columns=["k", "ts", "rv"],
     )
+    # an empty frame gives ts dtype object, which merge_asof rejects
+    rpdf = rpdf.astype({"k": "int64", "ts": "datetime64[ns]", "rv": "int64"})
     ldf = spark.createDataFrame(lpdf.assign(ts=lpdf["ts"]))
     rdf = (
         spark.createDataFrame(rpdf.assign(ts=rpdf["ts"]))
