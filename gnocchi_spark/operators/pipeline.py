@@ -572,3 +572,72 @@ def pii_redact(
         out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
         red = F.regexp_replace(red, pat, tag)
     return out.withColumn("redacted", red)
+
+
+def span_dedup_apply(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Apply C4-style global span dedup: each exact ``span_words``-word
+    window of text is kept only at its FIRST occurrence in the corpus
+    (lowest ``(doc_id, pos)``); every later occurrence is dropped and
+    the surviving spans are re-joined into the deduplicated document.
+
+    This is the transform counterpart of :func:`span_dedup_profile`
+    (which only measures duplication): the output per document is the
+    span count, how many spans survived, the survival ratio, and an
+    md5 of the rebuilt text (the full text would dwarf the stats; the
+    hash pins the exact reconstruction for the oracle).
+
+    Scale shape (the part that matters at 100 TB):
+
+    - chunking is map-only array algebra;
+    - the first-occurrence table is ONE ``groupBy(span_hash)`` with a
+      ``min(struct(doc_id, pos))`` — an algebraic aggregate, so Spark
+      map-side-combines it and a billion copies of a boilerplate span
+      collapse to one row per partition before the shuffle (no skew
+      hot-spot, unlike a window rank over the hash);
+    - marking keepers is an equi-join against that table, which has
+      exactly ONE row per distinct span — the probe side may be skewed
+      on frequent spans but AQE skew-split handles oversized partitions;
+    - reassembly is a second shuffle keyed by doc.
+
+    Nothing is quadratic and no global ordering is ever required: the
+    "first occurrence" total order is resolved per span key inside the
+    aggregate, not by a sort.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    ex = docs.select(
+        F.col(doc_id), F.posexplode(spans).alias("pos", "span")
+    ).withColumn("h", F.md5(F.col("span")))
+    first = ex.groupBy("h").agg(
+        F.min(F.struct(F.col(doc_id).alias("d"), F.col("pos").alias("p"))).alias("fo")
+    )
+    keep = (F.col(doc_id) == F.col("fo.d")) & (F.col("pos") == F.col("fo.p"))
+    marked = ex.join(first, "h").withColumn("keep", keep)
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "span"))
+    return marked.groupBy(doc_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("kept_ratio"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )

@@ -3043,6 +3043,51 @@ def dedup_span_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_span_apply",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(
+               1, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+      FROM w),
+    spans AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(words[((i - 1) * 10 + 1):(i * 10)], ' ') AS span
+      FROM idx),
+    mark AS (
+      SELECT *, row_number()
+               OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS kept_ratio,
+           md5(coalesce(
+             string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
+             '')) AS kept_hash
+    FROM mark GROUP BY doc_id
+    """,
+)
+def dedup_span_apply(spark, sf_dir):
+    # the transform counterpart of dedup_span_exact: keep each 10-word
+    # span only at its first corpus occurrence, rebuild the deduped
+    # text, and hash it (C4 line-dedup semantics, fixed-window form).
+    # First-occurrence resolution is a map-side-combinable
+    # min(struct(doc_id, pos)) per span hash — no window rank, so a
+    # boilerplate span duplicated a billion times never concentrates
+    # on one task.
+    from gnocchi_spark.operators.pipeline import span_dedup_apply
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return span_dedup_apply(docs, span_words=10)
+
+
+@query(
     "pii_redact",
     """
     WITH aug AS (
@@ -3229,6 +3274,69 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
     return out.select(
         "new_id", "corpus_id", F.round("sig_est", 6).alias("sig_est")
+    )
+
+
+@query(
+    "dedup_bloom_batch",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS text_key FROM documents),
+    corpus AS (SELECT * FROM keyed WHERE doc_id % 3 = 0),
+    batch  AS (SELECT * FROM keyed WHERE doc_id % 10 = 7),
+    cpos AS (
+      SELECT CAST(('0x' || substring(md5(text_key), 1 + 8 * j, 8)) AS BIGINT)
+               % 512 AS pos
+      FROM corpus, unnest(generate_series(0, 3)) AS t(j)),
+    words AS (
+      SELECT CAST(pos // 32 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM cpos GROUP BY 1),
+    bpos AS (
+      SELECT doc_id, text_key,
+             CAST(('0x' || substring(md5(text_key), 1 + 8 * j, 8)) AS BIGINT)
+               % 512 AS pos
+      FROM batch, unnest(generate_series(0, 3)) AS t(j)),
+    probe AS (
+      SELECT b.doc_id, b.text_key,
+             min(CASE WHEN w.bits IS NOT NULL
+                       AND (w.bits & (CAST(1 AS BIGINT)
+                                      << CAST(b.pos % 32 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM bpos b
+      LEFT JOIN words w ON CAST(b.pos // 32 AS INT) = w.word_idx
+      GROUP BY 1, 2)
+    SELECT p.doc_id, CAST(p.hit AS BIGINT) AS bloom_hit,
+           CAST(CASE WHEN p.hit = 1 AND EXISTS(
+                  SELECT 1 FROM corpus c WHERE c.text_key = p.text_key)
+                THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+    FROM probe p
+    """,
+)
+def dedup_bloom_batch(spark, sf_dir):
+    # incremental exact dedup via a distributed Bloom filter: docs with
+    # id%3==0 are the indexed corpus, id%10==7 the new batch (overlap
+    # at id ≡ 27 mod 30 gives true hits).  The filter is deliberately
+    # undersized (512 bits, k=4) so false positives occur and the
+    # oracle checks the exact bit pattern, not just the easy path; the
+    # semi-join verify then separates them from confirmed dups.
+    from gnocchi_spark.operators.bloom import batch_dedup_against_corpus
+    from gnocchi_spark.operators.dedup import normalize_text
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("text_key")
+    )
+    out = batch_dedup_against_corpus(
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 10 == 7),
+        key_col="text_key",
+        n_bits=512,
+        k=4,
+    )
+    return out.select(
+        "doc_id",
+        F.col("bloom_hit").cast("long").alias("bloom_hit"),
+        F.col("confirmed").cast("long").alias("confirmed"),
     )
 
 
