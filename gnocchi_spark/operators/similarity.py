@@ -787,17 +787,27 @@ def semantic_dedup(
         .limit(n_clusters)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
     )
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
     dim = len(corpus.select(vec_col).first()[0])
     # per-side norms computed once BEFORE the pair join (|pairs| >>
     # |members|), and all vector math on the codegen sql_dot path —
-    # same bits as cosine(), ~10x the throughput on the pair stage
+    # same bits as cosine(), ~10x the throughput on the pair stage.
+    # spread_for_compute: a small parquet file scans as one partition,
+    # which would run the k*dim-term assignment argmax on one core.
+    from pyspark import StorageLevel
+
     members = (
-        ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+        ivf_assign(spread_for_compute(corpus), centroids, id_col, vec_col, n_probe=1)
         .select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "centroid_id"
         )
         .withColumn("vn", F.expr(sql_norm("v", dim)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager: three consumers (pair A side, B side, final keep join)
+    # would otherwise each re-run the k*dim argmax assignment
+    members.count()
     # The pair join's key space is only n_clusters values, which caps
     # join parallelism at n_clusters tasks (AQE won't split them: the
     # partitions are many small rows, not oversized bytes).  Salt the
@@ -814,9 +824,20 @@ def semantic_dedup(
     ).withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
     )
+    # Salting alone is not enough: AQE coalesces post-shuffle partitions
+    # by INPUT bytes, and the join inputs are one row per member — tiny
+    # relative to the quadratic pair volume the stage then generates, so
+    # the whole pairwise scoring collapses onto a handful of tasks
+    # (measured 1 task / 5 s for a 250k-pair corpus slice; 32 tasks take
+    # under 1 s).  An explicit repartition is honored verbatim by AQE;
+    # sizing it to cluster parallelism keeps it right on a 1000-executor
+    # cluster too.  The extra exchange moves only (id, vec) pairs that
+    # survived b<a — bounded by the cluster-capped candidate volume.
+    n_score_parts = a.sparkSession.sparkContext.defaultParallelism * 2
     pairs = (
         a.join(b, ["centroid_id", "__salt"])
         .where(F.col("b_id") < F.col("a_id"))
+        .repartition(n_score_parts)
         .withColumn(
             "pcos",
             F.round(
