@@ -94,6 +94,12 @@ def ngram_decontaminate(
     final per-document count.  Gram explosion is bounded by document
     token count, not corpus size.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    # gram explosion is ~100x the input bytes: spread a scan whose
+    # IO-sized partitioning would run it on a few cores (no-op when the
+    # scan already carries enough partitions)
+    train = spread_for_compute(train)
     train_grams = with_token_ngrams(train, n, text_col, distinct=True).select(
         F.col(id_col).alias("doc_id"),
         F.size("__grams").alias("n_grams"),

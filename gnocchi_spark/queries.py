@@ -1952,7 +1952,11 @@ def ingest_influxdb_lines(spark, sf_dir):
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
     from gnocchi_spark.sources import influxdb
 
-    ev = tables.load(spark, sf_dir, "events")
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    # spread BEFORE the line formatting so synthesizing the protocol
+    # text is parallel too (the one-file events scan is one partition)
+    ev = spread_for_compute(tables.load(spark, sf_dir, "events"))
     lines = ev.select(
         F.format_string(
             "req,host=%s,dc=east value=%d %d",

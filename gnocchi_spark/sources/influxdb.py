@@ -98,6 +98,12 @@ def parse_lines(
     ``explode`` per field set.  Safe to fuse with the downstream
     rollup ``groupBy``.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    # a single text blob (or one-file batch) scans as one partition;
+    # the per-line split/parse work is CPU-dense, so spread it first
+    # (no-op when the source already has enough partitions)
+    lines = spread_for_compute(lines)
     now_lit = F.lit(now) if now is not None else F.current_timestamp()
     raw = F.col(line_col)
     # conditional sanitize: clean lines (the overwhelming majority) skip
