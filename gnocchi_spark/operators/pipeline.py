@@ -647,3 +647,59 @@ def span_dedup_apply(
             )
         ).alias("kept_hash"),
     )
+
+
+def induce_subword_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 6,
+    top_n: int = 256,
+) -> DataFrame:
+    """Frequency-based subword vocabulary induction (the counting pass
+    a WordPiece/BPE tokenizer trainer runs over the corpus): every
+    substring of length 1..``max_len`` of every word, weighted by the
+    word's corpus frequency; the ``top_n`` most frequent pieces win
+    (ties broken lexicographically for a deterministic vocab).
+
+    Returns (rank, piece, freq).
+
+    Scale shape — the trick is counting words FIRST: the corpus
+    collapses to its word vocabulary (Zipf: millions of entries, not
+    trillions) in one map-side-combinable groupBy, and the O(len^2)
+    substring explosion runs over vocabulary entries, not corpus
+    tokens.  The final top-n is a sort-limit, which Spark executes as
+    per-partition top-n + driver merge of n*partitions rows
+    (TakeOrderedAndProject) — no global sort shuffle.
+    """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+    from gnocchi_spark.operators.textstats import tokens
+
+    words = (
+        spread_for_compute(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_len), F.length("w") - i + 1)
+                ),
+                lambda l: F.substring(F.col("w"), i, l),
+            ),
+        )
+    )
+    freq = (
+        words.select(F.explode(pieces).alias("piece"), "c")
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+    return freq.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "piece", "freq"
+    )

@@ -3344,6 +3344,40 @@ def dedup_bloom_batch(spark, sf_dir):
     )
 
 
+@query(
+    "vocab_induction",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w),
+    pieces AS (
+      SELECT substring(w, i, l) AS piece, c
+      FROM wc,
+           unnest(generate_series(1, length(w))) AS s(i),
+           unnest(generate_series(1, least(6, length(w) - i + 1))) AS t(l)),
+    agg AS (
+      SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM pieces GROUP BY piece),
+    top AS (
+      SELECT piece, freq FROM agg
+      ORDER BY freq DESC, piece LIMIT 256)
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece) AS INT) AS rank,
+           piece, freq
+    FROM top
+    """,
+)
+def vocab_induction(spark, sf_dir):
+    # WordPiece/BPE-style counting pass: every 1..6-char substring of
+    # every word, weighted by word frequency; top-256 pieces with a
+    # deterministic lexicographic tie-break.  The corpus collapses to
+    # its word vocabulary BEFORE the quadratic substring explosion.
+    from gnocchi_spark.operators.pipeline import induce_subword_vocab
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return induce_subword_vocab(docs, max_len=6, top_n=256)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

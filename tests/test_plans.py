@@ -26,7 +26,11 @@ BNL_ALLOWED = {
 # Queries allowed a global (empty partitionBy) window: single-series
 # ops-DSL reads on an already-aggregated frame whose size is bounded
 # by the policy's point count, documented in operators/banding.py.
-GLOBAL_WINDOW_ALLOWED: set[str] = set()
+GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # rank assignment runs AFTER limit(top_n): the window's input is at
+    # most top_n (256) rows regardless of corpus size
+    "vocab_induction",
+}
 
 
 @pytest.fixture(scope="module")
