@@ -54,6 +54,11 @@ HEADLINE = [
     "pii_redact",
     "dedup_semantic",
     "dedup_incremental_minhash",
+    "dedup_span_apply",
+    "dedup_bloom_batch",
+    "vocab_induction",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -38,6 +38,10 @@ def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
     enough partitions (a real 100 TB table does), so this never REDUCES
     parallelism.
     """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is illegal on a stream, and
+        # micro-batch parallelism comes from the source anyway
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:
         return df
