@@ -234,6 +234,35 @@ def _decontaminate_on(docs):
     return ngram_decontaminate(train, bench, n=5)
 
 
+def _span_apply_on(docs):
+    from gnocchi_spark.operators.pipeline import span_dedup_apply
+
+    return span_dedup_apply(docs, span_words=10)
+
+
+def _bloom_on(docs):
+    from gnocchi_spark.operators.bloom import batch_dedup_against_corpus
+    from gnocchi_spark.operators.dedup import normalize_text
+
+    keyed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("text_key")
+    )
+    # 2^16 bits at both sizes: the build shuffle is filter-size-bound,
+    # which is exactly the flat-growth claim the stress run checks
+    return batch_dedup_against_corpus(
+        keyed.where(F.col("doc_id") % 3 == 0),
+        keyed.where(F.col("doc_id") % 10 == 7),
+        n_bits=1 << 16,
+        k=4,
+    )
+
+
+def _vocab_on(docs):
+    from gnocchi_spark.operators.pipeline import induce_subword_vocab
+
+    return induce_subword_vocab(docs, max_len=6, top_n=256)
+
+
 def scale_stress(spark, sf_dir, factor=10):
     """Judge task: run the heaviest operators at 1x and factor-x and
     record wall growth plus dedup candidate-pair counts vs the N^2 pair
@@ -297,6 +326,12 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _asof_on(ev10, ord10)),
         ("sessionize", lambda: _sessions_on(ev1),
          lambda: _sessions_on(ev10)),
+        ("dedup_span_apply", lambda: _span_apply_on(docs1),
+         lambda: _span_apply_on(docs10)),
+        ("dedup_bloom_batch", lambda: _bloom_on(docs1),
+         lambda: _bloom_on(docs10)),
+        ("vocab_induction", lambda: _vocab_on(docs1),
+         lambda: _vocab_on(docs10)),
     ]:
         t1, t10 = timed(mk1), timed(mk10)
         queries[name] = {
