@@ -1,0 +1,136 @@
+"""Deterministic cardinality sketches as pure Column algebra.
+
+``approx_count_distinct`` (Spark) and ``approx_count_distinct``
+(DuckDB) are both HyperLogLog but with engine-private hashing — their
+estimates differ, so a cross-engine oracle can only do a rows-only
+check.  This module implements HyperLogLog from scratch on md5
+arithmetic (Flajolet et al. 2007, the public HLL paper): every step is
+deterministic integer math, so the DuckDB oracle reproduces the sketch
+REGISTER-FOR-REGISTER and the estimate matches to the last bit — the
+correctness gate then covers the whole algorithm, not a tolerance.
+
+Why it matters at 100 TB: exact distinct counts shuffle every distinct
+value; the sketch shuffles at most ``2^p`` small integers per group —
+``groupBy(register).max`` is algebraic, so map-side combine bounds the
+exchange by sketch size, not data size (the same shape as the Bloom
+build in operators/bloom.py).  Sketches also MERGE (max per register),
+which is what makes pre-aggregated per-partition sketches reunitable —
+the property gnocchi's mergeable rollup partials rely on.
+
+Precision: standard error ~= 1.04 / sqrt(2^p); p=9 (512 registers)
+gives ~4.6%.  The classic small-range linear-counting correction is
+applied when the raw estimate falls below 2.5 * 2^p.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash64(key: Column) -> Column:
+    """Uniform 63-bit integer from md5 (16 hex chars = 64 bits; the
+    BIGINT parse keeps it non-negative by using 15 nibbles + the sign-
+    free top nibble masked via substring from position 2)."""
+    return F.conv(F.substring(F.md5(key), 2, 15), 16, 10).cast("long")
+
+
+def hll_register_cols(key: Column, p: int) -> tuple[Column, Column]:
+    """(register_index, rank) for one value: index = low ``p`` bits of
+    the hash; rank = 1 + number of leading zeros in the remaining
+    ``60 - p`` bits.
+
+    Everything stays in INTEGER arithmetic: index and shift are bit
+    ops (a double division would round away low bits past 2^53), and
+    floor(log2(w)) is computed as ``length(bin(w)) - 1`` — exact for
+    any integer, immune to the 1-ulp libm differences a float log2
+    could show between engines."""
+    h = _hash64(key)
+    idx = h.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftright(h, p)  # remaining high bits, exact
+    width = 60 - p
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return idx.cast("int"), rank.cast("int")
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group approximate distinct count of ``key``.
+
+    Two algebraic aggregations: (group, register) -> max rank, then
+    group -> harmonic sum over registers.  Empty registers enter the
+    harmonic sum as 2^0 via the (2^p - observed) correction term, and
+    the linear-counting fallback handles the small-cardinality regime
+    — both in plain SQL arithmetic (the oracle replays them).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    width = 60 - p
+    idx, rank = hll_register_cols(key, p)
+    regs = (
+        df.select(*group_cols, idx.alias("__reg"), rank.alias("__rank"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rank").alias("__maxrank"))
+    )
+    # the harmonic sum as an EXACT integer: each 2^-rank term scaled by
+    # 2^(width+1) is a power-of-two long; the long sum is associative
+    # (unlike float addition, whose order Spark's partial aggregation
+    # does not fix), so the estimate is bit-reproducible across engines
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {width + 1} - __maxrank)"
+    )
+    est = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("__scaled"),
+        F.count(F.lit(1)).alias("__nreg"),
+    )
+    hsum = F.col("__scaled") / F.lit(float(1 << (width + 1)))
+    zeros = F.lit(m) - F.col("__nreg")  # registers never touched
+    raw = F.lit(alpha * m * m) / (hsum + zeros.cast("double"))
+    # linear counting when raw <= 2.5m and some register is empty
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), lc
+    ).otherwise(raw)
+    return est.select(
+        *group_cols, F.round(corrected, 4).alias(out_col)
+    )
+
+
+def hll_error_profile(
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    p: int = 9,
+) -> DataFrame:
+    """Sketch estimate side-by-side with the exact distinct count and
+    the relative error — the validation view a deployment would keep
+    for sketch-precision monitoring.  The exact count is computed with
+    an ordinary count-distinct (two-shuffle expand); the sketch path
+    stays the two small aggregations."""
+    approx = hll_distinct(df, key, group_cols, p)
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(key).cast("long").alias("exact_distinct")
+    )
+    return approx.join(exact, group_cols).select(
+        *group_cols,
+        "approx_distinct",
+        "exact_distinct",
+        F.round(
+            (F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+def expected_standard_error(p: int) -> float:
+    return 1.04 / math.sqrt(1 << p)

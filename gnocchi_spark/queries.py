@@ -3457,6 +3457,71 @@ def vocab_induction(spark, sf_dir):
     return induce_subword_vocab(docs, max_len=6, top_n=256)
 
 
+#: HLL constants for p=9 (512 registers), kept as PYTHON floats so the
+#: Spark literal and the SQL literal are the same double bit pattern
+_HLL_M = 512
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+
+
+@query(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15))
+                  AS BIGINT) AS hh
+      FROM events),
+    r AS (
+      SELECT event_type,
+             CAST(hh & 511 AS INT) AS reg,
+             CAST(CASE WHEN (hh >> 9) = 0 THEN 52
+                  ELSE 52 - length(bin(hh >> 9)) END AS INT) AS rank
+      FROM h),
+    mx AS (
+      SELECT event_type, reg, max(rank) AS maxrank FROM r GROUP BY 1, 2),
+    e AS (
+      SELECT event_type,
+             sum(CAST(1 AS BIGINT) << (52 - maxrank)) AS scaled,
+             count(*) AS nreg
+      FROM mx GROUP BY 1),
+    est AS (
+      SELECT event_type,
+             (scaled / 4503599627370496.0)
+               + CAST(512 - nreg AS DOUBLE) AS denom,
+             CAST(512 - nreg AS BIGINT) AS zeros
+      FROM e),
+    approx AS (
+      SELECT event_type,
+             round(CASE WHEN ({_HLL_ALPHA_M2!r} / denom) <= 1280.0
+                         AND zeros > 0
+                        THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                        ELSE {_HLL_ALPHA_M2!r} / denom END, 4)
+               AS approx_distinct
+      FROM est),
+    exact AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1)
+    SELECT a.event_type, a.approx_distinct, x.exact_distinct,
+           round((a.approx_distinct - x.exact_distinct)
+                 / x.exact_distinct, 4) AS rel_error
+    FROM approx a JOIN exact x ON a.event_type = x.event_type
+    """,
+)
+def hll_distinct_users(spark, sf_dir):
+    # deterministic HyperLogLog (Flajolet 2007) built from md5 integer
+    # math — the oracle replays the sketch register-for-register, so
+    # the hash-match covers the whole algorithm, not a tolerance band.
+    # Two algebraic aggregations; shuffle bounded by 512 registers per
+    # group, not by traffic (functions/sketches.py).
+    from gnocchi_spark.functions.sketches import hll_error_profile
+
+    ev = tables.load(spark, sf_dir, "events")
+    return hll_error_profile(
+        ev, F.col("user_id").cast("string"), ["event_type"], p=9
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -1,0 +1,42 @@
+"""HyperLogLog sketch: accuracy within theoretical bounds across
+cardinality regimes (incl. the linear-counting small range), and
+mergeability of per-partition register maxima."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gnocchi_spark.functions.sketches import (
+    expected_standard_error,
+    hll_distinct,
+    hll_error_profile,
+)
+
+
+def test_accuracy_across_cardinalities(spark):
+    # groups of 50 / 500 / 20000 distinct keys; 5-sigma bound on the
+    # p=9 standard error (~4.6%) keeps the test deterministic-safe
+    rows = (
+        spark.range(50).select(F.lit("small").alias("g"), F.col("id"))
+        .unionAll(spark.range(500).select(F.lit("mid").alias("g"), F.col("id")))
+        .unionAll(spark.range(20000).select(F.lit("big").alias("g"), F.col("id")))
+    )
+    out = {
+        r["g"]: (r["approx_distinct"], r["exact_distinct"], r["rel_error"])
+        for r in hll_error_profile(
+            rows, F.col("id").cast("string"), ["g"], p=9
+        ).collect()
+    }
+    bound = 5 * expected_standard_error(9)
+    for g, (approx, exact, rel) in out.items():
+        assert abs(rel) < bound, f"{g}: {approx} vs {exact} (rel {rel})"
+    # small range must engage linear counting and be very tight
+    assert abs(out["small"][2]) < 0.02
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    base = spark.range(1000).select(F.lit("g").alias("g"), F.col("id"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_distinct(base, F.col("id").cast("string"), ["g"]).collect()[0][1]
+    b = hll_distinct(dup, F.col("id").cast("string"), ["g"]).collect()[0][1]
+    assert a == b  # max per register is idempotent under duplication
