@@ -134,3 +134,76 @@ def hll_error_profile(
 
 def expected_standard_error(p: int) -> float:
     return 1.04 / math.sqrt(1 << p)
+
+
+def binned_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q: float,
+    bins: int = 256,
+    out_col: str = "approx_quantile",
+) -> DataFrame:
+    """Two-pass fixed-bin histogram quantile — the scale path next to
+    the exact interpolated percentile in functions/aggregates.py.
+
+    Exact percentiles sort (or collect) every value per group; at
+    100 TB that is the whole table through a shuffle.  This sketch is
+    two algebraic aggregations: pass 1 takes per-group min/max, pass 2
+    counts values into ``bins`` equal-width bins, and the quantile is
+    linearly interpolated inside the bin where the cumulative count
+    crosses ``q * n``.  Shuffle volume is ``bins`` longs per group.
+    Error is bounded by the bin width ((max-min)/bins), which a
+    deployment tunes; the estimate is DETERMINISTIC (integer bin
+    counts, fixed interpolation), so the oracle replays it exactly —
+    unlike t-digest/GK implementations whose internals are
+    engine-private.
+
+    Bin rule: i = clamp(floor((v - min) / width), 0, bins-1); the
+    cumulative-crossing bin is interpolated as
+    lo + width * (target - below) / bin_count with target = q*(n-1)+1
+    (the same "linear" convention as the exact percentile kernel, so
+    the two paths agree when every value is distinct and bins are
+    fine enough).  Degenerate groups (min == max) return min.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(value_col).alias("__n"),
+    )
+    j = df.join(F.broadcast(stats), group_cols)
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
+    bin_idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1))
+    )
+    counts = (
+        j.groupBy(*group_cols, bin_idx.cast("int").alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # cumulative below each bin, ordered by bin index within the group
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "__below", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).join(F.broadcast(stats), group_cols)
+    target = F.lit(q) * (F.col("__n") - 1) + 1  # 1-based linear rank
+    hit = cum.where(
+        (F.col("__below") < target)
+        & (target <= F.col("__below") + F.col("__c"))
+    )
+    width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    est = F.when(F.col("__hi") == F.col("__lo"), F.col("__lo")).otherwise(
+        F.col("__lo")
+        + width2
+        * (
+            F.col("__bin")
+            + (target - F.col("__below")) / F.col("__c")
+        )
+    )
+    return hit.select(*group_cols, F.round(est, 6).alias(out_col))

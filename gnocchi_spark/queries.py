@@ -3522,6 +3522,50 @@ def hll_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "binned_quantile_p95",
+    """
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(value) AS n
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT e.event_type,
+             CAST(CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(greatest(floor((e.value - s.lo)
+                                 / ((s.hi - s.lo) / 128.0)), 0), 127)
+                  END AS INT) AS bin
+      FROM events e JOIN stats s USING (event_type)),
+    c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM c),
+    hit AS (
+      SELECT cum.event_type, bin, c, below, s.lo, s.hi, s.n
+      FROM cum JOIN stats s ON cum.event_type = s.event_type
+      WHERE below < 0.95 * (n - 1) + 1
+        AND 0.95 * (n - 1) + 1 <= below + c)
+    SELECT event_type,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + ((hi - lo) / 128.0)
+                      * (bin + ((0.95 * (n - 1) + 1) - below) / c)
+                 END, 6) AS approx_quantile
+    FROM hit
+    """,
+)
+def binned_quantile_p95(spark, sf_dir):
+    # fixed-bin histogram p95 per metric: the deterministic sketch path
+    # for percentiles at scale (two algebraic aggregations, shuffle =
+    # bins per group) next to the exact sort-based tsdb_rollup_pct_1d.
+    from gnocchi_spark.functions.sketches import binned_quantile
+
+    ev = tables.load(spark, sf_dir, "events")
+    return binned_quantile(ev, "value", ["event_type"], q=0.95, bins=128)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

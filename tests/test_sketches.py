@@ -40,3 +40,26 @@ def test_duplicates_do_not_move_the_estimate(spark):
     a = hll_distinct(base, F.col("id").cast("string"), ["g"]).collect()[0][1]
     b = hll_distinct(dup, F.col("id").cast("string"), ["g"]).collect()[0][1]
     assert a == b  # max per register is idempotent under duplication
+
+
+def test_binned_quantile_within_bin_width_of_exact(spark):
+    from gnocchi_spark.functions.sketches import binned_quantile
+    import numpy as np
+
+    rng = [float(x) for x in range(0, 10007, 7)]
+    df = spark.createDataFrame(
+        [("g", v) for v in rng], "g string, value double"
+    )
+    got = binned_quantile(df, "value", ["g"], q=0.5, bins=256).collect()[0][1]
+    exact = float(np.percentile(np.array(rng), 50))
+    bin_width = (max(rng) - min(rng)) / 256
+    assert abs(got - exact) <= bin_width
+
+
+def test_binned_quantile_degenerate_group(spark):
+    from gnocchi_spark.functions.sketches import binned_quantile
+
+    df = spark.createDataFrame(
+        [("g", 42.0)] * 5, "g string, value double"
+    )
+    assert binned_quantile(df, "value", ["g"], q=0.9).collect()[0][1] == 42.0
