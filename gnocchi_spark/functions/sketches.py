@@ -207,3 +207,92 @@ def binned_quantile(
         )
     )
     return hit.select(*group_cols, F.round(est, 6).alias(out_col))
+
+
+def cms_tables(
+    df: DataFrame,
+    key: Column,
+    d: int = 4,
+    w: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of ``key``
+    frequencies: ``d`` hash rows x ``w`` counters, returned as
+    (row, idx, cnt) — at most d*w rows regardless of traffic.
+
+    The d hash functions are md5 slices (8 hex chars each from one
+    digest — same family trick as bloom_positions), so the sketch is
+    deterministic and engine-replayable.  The build is ONE algebraic
+    aggregation: map-side combine bounds the shuffle by sketch size,
+    the same scaling argument as bloom_build/hll_distinct.  Sketches
+    merge by adding counters, so per-partition or per-day sketches
+    re-unite for free.
+    """
+    if not 1 <= d <= 4:
+        raise ValueError("d must be in 1..4 (one md5 digest)")
+    digest = F.md5(key)
+    wgt = weight if weight is not None else F.lit(1).cast("long")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(digest, 1 + 8 * j, 8), 16, 10
+                        ).cast("long")
+                        % F.lit(w)
+                    ).cast("int").alias("idx"),
+                    wgt.alias("wgt"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("e")
+    return (
+        df.select(rows)
+        .select("e.row", "e.idx", "e.wgt")
+        .groupBy("row", "idx")
+        .agg(F.sum("wgt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    key: Column,
+    d: int = 4,
+    w: int = 1024,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-estimate each candidate key's frequency from a CMS built
+    with the same (d, w): min over the d counters the key hashes to —
+    an overestimate by construction (collisions only add).  The sketch
+    broadcasts; the candidate side stays distributed, so querying a
+    million candidates is map-side + one small re-group, the corpus
+    untouched."""
+    digest = F.md5(key)
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(digest, 1 + 8 * j, 8), 16, 10
+                        ).cast("long")
+                        % F.lit(w)
+                    ).cast("int").alias("idx"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("p")
+    cols = candidates.columns
+    probed = candidates.select(*cols, probes).select(
+        *cols, "p.row", "p.idx"
+    )
+    joined = probed.join(F.broadcast(sketch), ["row", "idx"], "left")
+    return joined.groupBy(*cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
+    )

@@ -3566,6 +3566,66 @@ def binned_quantile_p95(spark, sf_dir):
     return binned_quantile(ev, "value", ["event_type"], q=0.95, bins=128)
 
 
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents),
+    tok2 AS (SELECT wd FROM tok WHERE wd <> ''),
+    sk AS (
+      SELECT t.j AS row,
+             CAST(CAST(('0x' || substring(md5(wd), 1 + 8 * t.j, 8))
+                       AS BIGINT) % 512 AS INT) AS idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok2, unnest(generate_series(0, 3)) AS t(j)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT wd, CAST(count(*) AS BIGINT) AS exact_count
+      FROM tok2 GROUP BY wd
+      ORDER BY exact_count DESC, wd LIMIT 20),
+    pr AS (
+      SELECT e.wd, e.exact_count, t.j AS row,
+             CAST(CAST(('0x' || substring(md5(e.wd), 1 + 8 * t.j, 8))
+                       AS BIGINT) % 512 AS INT) AS idx
+      FROM exact e, unnest(generate_series(0, 3)) AS t(j)),
+    est AS (
+      SELECT pr.wd, pr.exact_count,
+             CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_count
+      FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.idx = pr.idx
+      GROUP BY 1, 2)
+    SELECT wd AS word, exact_count, cms_count,
+           CAST(cms_count - exact_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    # Count-Min heavy hitters: a 4x512 sketch of the corpus word stream
+    # (undersized on purpose so collisions show, and the oracle checks
+    # the collision arithmetic, not just the happy path), probed with
+    # the exact top-20 words; overestimate >= 0 is the CMS guarantee.
+    from gnocchi_spark.functions.sketches import cms_estimate, cms_tables
+    from gnocchi_spark.operators.dedup import normalize_text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("wd")
+    ).where(F.col("wd") != "")
+    sketch = cms_tables(words, F.col("wd"), d=4, w=512)
+    top = (
+        words.groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("wd").asc())
+        .limit(20)
+    )
+    est = cms_estimate(top, sketch, F.col("wd"), d=4, w=512)
+    return est.select(
+        F.col("wd").alias("word"),
+        "exact_count",
+        F.col("cms_count"),
+        (F.col("cms_count") - F.col("exact_count")).cast("long").alias("overestimate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

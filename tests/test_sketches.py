@@ -63,3 +63,22 @@ def test_binned_quantile_degenerate_group(spark):
         [("g", 42.0)] * 5, "g string, value double"
     )
     assert binned_quantile(df, "value", ["g"], q=0.9).collect()[0][1] == 42.0
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from gnocchi_spark.functions.sketches import cms_estimate, cms_tables
+
+    # 100 distinct keys with known counts
+    rows = [(f"k{i}",) for i in range(100) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    cand = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    # wide sketch: w >> n so collisions are unlikely -> estimates exact
+    sk = cms_tables(df, F.col("k"), d=4, w=1 << 14)
+    est = cms_estimate(cand, sk, F.col("k"), d=4, w=1 << 14)
+    for r in est.collect():
+        assert r["cms_count"] == r["exact"]
+    # narrow sketch: overestimates allowed, underestimates never
+    sk2 = cms_tables(df, F.col("k"), d=4, w=32)
+    est2 = cms_estimate(cand, sk2, F.col("k"), d=4, w=32)
+    for r in est2.collect():
+        assert r["cms_count"] >= r["exact"]
