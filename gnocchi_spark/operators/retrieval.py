@@ -1,0 +1,193 @@
+"""Lexical retrieval and RAG-prep operators: BM25 scoring, fixed-window
+document chunking, and a corpus-trained unigram-LM score (the CCNet-style
+perplexity-filter signal).
+
+These complete the similarity-search surface next to the vector paths in
+operators/similarity.py: ANN answers "what is semantically near", BM25
+answers "what matches these terms" — a retrieval stack needs both, and a
+pretraining pipeline uses the LM score as a quality gate (CCNet, Wenzek
+et al. 2019, keeps the low-perplexity tail of each language bucket).
+
+Scale shapes (all pure Column expressions, no Python in the loop):
+
+- BM25 filters the exploded token stream to the query vocabulary BEFORE
+  any shuffle, so the (doc, term) aggregation carries only matching
+  postings — corpus size drops out of the shuffle except for the tiny
+  per-doc length table.  Document frequencies over the query vocabulary
+  and the corpus-level (N, avgdl) scalars broadcast back.  The final
+  ranking window partitions per query, never globally.
+- chunking is map-only: one ``split`` per document, one ``sequence`` of
+  window starts, ``slice``/``array_join`` per chunk.  Output size is
+  input tokens x (chunk/stride) — no shuffle at all, so it scales as a
+  pure scan no matter the corpus size.
+- the unigram LM is two aggregations: a vocabulary-sized count table
+  (broadcast back onto the token stream) and the per-document mean.
+  Vocabulary grows ~log corpus, so the broadcast holds at 100 TB where
+  a KenLM-style external model file would be loaded per executor anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.textstats import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Robertson/Lucene form:
+    ``idf = ln(1 + (N - df + .5)/(df + .5))``, tf saturation ``k1``,
+    length normalization ``b``).
+
+    ``queries`` is a small literal list of (query_id, [terms]) — the
+    query workload, not data — so it enters the plan as an inlined
+    broadcast relation.  Ties break on doc_id for a deterministic
+    total order (same device as tfidf_top_terms).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qvocab = sorted({t for _, ts in queries for t in ts})
+
+    spark = docs.sparkSession
+    qrows = [(int(qid), t) for qid, ts in queries for t in set(ts)]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+
+    t = F.col(text_col)
+    base = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"), tokens(t).alias("__toks")
+    )
+    lens = base.select("doc_id", F.size("__toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    # Filter to the query vocabulary BEFORE the (doc, term) shuffle:
+    # only matching postings ever leave the map side.
+    tf = (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__term_score", idf * tf_norm)
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("__term_score").alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            "n_terms_hit",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style fixed-window chunking: overlapping ``chunk_tokens``-token
+    windows every ``stride`` tokens, with provenance (doc, index, token
+    offset, token count) and the chunk text hash for downstream joins.
+
+    Map-only: the token array is materialized once per document and each
+    window is a ``slice`` over it — no shuffle, output rows ~= tokens /
+    stride.  The md5 keeps oracle hashing cheap while still pinning the
+    exact chunk content byte-for-byte.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = F.col(text_col)
+    base = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"), tokens(t).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(int(stride)))
+    exploded = base.select(
+        "doc_id",
+        "__toks",
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok") + 1, int(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(int(chunk_tokens)), F.col("__n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    trained on the corpus itself (MLE: ``p(t) = count(t) / total``), plus
+    the perplexity ``exp(nll)``.
+
+    This is the shape of CCNet's perplexity quality gate with the
+    external KenLM swapped for a self-trained table: two aggregations
+    (vocabulary counts, per-doc mean) and one broadcast join — every
+    token appears in its own training corpus, so no smoothing branch is
+    required and the score is exactly reproducible in SQL.
+    """
+    t = F.col(text_col)
+    tok = (
+        docs.where(F.length(t) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term"))
+    )
+    counts = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    total = counts.agg(F.sum("c").alias("__total"))
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.col("__total"))).alias("__nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("__nll", 6).alias("nll"),
+            F.round(F.exp("__nll"), 4).alias("ppl"),
+        )
+    )

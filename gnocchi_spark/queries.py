@@ -3626,6 +3626,125 @@ def cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# Lexical retrieval / RAG prep (operators/retrieval.py) ---------------------
+
+# The BM25 query workload: literal (query_id, terms) pairs drawn from the
+# synthetic corpus vocabulary.  A literal because it is workload, not data.
+BM25_QUERIES = [
+    (1, ["spark", "table", "hash"]),
+    (2, ["merge", "sort"]),
+    (3, ["window", "scan", "batch", "row"]),
+]
+_BM25_VOCAB_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in BM25_QUERIES for t in ts})
+)
+_BM25_Q_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in sorted(set(ts))
+)
+
+
+@query(
+    "bm25_retrieval",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM norm),
+    lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+           WHERE term IN ({_BM25_VOCAB_SQL}) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf t
+      JOIN dfq d USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      JOIN q ON q.term = t.term
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_hit,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 9) DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT CAST(query_id AS INT) AS query_id, doc_id,
+           round(score, 6) AS score, n_terms_hit, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bm25_retrieval(spark, sf_dir):
+    # BM25 top-5 per query: the lexical retrieval twin of the ANN
+    # queries.  The exploded token stream is filtered to the query
+    # vocabulary BEFORE the (doc, term) shuffle, so corpus size never
+    # reaches the aggregation; df + corpus stats broadcast back.
+    from gnocchi_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(tables.load(spark, sf_dir, "documents"), BM25_QUERIES, k=5)
+
+
+@query(
+    "chunk_documents_rag",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM norm),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, len(toks) - 1, 48)) AS start_tok
+      FROM base)
+    SELECT doc_id,
+           CAST(start_tok / 48 AS INT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(64, n - start_tok) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+             list_slice(toks, start_tok + 1, start_tok + 64), ' ')) AS chunk_md5
+    FROM st
+    """,
+)
+def chunk_documents_rag(spark, sf_dir):
+    # RAG chunking: 64-token windows every 48 tokens (16-token overlap)
+    # with provenance and content hash.  Map-only — zero shuffles; the
+    # plan is a pure scan at any corpus size.
+    from gnocchi_spark.operators.retrieval import chunk_documents
+
+    return chunk_documents(
+        tables.load(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+@query(
+    "perplexity_unigram",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+    counts AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1),
+    total AS (SELECT sum(c) AS total FROM counts),
+    per AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             avg(-ln(c.c / (SELECT total FROM total))) AS nll
+      FROM tok t JOIN counts c USING (term) GROUP BY 1)
+    SELECT doc_id, n_tokens, round(nll, 6) AS nll, round(exp(nll), 4) AS ppl
+    FROM per
+    """,
+)
+def perplexity_unigram(spark, sf_dir):
+    # CCNet-style perplexity quality signal under a corpus-trained
+    # unigram LM: vocabulary-count table broadcast onto the token
+    # stream, one per-doc aggregation.  Vocabulary grows ~log corpus,
+    # so the broadcast holds at 100 TB.
+    from gnocchi_spark.operators.retrieval import unigram_lm_score
+
+    return unigram_lm_score(tables.load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -1,0 +1,103 @@
+"""Golden tests for operators/retrieval.py: BM25 scoring, RAG chunking,
+unigram-LM perplexity scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.retrieval import (
+    bm25_topk,
+    chunk_documents,
+    unigram_lm_score,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "spark table scan"),
+        (2, "spark spark join"),
+        (3, "sort merge join table"),
+        (4, "hash hash hash table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed(tiny_docs):
+    out = bm25_topk(tiny_docs, [(1, ["spark"])], k=10).collect()
+    # df(spark)=2 of N=4 docs, avgdl=(3+3+4+4)/4=3.5
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {1, 2}
+
+    def tf_norm(tf, dl):
+        return (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.5))
+
+    assert by_doc[1]["score"] == pytest.approx(idf * tf_norm(1, 3), abs=1e-6)
+    assert by_doc[2]["score"] == pytest.approx(idf * tf_norm(2, 3), abs=1e-6)
+    # doc 2 has higher tf at equal length -> rank 1
+    assert by_doc[2]["rnk"] == 1 and by_doc[1]["rnk"] == 2
+
+
+def test_bm25_multi_term_sums_and_ties_on_doc_id(tiny_docs):
+    out = bm25_topk(tiny_docs, [(7, ["sort", "merge"])], k=10).collect()
+    assert [r["doc_id"] for r in out] == [3]
+    assert out[0]["n_terms_hit"] == 2
+
+
+def test_bm25_empty_queries_raise(tiny_docs):
+    with pytest.raises(ValueError):
+        bm25_topk(tiny_docs, [])
+
+
+def test_chunking_windows_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=4, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [r["start_tok"] for r in out] == [0, 3, 6, 9]
+    assert [r["n_tok"] for r in out] == [4, 4, 4, 1]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    # chunk content is pinned byte-for-byte via md5
+    import hashlib
+
+    assert out[0]["chunk_md5"] == hashlib.md5(b"a b c d").hexdigest()
+    assert out[3]["chunk_md5"] == hashlib.md5(b"j").hexdigest()
+
+
+def test_chunking_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_unigram_lm_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    # counts: a=2, b=2, c=1, total=5
+    nll1 = -(math.log(2 / 5) + math.log(2 / 5) + math.log(2 / 5)) / 3
+    nll2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1]["nll"] == pytest.approx(nll1, abs=1e-6)
+    assert out[2]["nll"] == pytest.approx(nll2, abs=1e-6)
+    assert out[2]["ppl"] == pytest.approx(math.exp(nll2), abs=1e-3)
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+
+
+def test_bm25_broadcasts_small_sides(tiny_docs):
+    plan = (
+        bm25_topk(tiny_docs, [(1, ["spark", "table"])], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the (doc, term) aggregation is the only wide shuffle family; the
+    # ranking window partitions per query, never globally
+    assert "partitionBy=[]" not in plan.replace(" ", "")
