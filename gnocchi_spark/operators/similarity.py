@@ -863,3 +863,46 @@ def semantic_dedup(
         "dup_of",
         "dup_cosine",
     )
+
+
+def kmeans_cluster_profile(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic clustering of an embedding corpus: deterministic Lloyd
+    k-means (:func:`ivf_train_kmeans` — seeded from the first ``k``
+    ids, per-dimension float32 re-centering), final hard assignment,
+    and per-vector cohesion (cosine to the owning centroid) plus the
+    cluster population.
+
+    This is the corpus-cartography pass a data pipeline runs before
+    mixture decisions: cluster sizes expose topic balance, low cohesion
+    exposes outliers (cf. label_centroid_outliers for the labeled
+    variant).
+
+    Scale shape: training keeps the corpus distributed (only k
+    centroid rows reach the driver per iteration); assignment is the
+    map-only inlined-argmax of ivf_assign; cluster sizes are a k-row
+    aggregate broadcast back.  Nothing ever shuffles on more than the
+    k-valued cluster key.
+    """
+    cents = ivf_train_kmeans(
+        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(vectors, cents, id_col, vec_col, n_probe=1)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .join(F.broadcast(sizes), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").alias("cluster_id"),
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 5).alias("cosine"),
+            "n_members",
+        )
+    )

@@ -3745,6 +3745,71 @@ def perplexity_unigram(spark, sf_dir):
     return unigram_lm_score(tables.load(spark, sf_dir, "documents"))
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of kmeans_cluster_profile: unrolled Lloyd
+    iterations (programmatic-SQL pattern, like the simhash/LSH
+    oracles).  Mirrors the Spark semantics exactly: init = first k
+    vectors by id, assignment by round(cosine, 6) desc / centroid id
+    asc, re-centering through float32 (Spark casts the per-dimension
+    means back to float), empty clusters keep the previous centroid."""
+    cos = _COS.format(a="e.v", b="c.centroid")
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT {k})""",
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({cos}, 6) DESC, c.centroid_id) AS rn
+      FROM emb e CROSS JOIN {prev} c)"""
+        )
+        parts.append(
+            f"""m{it} AS (
+      SELECT centroid_id, i, CAST(CAST(avg(v[i]) AS FLOAT) AS DOUBLE) AS m
+      FROM a{it}, unnest(generate_series(1, {dim})) AS t(i)
+      WHERE rn = 1 GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""cent{it} AS (
+      SELECT p.centroid_id, coalesce(nm.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN (
+        SELECT centroid_id, array_agg(m ORDER BY i) AS centroid
+        FROM m{it} GROUP BY 1) nm USING (centroid_id))"""
+        )
+        prev = f"cent{it}"
+    with_body = ",\n    ".join(parts)
+    return f"""
+    WITH {with_body},
+    final AS (
+      SELECT e.vec_id, c.centroid_id, {cos} AS raw_cos,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({cos}, 6) DESC, c.centroid_id) AS rn
+      FROM emb e CROSS JOIN {prev} c)
+    SELECT vec_id, centroid_id AS cluster_id, round(raw_cos, 5) AS cosine,
+           CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS n_members
+    FROM final WHERE rn = 1
+    """
+
+
+@query("cluster_topics_kmeans", _kmeans_oracle_sql())
+def cluster_topics_kmeans(spark, sf_dir):
+    # corpus cartography: deterministic 2-iteration Lloyd k-means over
+    # the embeddings, hard assignment + per-vector cohesion + cluster
+    # population.  The oracle replays both Lloyd iterations in SQL.
+    from gnocchi_spark.operators.similarity import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(
+        tables.load(spark, sf_dir, "embeddings"), k=8, iterations=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -400,3 +400,22 @@ def test_pq_adc_ranks_exact_duplicate_first(spark):
     out = pq_adc_topk(df, df.where(F.col("vec_id") == 17), cbs, k=3).collect()
     top = [r for r in out if r["rank"] == 1][0]
     assert top["neighbor_id"] == 3 and top["adc_dist"] == 0.0
+
+
+def test_kmeans_cluster_profile_partitions_separable_data(spark):
+    from gnocchi_spark.operators.similarity import kmeans_cluster_profile
+
+    # two well-separated directions: ids 0-2 along +x, ids 3-5 along +y
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.05, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_cluster_profile(df, k=2, iterations=2).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 6
+    a = {i for i in by_id if by_id[i]["cluster_id"] == by_id[0]["cluster_id"]}
+    assert a == {0, 1, 2}
+    assert all(by_id[i]["n_members"] == 3 for i in by_id)
+    # cohesion: every member is closer to its own centroid than 0.9
+    assert all(r["cosine"] > 0.9 for r in out)
