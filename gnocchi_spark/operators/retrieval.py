@@ -191,3 +191,85 @@ def unigram_lm_score(
             F.round(F.exp("__nll"), 4).alias("ppl"),
         )
     )
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    ngram: int = 3,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): query-by-example over the first ``n_queries`` documents,
+    fusing a lexical ranking (distinct word-``ngram`` Jaccard) with a
+    semantic ranking (exact cosine over the aligned embedding row) via
+    ``rrf = sum 1/(rrf_k + rank)`` over each side's top-``pool``.
+
+    Scale shape: both sides broadcast the tiny query slice against the
+    corpus — the corpus itself never shuffles; each ranking window
+    partitions per query; the fusion join carries at most
+    ``2 * pool * n_queries`` rows.
+    """
+    from gnocchi_spark.operators.pipeline import token_ngrams
+    from gnocchi_spark.operators.similarity import cosine
+    from gnocchi_spark.operators.textstats import tokens
+
+    toks = docs.where(F.length(F.col("text")) > 0).select(
+        F.col(doc_id_col).alias("doc_id"), tokens(F.col("text")).alias("__t")
+    )
+    grams = toks.where(F.size("__t") >= ngram).select(
+        "doc_id", F.array_distinct(token_ngrams(F.col("__t"), ngram)).alias("g")
+    )
+    qg = grams.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
+    )
+    inter = F.size(F.array_intersect(F.col("qg"), F.col("g")))
+    union = F.size("qg") + F.size("g") - inter
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.round(inter.cast("double") / union, 6).desc(), F.col("doc_id")
+    )
+    lex = (
+        grams.join(F.broadcast(qg), F.col("doc_id") != F.col("query_id"))
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .where(F.col("lex_rank") <= pool)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    qe = embeddings.where(F.col(vec_id_col) < n_queries).select(
+        F.col(vec_id_col).alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sem_w = Window.partitionBy("query_id").orderBy(
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).desc(),
+        F.col("doc_id"),
+    )
+    sem = (
+        embeddings.select(F.col(vec_id_col).alias("doc_id"), "embedding")
+        .join(F.broadcast(qe), F.col("doc_id") != F.col("query_id"))
+        .withColumn("sem_rank", F.row_number().over(sem_w))
+        .where(F.col("sem_rank") <= pool)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "__rrf",
+        F.coalesce(F.lit(1.0) / (rrf_k + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sem_rank")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__rrf"), 9).desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("__rrf", 6).alias("rrf"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

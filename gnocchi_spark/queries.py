@@ -3810,6 +3810,65 @@ def cluster_topics_kmeans(spark, sf_dir):
     )
 
 
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH {_gram_sql(3, distinct=True)},
+    q AS (SELECT doc_id AS query_id, g AS qg FROM grams WHERE doc_id < 5),
+    lex0 AS (
+      SELECT q.query_id, d.doc_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(CAST(len(list_intersect(q.qg, d.g)) AS DOUBLE)
+                     / (len(q.qg) + len(d.g)
+                        - len(list_intersect(q.qg, d.g))), 6) DESC,
+                     d.doc_id) AS lex_rank
+      FROM grams d CROSS JOIN q WHERE d.doc_id != q.query_id),
+    lex AS (SELECT * FROM lex0 WHERE lex_rank <= 20),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+    sem0 AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round({_COS.format(a="e.embedding", b="q.qv")}, 6)
+                 DESC, e.vec_id) AS sem_rank
+      FROM embeddings e CROSS JOIN eq q WHERE e.vec_id != q.query_id),
+    sem AS (SELECT * FROM sem0 WHERE sem_rank <= 20),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + s.sem_rank), 0) AS rrf
+      FROM lex l FULL JOIN sem s
+        ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(rrf, 9) DESC, doc_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    # hybrid retrieval: query-by-example over the first 5 documents,
+    # lexical 3-gram-Jaccard ranking fused with the aligned embedding's
+    # exact-cosine ranking via reciprocal-rank fusion.  Both sides
+    # broadcast the 5-row query slice; the corpus never shuffles.
+    from gnocchi_spark.operators.retrieval import rrf_hybrid_topk
+
+    return rrf_hybrid_topk(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+        n_queries=5,
+        k=10,
+        pool=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -101,3 +101,38 @@ def test_bm25_broadcasts_small_sides(tiny_docs):
     # the (doc, term) aggregation is the only wide shuffle family; the
     # ranking window partitions per query, never globally
     assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_rrf_fusion_combines_both_rankings(spark):
+    from gnocchi_spark.operators.retrieval import rrf_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),
+            (2, "zeta eta theta iota"),
+            (3, "kappa lambda mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),   # semantically far from 0
+            (2, [0.95, 0.05]), # semantically near 0
+            (3, [0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = rrf_hybrid_topk(docs, emb, n_queries=1, k=4, pool=4).collect()
+    rows = {r["doc_id"]: r for r in out if r["query_id"] == 0}
+    # doc 1 wins lexically (shares the "alpha beta gamma" grams),
+    # doc 2 wins semantically; fusion surfaces both above doc 3
+    assert rows[1]["lex_rank"] == 1
+    assert rows[2]["sem_rank"] == 1
+    assert rows[1]["rank"] < rows[3]["rank"]
+    assert rows[2]["rank"] < rows[3]["rank"]
+    # rrf value is the sum of both reciprocal ranks when present
+    r1 = rows[1]
+    expect = 1.0 / (60 + r1["lex_rank"]) + 1.0 / (60 + r1["sem_rank"])
+    assert abs(r1["rrf"] - round(expect, 6)) < 1e-9
