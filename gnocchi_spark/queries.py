@@ -3869,6 +3869,66 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5: the snowflake-join anchor.  region->nation->supplier is
+    # a pure dimension chain, collapsed driver-side into one broadcast
+    # relation; orders (date-filtered at the scan) joins customer by
+    # broadcast; lineitem — the only big table — is joined LAST and
+    # never shuffles: both its join inputs arrive as broadcasts, and
+    # the same-nation predicate rides along.  One shuffle total (the
+    # per-nation aggregate, 25 groups).
+    cu = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sup = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord_cust = o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(ord_cust), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
