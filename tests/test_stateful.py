@@ -137,3 +137,64 @@ def test_rate_buckets_match_batch_rate_rollup(spark, dirs):
         for r in batch.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_stream
+
+
+@pytest.fixture()
+def ddirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "docs"),
+        "table": str(tmp_path / "kept"),
+        "ckpt": str(tmp_path / "dckpt"),
+    }
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_dedup(spark, dirs):
+    from gnocchi_spark.operators.dedup import normalize_text
+    from gnocchi_spark.streaming.stateful import streaming_dedup_stream
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).parquet(dirs["landing"])
+        .withColumn("text_hash", F.md5(normalize_text(F.col("text"))))
+        .select("doc_id", "text_hash")
+    )
+    kept = streaming_dedup_stream(stream)
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dirs["table"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["doc_id"]: r["text_hash"] for r in spark.read.parquet(dirs["table"]).collect()}
+
+
+def test_streaming_dedup_within_and_across_batches(spark, ddirs):
+    _write_docs(
+        spark,
+        ddirs["landing"],
+        [(1, "hello world"), (2, "other text"), (5, "Hello   WORLD")],
+    )
+    kept = _run_dedup(spark, ddirs)
+    # doc 5 normalizes to doc 1's content -> within-batch dup dropped,
+    # lowest doc_id kept
+    assert set(kept) == {1, 2}
+
+    # second micro-batch: a cross-batch dup (doc 7) and a new doc (8)
+    _write_docs(spark, ddirs["landing"], [(7, "hello world"), (8, "fresh")])
+    kept2 = _run_dedup(spark, ddirs)
+    assert set(kept2) == {1, 2, 8}
