@@ -59,6 +59,12 @@ HEADLINE = [
     "vocab_induction",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
+    "tpch_q5_local_supplier_volume",
+    "bm25_retrieval",
+    "chunk_documents_rag",
+    "perplexity_unigram",
+    "hybrid_rrf_retrieval",
+    "cluster_topics_kmeans",
 ]
 
 

@@ -445,8 +445,14 @@ def ivf_assign(
     # elements cast to double first, and centroid norms fold
     # sequentially in Python — identical IEEE operation sequences.
     dim = len(rows[0]["centroid"])
-    elem = [f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)]
-    vnorm_sql = sql_norm(vec_col, dim)
+    # Hoist the per-element double cast and the vector norm into
+    # projected columns: the argmax text shrinks ~4x (parse + codegen
+    # time scale with expression size, and the expression re-compiles
+    # every k-means iteration because the centroid literals change).
+    # Values are bit-identical: the cast still happens before any
+    # multiply, and every sum still folds left-to-right.
+    elem = [f"__vd[{i}]" for i in range(dim)]
+    vnorm_sql = "sqrt(" + " + ".join(f"{e} * {e}" for e in elem) + ")"
     entries = []
     for r in rows:
         ws = [float(x) for x in r["centroid"]]
@@ -454,7 +460,7 @@ def ivf_assign(
         for x in ws:
             cn += x * x
         dot_sql = " + ".join(f"{e} * {w!r}D" for e, w in zip(elem, ws))
-        score = f"round(({dot_sql}) / ({vnorm_sql} * {math.sqrt(cn)!r}D), 6)"
+        score = f"round(({dot_sql}) / (__vn * {math.sqrt(cn)!r}D), 6)"
         entries.append(
             f"named_struct('negscore', -({score}), "
             f"'cid', {int(r['centroid_id'])})"
@@ -464,8 +470,14 @@ def ivf_assign(
     picks = F.transform(
         F.slice(ranked, 1, min(n_probe, len(rows))), lambda s: s["cid"]
     )
-    return vectors.select(
-        F.col(id_col), F.col(vec_col), F.explode(picks).alias("centroid_id")
+    return (
+        vectors.withColumn(
+            "__vd", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        )
+        .withColumn("__vn", F.expr(vnorm_sql))
+        .select(
+            F.col(id_col), F.col(vec_col), F.explode(picks).alias("centroid_id")
+        )
     )
 
 
@@ -531,20 +543,38 @@ def ivf_train_kmeans(
     ``(centroid_id, centroid)`` DataFrame for :func:`ivf_cosine_topk`.
 
     Deterministic: seeded from the first ``k`` vectors by id.  Each
-    iteration is ONE distributed pass — assign (broadcast centroids,
-    map-side) then re-center (single groupBy(cluster) averaging
+    iteration is ONE distributed pass — assign (inlined centroid
+    argmax, map-side) then re-center (single groupBy(cluster) averaging
     per-dimension via ``posexplode``).  Only the k centroid rows ever
     reach the driver; the corpus stays distributed throughout, so the
-    loop scales to any corpus the cluster holds.  Iterative and
-    stateful, hence pytest-verified rather than SQL-oracled.
+    loop scales to any corpus the cluster holds.
+
+    The k centroid rows are MATERIALIZED driver-side after every
+    iteration (they cross the driver anyway for the inlined argmax):
+    leaving them as a lazy DataFrame chains each iteration's lineage
+    onto the last, so iteration N re-scans the corpus N times on
+    collect — with materialization each Lloyd iteration costs exactly
+    one corpus pass, which is the algorithm's floor.  Iterative and
+    stateful, hence pytest-verified rather than SQL-oracled (the
+    2-iteration profile in queries.cluster_topics_kmeans IS
+    SQL-oracled via an unrolled replay).
     """
-    centroids = (
-        corpus.orderBy(id_col)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in corpus.orderBy(id_col)
         .limit(k)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
-    )
+        .collect()
+    ]
+
+    def _as_df(rows):
+        return spark.createDataFrame(
+            rows, "centroid_id long, centroid array<float>"
+        )
+
     for _ in range(iterations):
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+        assigned = ivf_assign(corpus, _as_df(cent_rows), id_col, vec_col, n_probe=1)
         # per-cluster, per-dimension mean -> rebuilt centroid arrays
         dims = assigned.select(
             "centroid_id",
@@ -566,18 +596,15 @@ def ivf_train_kmeans(
                 ),
             )
         )
+        new_by_id = {
+            int(r["centroid_id"]): [float(x) for x in r["centroid"]]
+            for r in means.collect()
+        }
         # empty clusters keep their previous centroid
-        centroids = (
-            centroids.alias("old")
-            .join(means.alias("new"), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
-                    "centroid"
-                ),
-            )
-        )
-    return centroids
+        cent_rows = [
+            (cid, new_by_id.get(cid, old)) for cid, old in cent_rows
+        ]
+    return _as_df(cent_rows)
 
 
 def label_centroid_outliers(
