@@ -21,7 +21,7 @@ from __future__ import annotations
 import datetime
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gnocchi_spark.functions.timeutil import granularity_seconds
@@ -171,5 +171,54 @@ def backlog_report(
         .agg(
             F.count("*").cast("long").alias("n_measures"),
             F.countDistinct(metric_col).cast("long").alias("n_metrics"),
+        )
+    )
+
+
+def lateness_profile(
+    measures: DataFrame,
+    granularity_s: float = 300.0,
+    metric_col: str = "metric_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-metric out-of-order arrival profile: how late points arrive
+    relative to the running event-time high-water mark, in ARRIVAL
+    order (``seq_col``).
+
+    This is the observability the reference's ``back_window`` knob
+    needs but never gets from gnocchi itself: the archive policy's
+    back_window (reference carbonara.py:321-373 — points older than the
+    first block timestamp are silently dropped) must be sized from the
+    stream's real lateness distribution.  ``suggested_back_window`` is
+    the smallest whole number of ``granularity_s`` blocks that would
+    have admitted every observed point (0 for in-order streams).
+
+    Scale shape: one metric-keyed running-max window (same exchange
+    every rollup already does) feeding one aggregation; no global
+    window, no second shuffle (the window and groupBy share the metric
+    partitioning).
+    """
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max(F.col("ts")).over(w)
+    late_s = F.when(
+        F.col("__hwm").isNotNull() & (F.col("ts") < F.col("__hwm")),
+        (F.unix_micros(F.col("__hwm")) - F.unix_micros(F.col("ts"))) / 1e6,
+    ).otherwise(0.0)
+    return (
+        measures.withColumn("__hwm", hwm)
+        .withColumn("__late_s", late_s)
+        .groupBy(F.col(metric_col).alias("metric_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum((F.col("__late_s") > 0).cast("long")).alias("n_late"),
+            F.round(F.max("__late_s"), 6).alias("max_late_s"),
+            F.round(F.avg("__late_s"), 6).alias("mean_late_s"),
+            F.ceil(F.max("__late_s") / F.lit(float(granularity_s)))
+            .cast("long")
+            .alias("suggested_back_window"),
         )
     )

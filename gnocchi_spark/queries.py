@@ -3929,6 +3929,60 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+@query(
+    "lateness_profile",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, ts, user_id, event_id AS seq,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+      FROM events),
+    h AS (
+      SELECT metric_id, ts,
+             max(ts) OVER (
+               PARTITION BY metric_id
+               ORDER BY hb, user_id, ts, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM m),
+    l AS (
+      SELECT metric_id,
+             CASE WHEN hwm IS NOT NULL AND ts < hwm
+                  THEN epoch(hwm) - epoch(ts) ELSE 0.0 END AS late_s
+      FROM h)
+    SELECT metric_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(max(late_s), 6) AS max_late_s,
+           round(avg(late_s), 6) AS mean_late_s,
+           CAST(ceil(max(late_s) / 300.0) AS BIGINT) AS suggested_back_window
+    FROM l GROUP BY 1
+    """,
+)
+def lateness_profile(spark, sf_dir):
+    # out-of-order arrival profile -> back_window sizing.  Arrival is
+    # modeled as per-hour agent flushes (each user's buffered points
+    # land together, users interleave within the hour) — the statsd/
+    # collectd arrival pattern the reference's back_window exists for
+    # (carbonara.py:321-373 silently drops points older than the first
+    # block).  One metric-keyed running-max window + one aggregation on
+    # the same partitioning.
+    from gnocchi_spark.operators.maintenance import lateness_profile as prof
+
+    arrival = F.struct(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600 * 1_000_000)).alias("hb"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("seq"),
+    )
+    ev = tables.load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric_id"),
+        "ts",
+        "user_id",
+        F.col("event_id").alias("seq"),
+    )
+    return prof(ev.withColumn("__arrival", arrival), granularity_s=300.0,
+                seq_col="__arrival")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -216,3 +216,29 @@ def test_parse_timestamp_forms():
 
     with _pytest.raises(ValueError):
         parse_timestamp("next tuesday")
+
+
+def test_lateness_profile_counts_inversions(spark):
+    import datetime
+
+    from gnocchi_spark.operators.maintenance import lateness_profile
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def t(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # arrival order (seq): m1 in-order; m2 has one point 600 s late
+    rows = [
+        ("m1", t(0), 1.0, 1), ("m1", t(60), 1.0, 2), ("m1", t(120), 1.0, 3),
+        ("m2", t(0), 1.0, 1), ("m2", t(700), 1.0, 2), ("m2", t(100), 1.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_id string, ts timestamp, value double, seq long"
+    )
+    out = {r["metric_id"]: r for r in lateness_profile(df, granularity_s=300.0).collect()}
+    assert out["m1"]["n_late"] == 0
+    assert out["m1"]["suggested_back_window"] == 0
+    assert out["m2"]["n_late"] == 1
+    assert out["m2"]["max_late_s"] == 600.0
+    assert out["m2"]["suggested_back_window"] == 2  # ceil(600/300)
