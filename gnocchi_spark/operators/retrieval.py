@@ -273,3 +273,85 @@ def rrf_hybrid_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results from each query's top-``pool``
+    cosine candidates, trading relevance against redundancy —
+    ``mmr = lam * rel(c) - (1 - lam) * max cos(c, already_picked)``.
+
+    Scale shape: the only corpus-sized work is the top-``pool``
+    retrieval (broadcast query side, corpus never shuffles).  The
+    greedy loop then runs entirely on the pooled frame — at most
+    ``pool`` rows and ``pool^2`` pairwise-similarity rows PER QUERY,
+    independent of corpus size — as ``k - 1`` tiny join+window rounds.
+    Pairwise similarities round to 6 dp before the max so the selection
+    is engine-reproducible (same device as every ranking here).
+    """
+    from gnocchi_spark.operators.similarity import cosine, cosine_topk
+
+    one_minus = 1.0 - lam
+    pool_df = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    p = cv.join(F.broadcast(pool_df), "neighbor_id").persist()
+    pr = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("a_id"),
+            F.col("b.neighbor_id").alias("b_id"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("pcos"),
+        )
+        .persist()
+    )
+    chosen = p.where(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("step"),
+        F.round(F.lit(lam) * F.col("cosine"), 5).alias("mmr_score"),
+    )
+    for step in range(2, k + 1):
+        ch = chosen.select("query_id", F.col("neighbor_id").alias("b_id"))
+        div = (
+            pr.join(ch, ["query_id", "b_id"])
+            .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
+            .agg(F.max("pcos").alias("__div"))
+        )
+        mmr = F.lit(lam) * F.col("cosine") - F.lit(one_minus) * F.coalesce(
+            F.col("__div"), F.lit(0.0)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(mmr, 6).desc(), F.col("neighbor_id")
+        )
+        pick = (
+            p.join(
+                ch.select("query_id", F.col("b_id").alias("neighbor_id")),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(div, ["query_id", "neighbor_id"], "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(step).alias("step"),
+                F.round(mmr, 5).alias("mmr_score"),
+            )
+        )
+        chosen = chosen.union(pick)
+    return chosen

@@ -3983,6 +3983,85 @@ def lateness_profile(spark, sf_dir):
                 seq_col="__arrival")
 
 
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR replay (programmatic-SQL pattern): stage i
+    scores every unpicked pool candidate against the union of picks
+    1..i-1 and takes the per-query argmax."""
+    om = 1.0 - lam
+    cos_q = _COS.format(a="e.embedding", b="q.qv")
+    cos_p = _COS.format(a="a.cv", b="b.cv")
+    parts = [
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)",
+        f"""scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+             round({cos_q}, 5) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)""",
+        f"""pool AS (
+      SELECT query_id, neighbor_id, cv, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= {pool})""",
+        f"""pr AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             round({cos_p}, 6) AS pcos
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id)""",
+        f"""sel1 AS (
+      SELECT query_id, neighbor_id, 1 AS step,
+             round({lam!r} * cosine, 5) AS mmr_score
+      FROM pool WHERE rank = 1)""",
+        "ch1 AS (SELECT query_id, neighbor_id FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        prev = i - 1
+        parts.append(
+            f"""cand{i} AS (
+      SELECT p.query_id, p.neighbor_id, p.cosine, coalesce(mx.div, 0.0) AS div
+      FROM pool p
+      LEFT JOIN (
+        SELECT pr.query_id, pr.a_id, max(pr.pcos) AS div
+        FROM pr JOIN ch{prev} c
+          ON pr.query_id = c.query_id AND pr.b_id = c.neighbor_id
+        GROUP BY 1, 2) mx
+        ON mx.query_id = p.query_id AND mx.a_id = p.neighbor_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ch{prev} c
+        WHERE c.query_id = p.query_id AND c.neighbor_id = p.neighbor_id))"""
+        )
+        parts.append(
+            f"""sel{i} AS (
+      SELECT query_id, neighbor_id, {i} AS step,
+             round({lam!r} * cosine - {om!r} * div, 5) AS mmr_score
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY round({lam!r} * cosine - {om!r} * div, 6) DESC,
+                   neighbor_id) AS rn
+        FROM cand{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""ch{i} AS (SELECT query_id, neighbor_id FROM ch{prev}
+      UNION ALL SELECT query_id, neighbor_id FROM sel{i})"""
+        )
+    union = "\n    UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    {union}
+    """
+
+
+@query("mmr_diversified_topk", _mmr_oracle_sql())
+def mmr_diversified_topk(spark, sf_dir):
+    # MMR diversified rerank: greedy relevance-vs-redundancy selection
+    # of 5 from each query's top-20 cosine pool (lambda = 0.7).  Only
+    # the pool retrieval touches the corpus; the greedy rounds run on
+    # the pooled frame, bounded by the query workload.
+    from gnocchi_spark.operators.retrieval import mmr_rerank
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < 3), k=5, pool=20, lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -136,3 +136,27 @@ def test_rrf_fusion_combines_both_rankings(spark):
     r1 = rows[1]
     expect = 1.0 / (60 + r1["lex_rank"]) + 1.0 / (60 + r1["sem_rank"])
     assert abs(r1["rrf"] - round(expect, 6)) < 1e-9
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from gnocchi_spark.operators.retrieval import mmr_rerank
+
+    # query q along +x; A duplicates the best hit, C is diverse.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query
+            (1, [1.0, 0.0]),   # A: rel 1.0
+            (2, [1.0, 0.0]),   # B: exact duplicate of A
+            (3, [0.8, 0.6]),   # C: rel 0.8, diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_rerank(
+        emb, emb.where(F.col("vec_id") == 0), k=2, pool=3, lam=0.3
+    ).collect()
+    steps = {r["step"]: r for r in out}
+    assert steps[1]["neighbor_id"] == 1  # highest relevance, lowest id
+    # with a strong diversity weight the duplicate B loses to C
+    assert steps[2]["neighbor_id"] == 3
+    # mmr = 0.3*0.8 - 0.7*cos(C,A) = 0.24 - 0.7*0.8
+    assert abs(steps[2]["mmr_score"] - round(0.3 * 0.8 - 0.7 * 0.8, 5)) < 1e-6
