@@ -4062,6 +4062,62 @@ def mmr_diversified_topk(spark, sf_dir):
     return mmr_rerank(emb, emb.where(F.col("vec_id") < 3), k=5, pool=20, lam=0.7)
 
 
+@query(
+    "rollup_anomaly_zscore",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT metric_id, bucket_ts, mean,
+             avg(mean) OVER tw AS t_avg,
+             stddev_samp(mean) OVER tw AS t_std,
+             count(*) OVER tw AS t_n
+      FROM r
+      WINDOW tw AS (PARTITION BY metric_id ORDER BY bucket_ts
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
+           CASE WHEN t_n >= 12 AND t_std > 0
+                THEN round((mean - t_avg) / t_std, 6) END AS zscore,
+           coalesce(t_n >= 12 AND t_std > 0
+                    AND abs((mean - t_avg) / t_std) > 3.0, FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def rollup_anomaly_zscore(spark, sf_dir):
+    # trailing-window anomaly scoring over the 1 h mean rollup: each
+    # bucket's z-score against its own metric's previous 24 buckets
+    # (warm-up guard: >= 12 trailing points).  The alerting read a TSDB
+    # serves on top of its rollups — one metric-keyed shuffle for the
+    # rollup, and the trailing window rides the same partitioning.
+    from pyspark.sql import Window as W
+
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0).select(
+        "metric_id", "bucket_ts", "mean"
+    )
+    tw = (
+        W.partitionBy("metric_id").orderBy("bucket_ts").rowsBetween(-24, -1)
+    )
+    t_avg = F.avg("mean").over(tw)
+    t_std = F.stddev_samp("mean").over(tw)
+    t_n = F.count("*").over(tw)
+    z = (F.col("mean") - t_avg) / t_std
+    ok = (t_n >= 12) & (t_std > 0)
+    return (
+        r.withColumn("__z", F.when(ok, z))
+        .select(
+            "metric_id",
+            "bucket_ts",
+            F.round("mean", 6).alias("mean"),
+            F.round("__z", 6).alias("zscore"),
+            F.coalesce(F.abs(F.col("__z")) > 3.0, F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
