@@ -68,3 +68,23 @@ def split_creator(creator: Column) -> tuple[Column, Column]:
         creator.contains(":"), F.regexp_extract(creator, r":(.*)$", 1)
     ).otherwise(F.lit(""))
     return user, project
+
+
+def point_in_time(union_view: DataFrame, at) -> DataFrame:
+    """Reconstruct resource state as of timestamp ``at`` from the SCD-2
+    union view: the one revision per resource whose
+    ``[revision_start, revision_end)`` interval covers ``at`` (live
+    rows have an open end).  This is the reference's history API read
+    ("what did this resource look like at T" —
+    gnocchi/indexer/sqlalchemy.py:1174-1237 serves it by filtering the
+    revision trail the same way).
+
+    Pure scan predicate — both interval bounds compare against a
+    literal, so Catalyst pushes them to the source and revision
+    partitions prune; no shuffle, no window.
+    """
+    t = F.lit(at).cast("timestamp")
+    return union_view.where(
+        (F.col("revision_start") <= t)
+        & (F.col("revision_end").isNull() | (F.col("revision_end") > t))
+    )

@@ -4118,6 +4118,63 @@ def rollup_anomaly_zscore(spark, sf_dir):
     )
 
 
+@query(
+    "resource_point_in_time",
+    """
+    WITH revs AS (
+      SELECT user_id, ts AS revision_start,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS revision_end,
+             CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS tier,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn_last
+      FROM events WHERE event_type = 'signup')
+    SELECT CAST(user_id AS BIGINT) AS resource_id, tier, revision_start,
+           CAST(CASE WHEN rn_last = 1 THEN -1
+                     ELSE rn_last - 1 END AS INT) AS revision
+    FROM revs
+    WHERE revision_start <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (revision_end IS NULL
+           OR revision_end > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def resource_point_in_time(spark, sf_dir):
+    # time travel on the SCD-2 revision trail: every resource's state
+    # as of 2024-01-15 (resources first seen later are absent; ones
+    # revised later show the covering revision, not the live one).
+    # Both interval bounds compare to a literal -> pure pushed scan
+    # predicate over the union view.
+    from gnocchi_spark.operators.resources import (
+        history_union_view,
+        point_in_time,
+    )
+
+    ev = tables.load(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    revs = ev.select(
+        F.col("user_id").cast("long").alias("resource_id"),
+        F.when(F.col("value") >= 100, F.lit("hi")).otherwise("lo").alias("tier"),
+        F.col("ts").alias("revision_start"),
+        F.lead("ts", 1).over(
+            Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        ).alias("__next"),
+        F.row_number().over(w).alias("__rn_last"),
+    )
+    live = revs.where(F.col("__rn_last") == 1).select(
+        "resource_id", "tier", "revision_start"
+    )
+    history = revs.where(F.col("__rn_last") > 1).select(
+        "resource_id",
+        "tier",
+        "revision_start",
+        F.col("__next").alias("revision_end"),
+        (F.col("__rn_last") - 1).cast("int").alias("revision"),
+    )
+    return point_in_time(
+        history_union_view(live, history), "2024-01-15 00:00:00"
+    ).select("resource_id", "tier", "revision_start", "revision")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
