@@ -649,3 +649,65 @@ def incremental_minhash_matches(
         .select("new_id", "corpus_id", est)
         .where(F.col("sig_est") >= F.lit(float(sig_threshold)))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    max_df: int = 100,
+    min_fps: int = 10,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-containment pairs via winnowing fingerprints:
+    flags doc pairs where the smaller fingerprint set is >=
+    ``threshold`` contained in the shared set — the quote/excerpt/
+    subset-duplicate case that symmetric Jaccard under-scores (a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    1.0).
+
+    Scale shape, same discipline as ngram_jaccard_pairs: fingerprints
+    with document frequency > ``max_df`` are dropped BEFORE the
+    self-join (boilerplate hubs would otherwise fan out df^2 per
+    fingerprint), so candidate volume tracks shared-content volume,
+    not corpus^2.  The df table is vocabulary-sized and broadcasts;
+    the pair aggregation shuffles only capped postings.
+    """
+    from gnocchi_spark.operators.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(docs, text_col=text_col, id_col=id_col)
+    capped = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("fingerprint")
+    )
+    f2 = fps.join(F.broadcast(capped), "fingerprint")
+    sizes = f2.groupBy(F.col("doc_id")).agg(F.count("*").alias("n"))
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    small = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (small >= min_fps)
+            & (F.col("shared") / small >= F.lit(float(threshold)))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("shared") / small, 6).alias("containment"),
+        )
+    )

@@ -4175,6 +4175,51 @@ def resource_point_in_time(spark, sf_dir):
     ).select("resource_id", "tier", "revision_start", "revision")
 
 
+@query(
+    "dedup_containment",
+    """
+    WITH pos AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(substr(text, i, 5)), 1, 8)) AS BIGINT) AS h,
+             length(text) - 4 AS n_grams
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)),
+    wins AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM pos),
+    fps AS (SELECT DISTINCT doc_id, fp AS fingerprint
+            FROM wins WHERE i <= n_grams - 3),
+    capped AS (SELECT fingerprint FROM fps GROUP BY 1 HAVING count(*) <= 100),
+    f2 AS (SELECT f.doc_id, f.fingerprint FROM fps f JOIN capped USING (fingerprint)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM f2 a JOIN f2 b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+           round(p.shared / least(sa.n, sb.n), 6) AS containment
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE least(sa.n, sb.n) >= 10
+      AND p.shared / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    # asymmetric near-containment via winnowing fingerprints — the
+    # quote/excerpt case Jaccard under-scores.  df-capped postings
+    # before the self-join keep candidate volume tracking shared
+    # content, not corpus^2.  Short-doc fingerprints (< window full
+    # positions) are excluded by the min_fps floor on both sides.
+    from gnocchi_spark.operators.dedup import containment_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return containment_pairs(docs, max_df=100, min_fps=10, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

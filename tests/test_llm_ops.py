@@ -419,3 +419,25 @@ def test_kmeans_cluster_profile_partitions_separable_data(spark):
     assert all(by_id[i]["n_members"] == 3 for i in by_id)
     # cohesion: every member is closer to its own centroid than 0.9
     assert all(r["cosine"] > 0.9 for r in out)
+
+
+def test_containment_detects_quote_inside_long_doc(spark):
+    from gnocchi_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    long_doc = (
+        "completely unrelated preamble material here " + quote +
+        " and then a very long unrelated tail that keeps going with more words"
+    )
+    other = "nothing in common with either document at all whatsoever truly"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(docs, max_df=10, min_fps=3, threshold=0.8).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # the quote's fingerprints are (nearly) all inside the long doc
+    assert r["containment"] >= 0.8
+    assert r["n_a"] <= r["n_b"]
+    assert not any(3 in p for p in pairs)
