@@ -4220,6 +4220,89 @@ def dedup_containment(spark, sf_dir):
     return containment_pairs(docs, max_df=100, min_fps=10, threshold=0.8)
 
 
+@query(
+    "tsdb_gap_report",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT metric_id, bucket_ts,
+             lag(bucket_ts) OVER (PARTITION BY metric_id
+                                  ORDER BY bucket_ts) AS prev_ts
+      FROM r),
+    gaps AS (
+      SELECT metric_id,
+             prev_ts + INTERVAL 300 SECOND AS gap_start,
+             bucket_ts - INTERVAL 300 SECOND AS gap_end
+      FROM g
+      WHERE prev_ts IS NOT NULL
+        AND epoch(bucket_ts) - epoch(prev_ts) > 300)
+    SELECT r.metric_id,
+           CAST((epoch(max(r.bucket_ts)) - epoch(min(r.bucket_ts))) / 300 + 1
+                AS BIGINT) AS n_expected,
+           CAST(count(DISTINCT r.bucket_ts) AS BIGINT) AS n_present,
+           CAST((epoch(max(r.bucket_ts)) - epoch(min(r.bucket_ts))) / 300 + 1
+                - count(DISTINCT r.bucket_ts) AS BIGINT) AS n_missing,
+           round(count(DISTINCT r.bucket_ts)
+                 / ((epoch(max(r.bucket_ts)) - epoch(min(r.bucket_ts)))
+                    / 300 + 1), 6) AS coverage,
+           min(gp.gap_start) AS first_missing,
+           max(gp.gap_end) AS last_missing
+    FROM r LEFT JOIN gaps gp USING (metric_id)
+    GROUP BY r.metric_id
+    """,
+)
+def tsdb_gap_report(spark, sf_dir):
+    # per-metric continuity audit of the 5 m rollup grid: expected vs
+    # present bucket counts from pure min/max arithmetic, and the
+    # first/last missing bucket located via a lag-gap scan — no bucket
+    # grid is ever materialized, so the plan is one rollup shuffle plus
+    # a window on the same metric partitioning.
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 300.0).select(
+        "metric_id", "bucket_ts"
+    )
+    from pyspark.sql import Window as W
+
+    prev = F.lag("bucket_ts").over(
+        W.partitionBy("metric_id").orderBy("bucket_ts")
+    )
+    g = r.withColumn("__prev", prev)
+    gaps = g.where(
+        F.col("__prev").isNotNull()
+        & ((F.unix_micros("bucket_ts") - F.unix_micros("__prev")) > 300_000_000)
+    ).select(
+        "metric_id",
+        (F.col("__prev") + F.expr("INTERVAL 300 SECOND")).alias("gap_start"),
+        (F.col("bucket_ts") - F.expr("INTERVAL 300 SECOND")).alias("gap_end"),
+    )
+    span = (
+        F.unix_micros(F.max("bucket_ts")) - F.unix_micros(F.min("bucket_ts"))
+    ) / 300_000_000
+    n_expected = (span + 1).cast("long")
+    return (
+        r.join(gaps, "metric_id", "left")
+        .groupBy("metric_id")
+        .agg(
+            n_expected.alias("n_expected"),
+            F.countDistinct("bucket_ts").cast("long").alias("n_present"),
+            F.min("gap_start").alias("first_missing"),
+            F.max("gap_end").alias("last_missing"),
+        )
+        .select(
+            "metric_id",
+            "n_expected",
+            "n_present",
+            (F.col("n_expected") - F.col("n_present")).alias("n_missing"),
+            F.round(
+                F.col("n_present") / F.col("n_expected").cast("double"), 6
+            ).alias("coverage"),
+            "first_missing",
+            "last_missing",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
