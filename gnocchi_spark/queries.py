@@ -4303,6 +4303,58 @@ def tsdb_gap_report(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_report",
+    f"""
+    WITH d AS (
+      SELECT source, lang, length(text) AS n_chars,
+             array_length(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+             md5({_NORM_SQL}) AS h
+      FROM documents WHERE length(text) > 0)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           round(1 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+             AS exact_dup_ratio
+    FROM d GROUP BY 1, 2
+    """,
+)
+def corpus_report(spark, sf_dir):
+    # the corpus datasheet: per (source, language) volume, token mass,
+    # and exact-duplicate composition — the first table in any
+    # training-data audit.  One partial-aggregated shuffle on the
+    # (source, lang) key; the distinct count is a two-level aggregate
+    # on the same key (no global distinct).
+    from gnocchi_spark.operators.dedup import normalize_text
+    from gnocchi_spark.operators.textstats import tokens
+
+    t = F.col("text")
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.length(t) > 0)
+        .select(
+            "source",
+            "lang",
+            F.length(t).alias("n_chars"),
+            F.size(tokens(t)).alias("n_tokens"),
+            F.md5(normalize_text(t)).alias("h"),
+        )
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.round(
+            1 - F.countDistinct("h") / F.count("*").cast("double"), 6
+        ).alias("exact_dup_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
