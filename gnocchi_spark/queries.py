@@ -4355,6 +4355,93 @@ def corpus_report(spark, sf_dir):
     )
 
 
+@query(
+    "rollup_consistency_audit",
+    f"""
+    WITH p5 AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS b5,
+             count(value) AS cnt, sum(value) AS s, sum(value * value) AS ssq,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2),
+    c1h AS (
+      SELECT metric_id, {_sql_bucket(3600, col="b5")} AS bucket_ts,
+             sum(cnt) AS cnt, sum(s) AS s, sum(ssq) AS ssq,
+             min(mn) AS mn, max(mx) AS mx
+      FROM p5 GROUP BY 1, 2),
+    casc AS (
+      SELECT metric_id, bucket_ts, s / cnt AS mean, s AS sum, mn AS min,
+             mx AS max, CAST(cnt AS DOUBLE) AS count,
+             CASE WHEN cnt > 1 THEN
+               sqrt(greatest(ssq - s * s / cnt, 0) / (cnt - 1)) END AS std
+      FROM c1h),
+    direct AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean, sum(value) AS sum, min(value) AS min,
+             max(value) AS max, CAST(count(value) AS DOUBLE) AS count,
+             stddev_samp(value) AS std
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT d.metric_id,
+             abs(d.mean - c.mean) > 1e-6 * greatest(1, abs(d.mean)) AS bad_mean,
+             abs(d.sum - c.sum) > 1e-6 * greatest(1, abs(d.sum)) AS bad_sum,
+             abs(d.min - c.min) > 0 AS bad_min,
+             abs(d.max - c.max) > 0 AS bad_max,
+             abs(d.count - c.count) > 0 AS bad_count,
+             coalesce(abs(d.std - c.std)
+                      > 1e-6 * greatest(1, abs(d.std)), d.std IS DISTINCT FROM c.std)
+               AS bad_std
+      FROM direct d JOIN casc c USING (metric_id, bucket_ts))
+    SELECT metric_id, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN bad_mean OR bad_sum OR bad_min OR bad_max
+                         OR bad_count OR bad_std THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch
+    FROM j GROUP BY 1
+    """,
+)
+def rollup_consistency_audit(spark, sf_dir):
+    # internal data-quality audit of the cascade: the 1 h rollup merged
+    # from 5 m partials must equal the 1 h rollup computed from raw, per
+    # method, within fp tolerance — the invariant that makes serving
+    # coarse grains from fine partials sound.  n_mismatch must be 0.
+    from gnocchi_spark.operators.rollup import (
+        _finalize,
+        _partials,
+        _remerge,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    methods = ["mean", "sum", "min", "max", "count", "std"]
+    m = _measures(spark, sf_dir)
+    p5 = _partials(m, truncate_to_bucket(F.col("ts"), 300.0), "metric_id", "ts", "value")
+    casc = _finalize(_remerge(p5, 3600.0), methods)
+    direct = rollup_wide(m, methods, 3600.0)
+    j = direct.alias("d").join(
+        casc.alias("c"), ["metric_id", "bucket_ts"]
+    )
+    rel = lambda col: (  # noqa: E731
+        F.abs(F.col(f"d.{col}") - F.col(f"c.{col}"))
+        > 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(f"d.{col}")))
+    )
+    exact = lambda col: (  # noqa: E731
+        F.abs(F.col(f"d.{col}") - F.col(f"c.{col}")) > 0
+    )
+    bad = (
+        rel("mean")
+        | rel("sum")
+        | exact("min")
+        | exact("max")
+        | exact("count")
+        | F.coalesce(
+            rel("std"),
+            ~(F.col("d.std").eqNullSafe(F.col("c.std"))),
+        )
+    )
+    return j.groupBy("metric_id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(bad.cast("long")).alias("n_mismatch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
