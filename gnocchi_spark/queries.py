@@ -4442,6 +4442,57 @@ def rollup_consistency_audit(spark, sf_dir):
     )
 
 
+@query(
+    "inverted_index_postings",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+    tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM tf GROUP BY term HAVING count(*) >= 50
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    # the BM25 serving structure as a build step (the lexical twin of
+    # operators/ann_index.py): per term, document frequency, total term
+    # frequency, and the doc-ordered posting list pinned by md5.  One
+    # (doc, term) partial-aggregated shuffle then a term-keyed reduce;
+    # posting lists assemble per term, never globally.  df >= 50 bounds
+    # the materialized slice to serving-relevant terms.
+    from gnocchi_spark.operators.textstats import tokens
+
+    t = F.col("text")
+    tf = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.length(t) > 0)
+        .select("doc_id", F.explode(tokens(t)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.md5(postings).alias("postings_md5"),
+        )
+        .where(F.col("df") >= 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
