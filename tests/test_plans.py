@@ -21,6 +21,10 @@ BNL_ALLOWED = {
     "ann_cosine_topk",  # broadcast 10 query vectors against the corpus
     "ann_pq_topk",      # same shape: broadcast probe set, corpus streams
     "tfidf_keywords",   # broadcast 1-row corpus-size scalar (cross)
+    "bm25_retrieval",   # broadcast 1-row (N, avgdl) scalar (cross)
+    "perplexity_unigram",     # broadcast 1-row vocab-total scalar (cross)
+    "hybrid_rrf_retrieval",   # broadcast 5-row query slice, != condition
+    "mmr_diversified_topk",   # broadcast 3-row query slice (cosine pool)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
