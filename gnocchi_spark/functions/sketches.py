@@ -72,21 +72,37 @@ def hll_distinct(
     the linear-counting fallback handles the small-cardinality regime
     — both in plain SQL arithmetic (the oracle replays them).
     """
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    width = 60 - p
     idx, rank = hll_register_cols(key, p)
     regs = (
         df.select(*group_cols, idx.alias("__reg"), rank.alias("__rank"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rank").alias("__maxrank"))
     )
+    return hll_estimate_from_registers(regs, group_cols, p, out_col)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 9,
+    out_col: str = "approx_distinct",
+    maxrank_col: str = "__maxrank",
+) -> DataFrame:
+    """Finalize an HLL estimate from a (group, register, max-rank)
+    frame — the serving half of :func:`hll_distinct`, split out so
+    register tables materialized elsewhere (e.g. the streaming
+    register sink) can be estimated at read time, and so sketches
+    persisted at different times MERGE by plain ``max`` per register
+    before this finalize."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    width = 60 - p
     # the harmonic sum as an EXACT integer: each 2^-rank term scaled by
     # 2^(width+1) is a power-of-two long; the long sum is associative
     # (unlike float addition, whose order Spark's partial aggregation
     # does not fix), so the estimate is bit-reproducible across engines
     term = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), {width + 1} - __maxrank)"
+        f"shiftleft(CAST(1 AS BIGINT), {width + 1} - {maxrank_col})"
     )
     est = regs.groupBy(*group_cols).agg(
         F.sum(term).alias("__scaled"),

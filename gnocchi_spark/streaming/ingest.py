@@ -407,3 +407,41 @@ def streaming_session_stats(
             *(["value_sum"] if value_col else []),
         )
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    key: "F.Column",
+    group_cols: Sequence[str] = ("metric_id",),
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming half of the HLL distinct sketch: windowed
+    (group, register) -> max-rank aggregation over an unbounded
+    stream.  Finalized windows append a register table; read-side,
+    ``functions.sketches.hll_estimate_from_registers`` turns any
+    grouping of that table into distinct counts, and register rows
+    from different runs MERGE by plain max.
+
+    State per (group, window) is at most 2^p register rows —
+    cardinality-independent, which is the whole point of sketching a
+    distinct count in a stream; the watermark closes windows exactly
+    like streaming_rollup's back_window bound.
+    """
+    from gnocchi_spark.functions.sketches import hll_register_cols
+
+    idx, rank = hll_register_cols(key, p)
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.select(*group_cols, F.col(ts_col), idx.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, F.window(ts_col, window).alias("win"), "reg")
+        .agg(F.max("rank").alias("maxrank"))
+        .select(
+            *group_cols,
+            F.col("win.start").alias("bucket_ts"),
+            "reg",
+            "maxrank",
+        )
+    )

@@ -275,3 +275,70 @@ def test_streaming_session_window(spark, dirs, tmp_path):
     s2 = got[("m1", _t(10, 0))]
     assert s2["n_events"] == 1 and s2["value_sum"] == 4.0
     assert ("m2", _t(0, 0)) in got
+
+
+def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
+    """The streaming register table, estimated at read time, must equal
+    the batch HLL over the same finalized window exactly (registers are
+    deterministic, merge is max)."""
+    import datetime
+
+    from gnocchi_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+    from gnocchi_spark.streaming.ingest import streaming_hll_registers
+    from gnocchi_spark.streaming import ingest as si
+
+    landing = str(tmp_path / "hll_landing")
+    table = str(tmp_path / "hll_regs")
+    ckpt = str(tmp_path / "hll_ckpt")
+    t0 = datetime.datetime(2026, 3, 6, 14, 0, 0)
+
+    def t(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    # window 14:00-15:00 gets users 1..40 (some repeated) across two
+    # batches; a far-future point moves the watermark past the window
+    rows1 = [("m1", t(i % 50), float(i % 40), i) for i in range(200)]
+    rows2 = [("m1", t(50 + (i % 9)), float(i % 25), 1000 + i) for i in range(100)]
+    mover = [("m1", t(300), 0.0, 9999)]
+    for batch in (rows1, rows2 + mover):
+        df = spark.createDataFrame(batch, schema=si.MEASURES_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = si.read_measures_stream(spark, landing)
+    regs = streaming_hll_registers(
+        stream, F.col("value").cast("string"), ["metric_id"], window="1 hour",
+        watermark="10 minutes",
+    )
+    q = (
+        regs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(table)
+    est = hll_estimate_from_registers(
+        stored.withColumnRenamed("maxrank", "__maxrank"),
+        ["metric_id", "bucket_ts"],
+    ).collect()
+    got = {
+        (r["metric_id"], r["bucket_ts"]): r["approx_distinct"] for r in est
+    }
+
+    batch_rows = rows1 + rows2 + mover
+    bdf = spark.createDataFrame(batch_rows, schema=si.MEASURES_SCHEMA)
+    in_window = bdf.where(
+        (F.col("ts") >= t(0)) & (F.col("ts") < t(60))
+    )
+    want = hll_distinct(
+        in_window, F.col("value").cast("string"), ["metric_id"]
+    ).collect()[0][
+        "approx_distinct"
+    ]
+    assert got[("m1", t(0))] == want
