@@ -4493,6 +4493,64 @@ def inverted_index_postings(spark, sf_dir):
     )
 
 
+@query(
+    "metric_top_movers",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(86400)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT metric_id, bucket_ts, mean,
+             lag(mean) OVER (PARTITION BY metric_id ORDER BY bucket_ts)
+               AS prev_mean
+      FROM r),
+    c AS (
+      SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
+             round(prev_mean, 6) AS prev_mean,
+             round((mean - prev_mean) / abs(prev_mean), 6) AS pct_change
+      FROM d WHERE prev_mean IS NOT NULL AND prev_mean != 0)
+    SELECT metric_id, bucket_ts, mean, prev_mean, pct_change,
+           CAST(row_number() OVER (
+             PARTITION BY bucket_ts
+             ORDER BY abs(pct_change) DESC, metric_id) AS INT) AS rnk
+    FROM c
+    QUALIFY rnk <= 3
+    """,
+)
+def metric_top_movers(spark, sf_dir):
+    # day-over-day movers: per-day ranking of metrics by absolute
+    # relative change of the daily mean — the "what changed" dashboard
+    # read.  The lag rides the rollup's metric partitioning; the
+    # per-day ranking window holds one row per metric.
+    from pyspark.sql import Window as W
+
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 86400.0).select(
+        "metric_id", "bucket_ts", "mean"
+    )
+    prev = F.lag("mean").over(W.partitionBy("metric_id").orderBy("bucket_ts"))
+    c = (
+        r.withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull() & (F.col("__prev") != 0))
+        .select(
+            "metric_id",
+            "bucket_ts",
+            F.round("mean", 6).alias("mean"),
+            F.round("__prev", 6).alias("prev_mean"),
+            F.round(
+                (F.col("mean") - F.col("__prev")) / F.abs(F.col("__prev")), 6
+            ).alias("pct_change"),
+        )
+    )
+    w = W.partitionBy("bucket_ts").orderBy(
+        F.abs(F.col("pct_change")).desc(), F.col("metric_id")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
