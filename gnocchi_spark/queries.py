@@ -4551,6 +4551,140 @@ def metric_top_movers(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_conversion",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT user_id, t_view,
+             CASE WHEN t_click > t_view THEN t_click END AS t_click_after,
+             CASE WHEN t_click > t_view
+                   AND t_purchase > t_click THEN t_purchase END
+               AS t_purchase_after
+      FROM stage WHERE t_view IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(t_click_after) AS BIGINT) AS n_click,
+           CAST(count(t_purchase_after) AS BIGINT) AS n_purchase,
+           round(count(t_click_after) / CAST(count(*) AS DOUBLE), 6)
+             AS view_to_click,
+           round(count(t_purchase_after)
+                 / CAST(greatest(count(t_click_after), 1) AS DOUBLE), 6)
+             AS click_to_purchase
+    FROM f
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    # ordered-funnel conversion (view -> click -> purchase): first
+    # occurrence per stage per user via conditional min — ONE user-keyed
+    # aggregation over the event stream, then a global scalar reduce.
+    # The strict ordering rule (each stage after the previous stage's
+    # first hit) is plain column logic on the per-user row.
+    ev = tables.load(spark, sf_dir, "events")
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stage = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    f = stage.where(F.col("t_view").isNotNull()).select(
+        F.when(F.col("t_click") > F.col("t_view"), F.col("t_click")).alias(
+            "t_click_after"
+        ),
+        F.when(
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            F.col("t_purchase"),
+        ).alias("t_purchase_after"),
+    )
+    return f.agg(
+        F.count("*").cast("long").alias("n_view"),
+        F.count("t_click_after").cast("long").alias("n_click"),
+        F.count("t_purchase_after").cast("long").alias("n_purchase"),
+        F.round(
+            F.count("t_click_after") / F.count("*").cast("double"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t_purchase_after")
+            / F.greatest(F.count("t_click_after"), F.lit(1)).cast("double"),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "cohort_retention",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id, {_sql_bucket(604800, col="min(ts)")} AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((epoch({_sql_bucket(604800)}) - epoch(f.cohort_week))
+                  / 604800 AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)),
+    cohort_size AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY 1)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active, s.n_users,
+           round(count(*) / CAST(s.n_users AS DOUBLE), 6) AS retention
+    FROM activity a JOIN cohort_size s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.n_users
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    # weekly cohort retention: users grouped by first-seen week, then
+    # the share still active N weeks later.  Two user-keyed
+    # aggregations; the cohort-size table is weeks-sized and broadcasts
+    # back onto the activity frame.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    wk = lambda c: truncate_to_bucket(c, 604800.0)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(
+        wk(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_micros(wk(F.col("ts")))
+                    - F.unix_micros(F.col("cohort_week"))
+                )
+                / F.lit(604800_000_000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "n_users")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_users",
+            F.round(F.col("n_active") / F.col("n_users").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
