@@ -269,6 +269,19 @@ def _vocab_on(docs):
     return induce_subword_vocab(docs, max_len=6, top_n=256)
 
 
+def _bm25_on(docs):
+    from gnocchi_spark.operators.retrieval import bm25_topk
+    from gnocchi_spark.queries import BM25_QUERIES
+
+    return bm25_topk(docs, BM25_QUERIES, k=5)
+
+
+def _ppl_on(docs):
+    from gnocchi_spark.operators.retrieval import unigram_lm_score
+
+    return unigram_lm_score(docs)
+
+
 def scale_stress(spark, sf_dir, factor=10):
     """Judge task: run the heaviest operators at 1x and factor-x and
     record wall growth plus dedup candidate-pair counts vs the N^2 pair
@@ -338,6 +351,10 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _bloom_on(docs10)),
         ("vocab_induction", lambda: _vocab_on(docs1),
          lambda: _vocab_on(docs10)),
+        ("bm25_retrieval", lambda: _bm25_on(docs1),
+         lambda: _bm25_on(docs10)),
+        ("perplexity_unigram", lambda: _ppl_on(docs1),
+         lambda: _ppl_on(docs10)),
     ]:
         t1, t10 = timed(mk1), timed(mk10)
         queries[name] = {
