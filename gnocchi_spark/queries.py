@@ -4685,6 +4685,47 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+@query(
+    "seasonal_profile",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT metric_id, CAST(extract('hour' FROM bucket_ts) AS INT) AS hod,
+             avg(mean) AS hod_mean, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM r GROUP BY 1, 2)
+    SELECT metric_id, hod, round(hod_mean, 6) AS hod_mean, n_buckets,
+           round(hod_mean / avg(hod_mean) OVER (PARTITION BY metric_id), 6)
+             AS rel_to_day
+    FROM h
+    """,
+)
+def seasonal_profile(spark, sf_dir):
+    # hour-of-day seasonality per metric: the 24-slot diurnal profile
+    # of hourly means, each slot normalized by the metric's own daily
+    # average — the capacity-planning read.  Calendar extract rides the
+    # hourly rollup; the normalizing window holds 24 rows per metric.
+    from pyspark.sql import Window as W
+
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    h = r.groupBy(
+        "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
+    ).agg(
+        F.avg("mean").alias("__hm"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    day_avg = F.avg("__hm").over(W.partitionBy("metric_id"))
+    return h.select(
+        "metric_id",
+        "hod",
+        F.round("__hm", 6).alias("hod_mean"),
+        "n_buckets",
+        F.round(F.col("__hm") / day_avg, 6).alias("rel_to_day"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
