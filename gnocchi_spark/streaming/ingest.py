@@ -445,3 +445,49 @@ def streaming_hll_registers(
             "maxrank",
         )
     )
+
+
+def streaming_cms_counters(
+    stream: DataFrame,
+    key: "F.Column",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming half of the Count-Min sketch: windowed
+    (row, idx) -> count aggregation — the frequency twin of
+    streaming_hll_registers.  Finalized windows append a counter
+    table; sketches for the same window from different runs (or
+    adjacent windows for a coarser serving range) MERGE by summing
+    counters, and ``functions.sketches.cms_estimate`` probes any
+    merged slice at read time.
+
+    State per window is at most d*w counter rows — traffic-
+    independent, same bound as the batch build's shuffle.
+    """
+    digest = F.md5(key)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10)
+                        .cast("long")
+                        % F.lit(w)
+                    ).cast("int").alias("idx"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("e")
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.select(F.col(ts_col), rows)
+        .select(ts_col, "e.row", "e.idx")
+        .groupBy(F.window(ts_col, window).alias("win"), "row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("bucket_ts"), "row", "idx", "cnt")
+    )

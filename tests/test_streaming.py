@@ -342,3 +342,63 @@ def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
         "approx_distinct"
     ]
     assert got[("m1", t(0))] == want
+
+
+def test_streaming_cms_counters_match_batch_sketch(spark, tmp_path):
+    """Streamed per-window CMS counters must equal the batch sketch of
+    the same finalized window (counters are deterministic, merge = sum),
+    and estimates over them must never underestimate."""
+    import datetime
+
+    from gnocchi_spark.functions.sketches import cms_estimate, cms_tables
+    from gnocchi_spark.streaming.ingest import streaming_cms_counters
+    from gnocchi_spark.streaming import ingest as si
+
+    landing = str(tmp_path / "cms_landing")
+    table = str(tmp_path / "cms_counts")
+    ckpt = str(tmp_path / "cms_ckpt")
+    t0 = datetime.datetime(2026, 3, 6, 14, 0, 0)
+
+    def t(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    rows1 = [("m1", t(i % 50), float(i % 7), i) for i in range(140)]
+    rows2 = [("m1", t(i % 40), float(i % 11), 1000 + i) for i in range(110)]
+    mover = [("m1", t(300), 0.0, 9999)]
+    for batch in (rows1, rows2 + mover):
+        df = spark.createDataFrame(batch, schema=si.MEASURES_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = si.read_measures_stream(spark, landing)
+    counters = streaming_cms_counters(
+        stream, F.col("value").cast("string"), window="1 hour",
+        watermark="10 minutes", d=4, w=64,
+    )
+    q = (
+        counters.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(table).where(F.col("bucket_ts") == t(0))
+    batch_rows = rows1 + rows2
+    bdf = spark.createDataFrame(batch_rows, schema=si.MEASURES_SCHEMA).where(
+        (F.col("ts") >= t(0)) & (F.col("ts") < t(60))
+    )
+    want = cms_tables(bdf, F.col("value").cast("string"), d=4, w=64)
+    got = stored.select("row", "idx", "cnt")
+    # exact counter-table equality both directions
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # probing the streamed sketch never underestimates true counts
+    truth = bdf.groupBy(F.col("value").cast("string").alias("k")).agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    est = cms_estimate(truth, got, F.col("k"), d=4, w=64)
+    bad = est.where(F.col("cms_count") < F.col("exact_count")).count()
+    assert bad == 0
