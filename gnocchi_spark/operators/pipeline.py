@@ -703,3 +703,70 @@ def induce_subword_vocab(
     return freq.withColumn("rank", F.row_number().over(w)).select(
         "rank", "piece", "freq"
     )
+
+
+def pmi_word_pairs(
+    docs: DataFrame,
+    min_pair_df: int = 20,
+    max_df: int | None = None,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` word associations by document-level PMI:
+    ``ln(P(a,b) / (P(a) P(b)))`` over document co-occurrence — the
+    collocation/association statistic tokenizer and phrase-mining
+    passes start from.
+
+    Scale shape: the pair space is generated per document (self-join
+    on the doc key), so candidate volume is sum over docs of
+    distinct-terms^2 — bounded by document length, not vocabulary or
+    corpus size; ``max_df`` additionally drops stopword-dense terms
+    before pairing on corpora where near-universal words would
+    dominate the per-doc quadratic.  The document-frequency table is
+    vocabulary-sized and broadcasts; the pair aggregation reduces to
+    at most vocabulary^2 rows with map-side combine.
+    """
+    from gnocchi_spark.operators.textstats import tokens
+
+    t = F.col(text_col)
+    base = docs.where(F.length(t) > 0)
+    tok = base.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term")
+    ).distinct()
+    dfreq = tok.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    mid = tok.join(F.broadcast(dfreq), "term")
+    a = mid.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = mid.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").cast("long").alias("df_ab"))
+        .where(F.col("df_ab") >= min_pair_df)
+    )
+    n_docs = base.agg(F.count("*").cast("double").alias("__n"))
+    pmi = F.log(
+        F.col("df_ab") * F.col("__n") / (F.col("df_a") * F.col("df_b"))
+    )
+    w = Window.orderBy(
+        F.round(pmi, 9).desc(), F.col("term_a"), F.col("term_b")
+    )
+    # the global ranking window runs AFTER the pair reduce: its input is
+    # the (vocab-bounded, min_pair_df-filtered) pair table, not data
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            "df_ab",
+            F.round(pmi, 6).alias("pmi"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -4726,6 +4726,44 @@ def seasonal_profile(spark, sf_dir):
     )
 
 
+@query(
+    "word_pmi_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS term
+            FROM norm),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM norm),
+    mid AS (SELECT t.doc_id, t.term, d.df FROM tok t JOIN dfreq d USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+             CAST(count(*) AS BIGINT) AS df_ab
+      FROM mid a JOIN mid b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 20),
+    scored AS (
+      SELECT term_a, term_b, df_a, df_b, df_ab,
+             ln(df_ab * (SELECT n FROM n) / (df_a * df_b)) AS pmi
+      FROM pairs)
+    SELECT term_a, term_b, df_a, df_b, df_ab, round(pmi, 6) AS pmi,
+           CAST(row_number() OVER (
+             ORDER BY round(pmi, 9) DESC, term_a, term_b) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 50
+    """,
+)
+def word_pmi_pairs(spark, sf_dir):
+    # document-level PMI word associations: pair space generated PER
+    # DOCUMENT (bounded by doc length squared, not vocabulary or
+    # corpus), df table broadcast, final ranking over the vocab-bounded
+    # pair reduce.  The collocation pass phrase mining starts from.
+    from gnocchi_spark.operators.pipeline import pmi_word_pairs
+
+    return pmi_word_pairs(
+        tables.load(spark, sf_dir, "documents"), min_pair_df=20, top_k=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -34,6 +34,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # rank assignment runs AFTER limit(top_n): the window's input is at
     # most top_n (256) rows regardless of corpus size
     "vocab_induction",
+    # ranking runs AFTER the pair reduce: input is the vocab-bounded,
+    # min_pair_df-filtered pair table, not data
+    "word_pmi_pairs",
 }
 
 
