@@ -4764,6 +4764,82 @@ def word_pmi_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "length_bucket_batches",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(array_length(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE length(text) > 0),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(length(bin(n_tok)) - 1 AS INT) AS bucket,
+             row_number() OVER (PARTITION BY length(bin(n_tok))
+                                ORDER BY n_tok, doc_id) AS pos
+      FROM d),
+    batched AS (
+      SELECT bucket, CAST((pos - 1) // 8 AS BIGINT) AS batch_idx, n_tok
+      FROM b),
+    per_batch AS (
+      SELECT bucket, batch_idx, CAST(count(*) AS BIGINT) AS n_docs,
+             max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+      FROM batched GROUP BY 1, 2)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(1 - sum(sum_tok) / CAST(sum(max_tok * n_docs) AS DOUBLE), 6)
+             AS padding_waste
+    FROM per_batch GROUP BY 1
+    """,
+)
+def length_bucket_batches(spark, sf_dir):
+    # inference batching layout: docs grouped into pow-2 token-length
+    # buckets, length-sorted within bucket, cut into batches of 8;
+    # reports per-bucket batch counts and the padding fraction a
+    # pad-to-max batcher wastes.  The in-bucket ordering window
+    # partitions per bucket (a handful of length classes), and all the
+    # batch accounting is two bounded aggregations.
+    from gnocchi_spark.operators.textstats import tokens
+    from pyspark.sql import Window as W
+
+    t = F.col("text")
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.length(t) > 0)
+        .select(
+            "doc_id", F.size(tokens(t)).cast("long").alias("n_tok")
+        )
+    )
+    # exact integer log2 (bit length), immune to libm ln() ulp drift
+    bucket = (F.length(F.bin(F.col("n_tok"))) - 1).cast("int")
+    b = d.withColumn("bucket", bucket).withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy("n_tok", "doc_id")
+        ),
+    )
+    per_batch = (
+        b.withColumn("batch_idx", F.floor((F.col("pos") - 1) / 8).cast("long"))
+        .groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            1
+            - F.sum("sum_tok")
+            / F.sum(F.col("max_tok") * F.col("n_docs")).cast("double"),
+            6,
+        ).alias("padding_waste"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
