@@ -4840,6 +4840,70 @@ def length_bucket_batches(spark, sf_dir):
     )
 
 
+@query(
+    "split_leakage_free",
+    f"""
+    WITH RECURSIVE {{mh_ctes}},
+    e AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      UNION
+      SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst),
+    comp AS (SELECT src AS did, min(dst) AS cluster_id FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+    s AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS b
+      FROM assigned)
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+    FROM s
+    """,
+)
+def split_leakage_free(spark, sf_dir):
+    # near-dup-aware 80/10/10 split: the SPLIT KEY is the duplicate
+    # cluster, not the document, so near-duplicates can never straddle
+    # train/val/test (the eval-leakage failure mode of naive random
+    # splits).  Deterministic md5-of-cluster bucketing, reproducible
+    # across runs, partitionings and engines; the cluster assignment is
+    # the same O(log n) connected components as dedup_clusters.
+    from gnocchi_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, band_size=4, threshold=0.6
+    )
+    clusters = near_dup_clusters(docs, pairs)
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
+    mh_ctes=_MINHASH_PAIRS_CTES
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
