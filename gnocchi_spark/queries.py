@@ -4904,6 +4904,50 @@ ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
 )
 
 
+@query(
+    "tsdb_trend_forecast",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(86400)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    x AS (
+      SELECT metric_id,
+             epoch(bucket_ts) / 86400.0 AS x, mean AS y
+      FROM r),
+    fit AS (
+      SELECT metric_id, CAST(count(*) AS BIGINT) AS n_days,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
+             avg(y) AS mean_level
+      FROM x GROUP BY 1)
+    SELECT metric_id, n_days,
+           round(mean_level, 6) AS mean_level,
+           round(slope, 6) AS slope_per_day,
+           round(mean_level + 30 * slope, 6) AS forecast_30d
+    FROM fit
+    """,
+)
+def tsdb_trend_forecast(spark, sf_dir):
+    # closed-form least-squares trend per metric over the daily rollup
+    # (slope from the 4 classic sums — one aggregation, no iteration),
+    # plus a 30-day linear forecast off the mean level.  The
+    # capacity-planning read a TSDB serves from its coarsest grain.
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 86400.0)
+    x = (F.unix_micros("bucket_ts") / F.lit(86400_000_000.0)).alias("x")
+    d = r.select("metric_id", x, F.col("mean").alias("y"))
+    n = F.count("*")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return d.groupBy("metric_id").agg(
+        n.cast("long").alias("n_days"),
+        F.round(F.avg("y"), 6).alias("mean_level"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.avg("y") + 30 * slope, 6).alias("forecast_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
