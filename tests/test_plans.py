@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     "perplexity_unigram",     # broadcast 1-row vocab-total scalar (cross)
     "hybrid_rrf_retrieval",   # broadcast 5-row query slice, != condition
     "mmr_diversified_topk",   # broadcast 3-row query slice (cosine pool)
+    "word_pmi_pairs",         # broadcast 1-row doc-count scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
