@@ -209,3 +209,14 @@ def default_policies() -> dict[str, ArchivePolicy]:
             ),
         ),
     }
+
+
+def capabilities() -> dict:
+    """The ``/v1/capabilities`` contract (reference
+    gnocchi/rest/api.py:2172-2177): the fixed whitelist of aggregation
+    methods a client may request, including the ``rate:`` composites —
+    there is no user-definable UDF surface (SURVEY.md §2.11), so this
+    dict IS the engine's aggregation capability statement."""
+    return {
+        "aggregation_methods": sorted(VALID_AGGREGATION_METHODS_VALUES),
+    }

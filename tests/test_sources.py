@@ -337,3 +337,15 @@ def test_batch_post_auto_create(spark):
     assert facts.count() == 5
     per_metric = facts.groupBy("metric_id").count().collect()
     assert sorted(r["count"] for r in per_metric) == [1, 1, 1, 2]
+
+
+def test_capabilities_contract():
+    from gnocchi_spark.policy import capabilities
+
+    caps = capabilities()
+    methods = caps["aggregation_methods"]
+    # the reference's fixed whitelist: plain methods plus rate: composites
+    for m in ("mean", "sum", "min", "max", "count", "std", "median",
+              "first", "last", "rate:mean", "rate:last"):
+        assert m in methods
+    assert methods == sorted(methods)
