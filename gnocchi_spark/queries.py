@@ -4948,6 +4948,66 @@ def tsdb_trend_forecast(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_drift_matrix",
+    f"""
+    WITH m AS (
+      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT label, max(n) AS n, array_agg(mu ORDER BY i) AS c
+      FROM m GROUP BY 1)
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.n AS n_a, b.n AS n_b,
+           round({_COS.format(a="a.c", b="b.c")}, 6) AS centroid_cosine
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def embedding_drift_matrix(spark, sf_dir):
+    # distribution-shift monitor: pairwise cosine between per-label
+    # mean embeddings.  The per-group centroid is 64 ordinary avg
+    # aggregates (one label-keyed shuffle, k rows out); the pairwise
+    # matrix is k^2 over those k rows — corpus size never appears past
+    # the first reduce.  A drop in centroid cosine between a group and
+    # its peers flags drifting or mislabeled slices before training.
+    from gnocchi_spark.operators.similarity import cosine
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+        .select(
+            "label",
+            F.transform(F.col("dm"), lambda s: s["mu"]).alias("c"),
+        )
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    cent = cent.join(sizes, "label")
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cosine"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -26,6 +26,7 @@ BNL_ALLOWED = {
     "hybrid_rrf_retrieval",   # broadcast 5-row query slice, != condition
     "mmr_diversified_topk",   # broadcast 3-row query slice (cosine pool)
     "word_pmi_pairs",         # broadcast 1-row doc-count scalar (cross)
+    "embedding_drift_matrix", # broadcast k-row centroid table, < condition
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
