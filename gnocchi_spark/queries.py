@@ -5008,6 +5008,92 @@ def embedding_drift_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "join_skew_report",
+    """
+    WITH keys AS (
+      SELECT 'lineitem.l_orderkey' AS key_name, CAST(l_orderkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events),
+    freq AS (
+      SELECT key_name, k, CAST(count(*) AS BIGINT) AS cnt
+      FROM keys GROUP BY 1, 2),
+    ranked AS (
+      SELECT key_name, cnt,
+             row_number() OVER (PARTITION BY key_name
+                                ORDER BY cnt DESC, k) AS rn,
+             sum(cnt) OVER (PARTITION BY key_name) AS total,
+             count(*) OVER (PARTITION BY key_name) AS n_keys
+      FROM freq)
+    SELECT key_name,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(total) AS BIGINT) AS n_rows,
+           round(max(CASE WHEN rn = 1 THEN cnt END)
+                 / CAST(max(total) AS DOUBLE), 6) AS top1_share,
+           round(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END)
+                 / CAST(max(total) AS DOUBLE), 6) AS top10_share,
+           round(max(total) / CAST(max(n_keys) AS DOUBLE), 4) AS mean_rows_per_key
+    FROM ranked GROUP BY 1
+    """,
+)
+def join_skew_report(spark, sf_dir):
+    # join-key skew diagnostics: per candidate shuffle key, cardinality,
+    # top-1/top-10 concentration and mean rows per key — the numbers
+    # that decide between a plain hash join, AQE skew splitting, or
+    # explicit salting BEFORE a 100 TB shuffle is launched.  One
+    # (key_name, key) aggregation; the per-key-name windows run over the
+    # already-reduced frequency table.
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("key_name"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    ev = tables.load(spark, sf_dir, "events")
+    keys = li.unionByName(
+        ev.select(
+            F.lit("events.user_id").alias("key_name"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+    ).unionByName(
+        ev.select(
+            F.lit("events.event_type").alias("key_name"),
+            F.col("event_type").alias("k"),
+        )
+    )
+    freq = keys.groupBy("key_name", "k").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    p = W.partitionBy("key_name")
+    ranked = (
+        freq.withColumn(
+            "rn", F.row_number().over(p.orderBy(F.col("cnt").desc(), "k"))
+        )
+        .withColumn("total", F.sum("cnt").over(p))
+        .withColumn("n_keys", F.count("*").over(p))
+    )
+    return ranked.groupBy("key_name").agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("cnt")))
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(0))
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.max("total") / F.max("n_keys").cast("double"), 4
+        ).alias("mean_rows_per_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
