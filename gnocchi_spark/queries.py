@@ -5094,6 +5094,68 @@ def join_skew_report(spark, sf_dir):
     )
 
 
+@query(
+    "storage_cost_probe",
+    """
+    WITH m AS (
+      SELECT event_type AS metric_id, ts,
+             lag(ts) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    d AS (
+      SELECT metric_id,
+             CASE WHEN prev_ts IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT)
+             END AS delta_us
+      FROM m),
+    v AS (
+      SELECT metric_id,
+             CASE WHEN delta_us = 0 THEN 1
+                  ELSE CAST(ceil(length(bin(delta_us)) / 7.0) AS BIGINT)
+             END AS varint_bytes
+      FROM d)
+    SELECT metric_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(9 * count(*) AS BIGINT) AS padded_bytes,
+           CAST(sum(varint_bytes) + 8 * count(*) AS BIGINT) AS delta_bytes,
+           round((sum(varint_bytes) + 8 * count(*))
+                 / CAST(count(*) AS DOUBLE), 4) AS bytes_per_point,
+           round((sum(varint_bytes) + 8 * count(*))
+                 / CAST(9 * count(*) AS DOUBLE), 6) AS vs_padded
+    FROM v GROUP BY 1
+    """,
+)
+def storage_cost_probe(spark, sf_dir):
+    # storage-economics probe mirroring the reference's serialization
+    # accounting (BASELINE.md: 9 B/pt padded worst case, ~7 B/pt
+    # delta-encoded raw — carbonara.py:580-582,782-802): per metric,
+    # the exact byte cost of varint delta-encoded timestamps + 8 B
+    # float values vs the padded format.  Bit-length arithmetic is
+    # integer-exact; the lag rides the metric partitioning.
+    from pyspark.sql import Window as W
+
+    m = tables.events_as_measures(spark, sf_dir)
+    prev = F.lag("ts").over(
+        W.partitionBy("metric_id").orderBy("ts", "seq")
+    )
+    delta = F.when(prev.isNull(), F.lit(0).cast("long")).otherwise(
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    )
+    varint = F.when(F.col("__delta") == 0, F.lit(1).cast("long")).otherwise(
+        F.ceil(F.length(F.bin(F.col("__delta"))) / 7.0).cast("long")
+    )
+    v = m.withColumn("__delta", delta).withColumn("__vb", varint)
+    n = F.count("*")
+    db = F.sum("__vb") + 8 * n
+    return v.groupBy("metric_id").agg(
+        n.cast("long").alias("n_points"),
+        (9 * n).cast("long").alias("padded_bytes"),
+        db.cast("long").alias("delta_bytes"),
+        F.round(db / n.cast("double"), 4).alias("bytes_per_point"),
+        F.round(db / (9 * n).cast("double"), 6).alias("vs_padded"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
