@@ -5156,6 +5156,64 @@ def storage_cost_probe(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    # TPC-H Q10: returned-item revenue by customer.  The returnflag and
+    # date-range predicates push to the scans; customer+nation collapse
+    # to one broadcast; lineitem never shuffles — the per-customer
+    # aggregate is the only exchange, and the top-20 is
+    # TakeOrderedAndProject, not a global sort.
+    cu = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    cn = cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    oc = o.join(F.broadcast(cn), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
