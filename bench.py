@@ -65,6 +65,10 @@ HEADLINE = [
     "perplexity_unigram",
     "hybrid_rrf_retrieval",
     "cluster_topics_kmeans",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
+    "metric_correlation_matrix",
+    "hll_cascade_merge",
 ]
 
 

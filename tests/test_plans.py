@@ -27,6 +27,7 @@ BNL_ALLOWED = {
     "mmr_diversified_topk",   # broadcast 3-row query slice (cosine pool)
     "word_pmi_pairs",         # broadcast 1-row doc-count scalar (cross)
     "embedding_drift_matrix", # broadcast k-row centroid table, < condition
+    "tpch_q22_dormant_customers",  # broadcast 1-row global-avg scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
