@@ -312,3 +312,82 @@ def cms_estimate(
     return joined.groupBy(*cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
     )
+
+
+def fixed_bin_col(value: Column, lo: float, hi: float, bins: int) -> Column:
+    """Bin index for FIXED bounds — the mergeable sibling of the
+    data-dependent rule inside :func:`binned_quantile`.  Fixed bounds
+    are what make histogram counts sum-mergeable across batches,
+    windows, and engines: every producer bins against the same grid,
+    so counters add.  Out-of-range values clamp into the edge bins
+    (their mass is counted; only their position saturates), matching
+    the clamp in the two-pass batch path."""
+    width = (hi - lo) / float(bins)
+    raw = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    bin_col: str = "bin",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Per-group fixed-grid histogram: one algebraic aggregation,
+    shuffle bounded by ``bins`` longs per group.  Rows from different
+    runs / windows / partitions MERGE by summing ``count_col`` — the
+    quantile finalize happens at read time via
+    :func:`quantile_from_bin_counts`."""
+    b = fixed_bin_col(F.col(value_col), lo, hi, bins)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias(bin_col))
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
+def quantile_from_bin_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    bin_col: str = "bin",
+    count_col: str = "cnt",
+    out_col: str = "approx_quantile",
+) -> DataFrame:
+    """Finalize a quantile from a (group, bin, count) table — the
+    serving half of :func:`histogram_counts`, split out (exactly like
+    ``hll_estimate_from_registers``) so counter tables materialized by
+    the streaming sink or merged across windows estimate without
+    re-reading data.  Deterministic linear interpolation inside the
+    crossing bin, same 1-based rank convention as the batch
+    :func:`binned_quantile`."""
+    from pyspark.sql import Window
+
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum(count_col).alias("__n")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "__below", F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    ).join(F.broadcast(totals), group_cols)
+    target = F.lit(q) * (F.col("__n") - 1) + 1
+    hit = cum.where(
+        (F.col("__below") < target)
+        & (target <= F.col("__below") + F.col(count_col))
+    )
+    width = (hi - lo) / float(bins)
+    est = F.lit(lo) + F.lit(width) * (
+        F.col(bin_col) + (target - F.col("__below")) / F.col(count_col)
+    )
+    return hit.select(*group_cols, F.round(est, 6).alias(out_col))

@@ -491,3 +491,44 @@ def streaming_cms_counters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("win.start").alias("bucket_ts"), "row", "idx", "cnt")
     )
+
+
+def streaming_histogram_counts(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = ("metric_id",),
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Streaming half of the fixed-grid histogram quantile: windowed
+    (group, bin) -> count aggregation — the quantile twin of
+    streaming_hll_registers / streaming_cms_counters.  Fixed bounds
+    (not per-window min/max) are what keep the counters sum-mergeable:
+    finalized windows append to a counter table, adjacent windows or
+    re-runs merge by summing, and
+    ``functions.sketches.quantile_from_bin_counts`` serves any merged
+    slice at read time.
+
+    State per (group, window) is at most ``bins`` counter rows —
+    traffic-independent, the same bound as the batch build's shuffle.
+    """
+    from gnocchi_spark.functions.sketches import fixed_bin_col
+
+    b = fixed_bin_col(F.col(value_col), lo, hi, bins)
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(ts_col), b.alias("bin"))
+        .groupBy(*group_cols, F.window(ts_col, window).alias("win"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *group_cols,
+            F.col("win.start").alias("bucket_ts"),
+            "bin",
+            "cnt",
+        )
+    )

@@ -402,3 +402,87 @@ def test_streaming_cms_counters_match_batch_sketch(spark, tmp_path):
     est = cms_estimate(truth, got, F.col("k"), d=4, w=64)
     bad = est.where(F.col("cms_count") < F.col("exact_count")).count()
     assert bad == 0
+
+
+def test_streaming_histogram_counts_match_batch_and_serve_quantile(spark, tmp_path):
+    """Streamed fixed-grid histogram counters must equal the batch
+    histogram of the same finalized window (bins are deterministic,
+    merge = sum), and the read-time quantile over the stored counters
+    must equal the batch finalize and sit within one bin width of the
+    exact percentile."""
+    import datetime
+
+    from gnocchi_spark.functions.sketches import (
+        histogram_counts,
+        quantile_from_bin_counts,
+    )
+    from gnocchi_spark.streaming.ingest import streaming_histogram_counts
+    from gnocchi_spark.streaming import ingest as si
+
+    landing = str(tmp_path / "hist_landing")
+    table = str(tmp_path / "hist_counts")
+    ckpt = str(tmp_path / "hist_ckpt")
+    t0 = datetime.datetime(2026, 3, 6, 14, 0, 0)
+
+    def t(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    LO, HI, BINS = 0.0, 50.0, 64
+    rows1 = [("m1", t(i % 50), float((i * 7) % 53), i) for i in range(180)]
+    rows2 = [("m1", t(i % 40), float((i * 3) % 47), 1000 + i) for i in range(120)]
+    mover = [("m1", t(300), 0.0, 9999)]
+    for batch in (rows1, rows2 + mover):
+        df = spark.createDataFrame(batch, schema=si.MEASURES_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = si.read_measures_stream(spark, landing)
+    counts = streaming_histogram_counts(
+        stream, "value", ["metric_id"], window="1 hour",
+        watermark="10 minutes", lo=LO, hi=HI, bins=BINS,
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # merge stored counter rows (sum per bin) exactly as adjacent runs
+    # would, then serve
+    stored = (
+        spark.read.parquet(table)
+        .groupBy("metric_id", "bucket_ts", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch_rows = rows1 + rows2 + mover
+    bdf = spark.createDataFrame(batch_rows, schema=si.MEASURES_SCHEMA)
+    in_window = bdf.where((F.col("ts") >= t(0)) & (F.col("ts") < t(60)))
+
+    want_counts = {
+        (r["bin"],): r["cnt"]
+        for r in histogram_counts(
+            in_window, "value", ["metric_id"], LO, HI, BINS
+        ).collect()
+    }
+    got_counts = {
+        (r["bin"],): r["cnt"]
+        for r in stored.where(F.col("bucket_ts") == t(0)).collect()
+    }
+    assert got_counts == want_counts
+
+    served = quantile_from_bin_counts(
+        stored.where(F.col("bucket_ts") == t(0)),
+        ["metric_id"], q=0.95, lo=LO, hi=HI, bins=BINS,
+    ).collect()[0]["approx_quantile"]
+    batch_q = quantile_from_bin_counts(
+        histogram_counts(in_window, "value", ["metric_id"], LO, HI, BINS),
+        ["metric_id"], q=0.95, lo=LO, hi=HI, bins=BINS,
+    ).collect()[0]["approx_quantile"]
+    assert served == batch_q
+    exact = in_window.agg(
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p")
+    ).collect()[0]["p"]
+    assert abs(served - exact) <= (HI - LO) / BINS
