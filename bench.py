@@ -69,6 +69,8 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "metric_correlation_matrix",
     "hll_cascade_merge",
+    "tsdb_m4_downsample",
+    "tsdb_time_weighted_avg",
 ]
 
 

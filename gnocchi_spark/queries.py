@@ -5640,6 +5640,136 @@ def hll_cascade_merge(spark, sf_dir):
     )
 
 
+@query(
+    "tsdb_m4_downsample",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, ts, value, event_id AS seq,
+             {_sql_bucket(3600)} AS bucket_ts
+      FROM events),
+    w AS (
+      SELECT metric_id, bucket_ts, ts, value, seq,
+             min(value) OVER p AS mn_v, max(value) OVER p AS mx_v,
+             min(ts) OVER p AS mn_t, max(ts) OVER p AS mx_t
+      FROM m WINDOW p AS (PARTITION BY metric_id, bucket_ts))
+    SELECT metric_id, bucket_ts, ts, value,
+           (ts = mn_t) AS is_first, (ts = mx_t) AS is_last,
+           (value = mn_v) AS is_min, (value = mx_v) AS is_max
+    FROM w
+    WHERE ts = mn_t OR ts = mx_t OR value = mn_v OR value = mx_v
+    """,
+)
+def tsdb_m4_downsample(spark, sf_dir):
+    # M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    # (metric, pixel-bucket) keep only the rows realizing min/max of
+    # time and of value — the 4 points that make a line chart of the
+    # bucket pixel-exact, upstream of any plotting client.  The
+    # reference serves full rollups to dashboards; M4 is the
+    # bandwidth-bounded serving path (≤4 rows per bucket regardless of
+    # traffic).  Implementation is one unordered window over the
+    # (metric, bucket) partition — a single hash exchange, no sort, no
+    # join-back; ties keep every realizing row in both engines, so the
+    # result is deterministic without an arbitrary argmin choice.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from pyspark.sql import Window
+
+    m = tables.events_as_measures(spark, sf_dir).withColumn(
+        "bucket_ts", truncate_to_bucket(F.col("ts"), 3600.0)
+    )
+    p = Window.partitionBy("metric_id", "bucket_ts")
+    w = (
+        m.withColumn("mn_v", F.min("value").over(p))
+        .withColumn("mx_v", F.max("value").over(p))
+        .withColumn("mn_t", F.min("ts").over(p))
+        .withColumn("mx_t", F.max("ts").over(p))
+    )
+    return w.where(
+        (F.col("ts") == F.col("mn_t"))
+        | (F.col("ts") == F.col("mx_t"))
+        | (F.col("value") == F.col("mn_v"))
+        | (F.col("value") == F.col("mx_v"))
+    ).select(
+        "metric_id",
+        "bucket_ts",
+        "ts",
+        "value",
+        (F.col("ts") == F.col("mn_t")).alias("is_first"),
+        (F.col("ts") == F.col("mx_t")).alias("is_last"),
+        (F.col("value") == F.col("mn_v")).alias("is_min"),
+        (F.col("value") == F.col("mx_v")).alias("is_max"),
+    )
+
+
+@query(
+    "tsdb_time_weighted_avg",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, ts, value, event_id AS seq,
+             {_sql_bucket(3600)} AS bucket_ts
+      FROM events),
+    nxt AS (
+      SELECT metric_id, bucket_ts, ts, value,
+             lead(ts) OVER (PARTITION BY metric_id ORDER BY ts, seq)
+               AS next_ts
+      FROM m),
+    wt AS (
+      SELECT metric_id, bucket_ts, value,
+             CASE WHEN next_ts IS NULL THEN 0.0
+                  ELSE epoch(least(next_ts,
+                                   bucket_ts + INTERVAL 3600 SECOND))
+                       - epoch(ts) END AS w
+      FROM nxt)
+    SELECT metric_id, bucket_ts,
+           round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w)
+                 ELSE avg(value) END, 6) AS twa,
+           round(avg(value), 6) AS point_avg,
+           round(sum(w), 3) AS covered_s,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM wt GROUP BY 1, 2
+    """,
+)
+def tsdb_time_weighted_avg(spark, sf_dir):
+    # Time-weighted average rollup — the irregular-sampling-correct
+    # mean (TimescaleDB time_weight / InfluxDB integral): each point
+    # is weighted by how long it was "current", i.e. until the next
+    # sample or the bucket edge, whichever is first; a bucket whose
+    # weights are all zero (single trailing point) falls back to the
+    # plain mean.  The reference's point-weighted mean over-counts
+    # burst samples; TWA is the method a metering deployment bills on.
+    # Plan: one ordered window per metric for the lead (the partition
+    # rides the metric key, no global sort), then the usual bucketed
+    # aggregate.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from pyspark.sql import Window
+
+    m = tables.events_as_measures(spark, sf_dir).withColumn(
+        "bucket_ts", truncate_to_bucket(F.col("ts"), 3600.0)
+    )
+    nxt = m.withColumn(
+        "next_ts",
+        F.lead("ts").over(Window.partitionBy("metric_id").orderBy("ts", "seq")),
+    )
+    bucket_end = F.col("bucket_ts") + F.expr("INTERVAL 3600 SECOND")
+    w = F.when(F.col("next_ts").isNull(), F.lit(0.0)).otherwise(
+        F.unix_micros(F.least(F.col("next_ts"), bucket_end)).cast("double")
+        / 1e6
+        - F.unix_micros(F.col("ts")).cast("double") / 1e6
+    )
+    wt = nxt.select("metric_id", "bucket_ts", "value", w.alias("w"))
+    return wt.groupBy("metric_id", "bucket_ts").agg(
+        F.round(
+            F.when(
+                F.sum("w") > 0,
+                F.sum(F.col("value") * F.col("w")) / F.sum("w"),
+            ).otherwise(F.avg("value")),
+            6,
+        ).alias("twa"),
+        F.round(F.avg("value"), 6).alias("point_avg"),
+        F.round(F.sum("w"), 3).alias("covered_s"),
+        F.count("*").cast("long").alias("n_points"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
