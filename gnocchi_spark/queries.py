@@ -5770,6 +5770,42 @@ def tsdb_time_weighted_avg(spark, sf_dir):
     )
 
 
+@query(
+    "ingest_rest_batch_json",
+    f"""
+    SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+           round(avg(value), 6) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ingest_rest_batch_json(spark, sf_dir):
+    # REST batch-measures wire round trip (reference
+    # gnocchi/rest/api.py:2247-2316): events -> JSON POST documents
+    # (one per metric-day, synthesis half) -> from_json decode ->
+    # hourly mean.  The decode is the product path: map-only
+    # from_json + two explodes, no UDF, parallel over payload rows;
+    # the oracle aggregates the same measures directly, so a
+    # hash-match proves the wire format loses nothing (microsecond
+    # ISO timestamps, full-precision doubles).
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.dedup import spread_for_compute
+    from gnocchi_spark.sources.batch_post import (
+        measures_json_payloads,
+        parse_batch_measures_json,
+    )
+
+    m = spread_for_compute(tables.events_as_measures(spark, sf_dir))
+    decoded = parse_batch_measures_json(measures_json_payloads(m))
+    return decoded.groupBy(
+        "metric_id",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

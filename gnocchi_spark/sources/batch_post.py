@@ -77,3 +77,71 @@ def upsert_metrics(
 def measures_from_payload(normalized: DataFrame) -> DataFrame:
     """The fact rows: (metric_id, ts, value)."""
     return normalized.select("metric_id", "ts", "value")
+
+
+# --- REST batch-measures JSON wire format --------------------------------
+#
+# The reference's POST /v1/batch/metrics/measures body
+# (gnocchi/rest/api.py:2247-2316) is a JSON object mapping metric id ->
+# list of {"timestamp": iso8601, "value": number}.  The engine-side
+# decode is a map-only from_json + two explodes — no Python, no UDF;
+# one payload document can carry any number of metrics and points.
+
+#: spark schema of one decoded payload document
+BATCH_JSON_SCHEMA = "map<string, array<struct<timestamp: string, value: double>>>"
+
+
+def measures_json_payloads(
+    measures: DataFrame,
+    metric_col: str = "metric_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    batch_granularity: float = 86400.0,
+) -> DataFrame:
+    """Serialize a measures frame into REST batch-POST JSON documents,
+    one per (metric, batch window) — the synthesis half used by tests
+    and the round-trip query (the decode half is the product path).
+    Microsecond ISO timestamps so the round trip is lossless."""
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    b = truncate_to_bucket(F.col(ts_col), batch_granularity)
+    points = measures.groupBy(
+        F.col(metric_col).alias("__m"), b.alias("__b")
+    ).agg(
+        F.collect_list(
+            F.struct(
+                F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "timestamp"
+                ),
+                F.col(value_col).alias("value"),
+            )
+        ).alias("__pts")
+    )
+    return points.select(
+        F.to_json(F.create_map(F.col("__m"), F.col("__pts"))).alias("body")
+    )
+
+
+def parse_batch_measures_json(
+    payloads: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """Decode REST batch-POST JSON documents into the measures schema
+    (metric_id, ts, value).  Pure Column pipeline: from_json with an
+    explicit schema, explode the metric map, explode the point list,
+    ISO-8601 parse — every step JVM-side and parallel over payload
+    rows, which is what lets a 1000-executor ingest tier decode wire
+    batches at scan speed."""
+    parsed = payloads.select(
+        F.explode(F.from_json(F.col(body_col), BATCH_JSON_SCHEMA)).alias(
+            "metric_id", "points"
+        )
+    )
+    return parsed.select(
+        "metric_id", F.explode("points").alias("p")
+    ).select(
+        "metric_id",
+        F.to_timestamp(
+            F.col("p.timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+        F.col("p.value").alias("value"),
+    )
