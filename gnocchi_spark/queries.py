@@ -5806,6 +5806,262 @@ def ingest_rest_batch_json(spark, sf_dir):
     )
 
 
+@query(
+    "tsdb_counter_increase",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, ts, value, event_id AS seq,
+             {_sql_bucket(3600)} AS bucket_ts
+      FROM events),
+    d AS (
+      SELECT metric_id, bucket_ts, value,
+             value - lag(value) OVER
+               (PARTITION BY metric_id ORDER BY ts, seq) AS diff
+      FROM m),
+    c AS (
+      SELECT metric_id, bucket_ts,
+             CASE WHEN diff IS NULL THEN NULL
+                  WHEN diff < 0 THEN value ELSE diff END AS contrib,
+             CASE WHEN diff < 0 THEN 1 ELSE 0 END AS is_reset
+      FROM d)
+    SELECT metric_id, bucket_ts,
+           round(sum(contrib), 6) AS increase,
+           CAST(sum(is_reset) AS BIGINT) AS n_resets,
+           CAST(count(contrib) AS BIGINT) AS n_deltas
+    FROM c GROUP BY 1, 2
+    """,
+)
+def tsdb_counter_increase(spark, sf_dir):
+    # Monotonic-counter increase with reset handling (the Prometheus
+    # increase()/rate() semantic the reference's plain rate:X lacks,
+    # storage/__init__.py pre-diff): a negative delta means the counter
+    # restarted, so the post-reset VALUE is the best lower bound for
+    # the increase across the reset; per-bucket totals also count the
+    # resets — the restart-frequency signal itself.  Plan: one ordered
+    # window riding the metric key (same exchange the rate rollup
+    # uses), then the bucketed aggregate.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from pyspark.sql import Window
+
+    m = tables.events_as_measures(spark, sf_dir)
+    d = m.withColumn(
+        "diff",
+        F.col("value")
+        - F.lag("value").over(
+            Window.partitionBy("metric_id").orderBy("ts", "seq")
+        ),
+    )
+    contrib = F.when(F.col("diff").isNull(), F.lit(None)).otherwise(
+        F.when(F.col("diff") < 0, F.col("value")).otherwise(F.col("diff"))
+    )
+    return (
+        d.select(
+            "metric_id",
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+            contrib.alias("contrib"),
+            F.when(F.col("diff") < 0, 1).otherwise(0).alias("is_reset"),
+        )
+        .groupBy("metric_id", "bucket_ts")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("increase"),
+            F.sum("is_reset").cast("long").alias("n_resets"),
+            F.count("contrib").cast("long").alias("n_deltas"),
+        )
+    )
+
+
+@query(
+    "sample_temperature_mixture",
+    """
+    WITH sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    tot AS (
+      SELECT sum(sqrt(CAST(n AS DOUBLE))) AS wsum, sum(n) AS ntot FROM sizes),
+    rates AS (
+      SELECT source, n,
+             least(1.0, (sqrt(CAST(n AS DOUBLE)) / wsum)
+                        * (0.5 * ntot) / n) AS rate
+      FROM sizes, tot),
+    kept AS (
+      SELECT d.source, r.n, r.rate
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < r.rate)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_orig,
+           round(max(rate), 6) AS rate,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY 1
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    # Temperature-based corpus mixing (the alpha-sampling rule
+    # multilingual/multi-domain pretraining uses, e.g. the mBERT /
+    # XLM-R exponent-smoothed distributions): sampling weight
+    # proportional to n^alpha (alpha=0.5) so small sources are
+    # up-weighted relative to their share, scaled to a 50% total token
+    # budget, capped at keep-everything.  Unlike domain_mixture_sample
+    # (operator with CONFIGURED rates), the rates here are derived
+    # from the corpus itself in the same plan: a tiny per-source size
+    # aggregate broadcasts back, and the keep decision is the same
+    # content-independent md5 threshold — deterministic, nested across
+    # budget sweeps, map-only on the corpus side.
+    docs = tables.load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    tot = sizes.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("wsum"),
+        F.sum("n").alias("ntot"),
+    )
+    rates = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("n").cast("double")) / F.col("wsum"))
+            * (0.5 * F.col("ntot"))
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    from gnocchi_spark.operators.sampling import sample_key
+
+    bucket = F.conv(F.substring(sample_key(F.col("doc_id")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    kept = docs.join(F.broadcast(rates), "source").where(
+        bucket / F.lit(4294967296.0) < F.col("rate")
+    )
+    return kept.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_orig"),
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "select_token_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             array_length(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+             array_length(list_distinct(string_split({_NORM_SQL}, ' ')))
+               AS n_distinct
+      FROM documents WHERE length(text) > 0),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(least(floor((CAST(n_distinct AS DOUBLE) / n_tokens)
+                              * 1024), 1023) AS INT) AS bin
+      FROM d),
+    bins AS (
+      SELECT bin, sum(n_tokens) AS btok FROM scored GROUP BY 1),
+    cum AS (
+      SELECT bin, btok,
+             coalesce(sum(btok) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS above
+      FROM bins),
+    full_bins AS (
+      SELECT bin FROM cum WHERE above + btok <= 100000),
+    boundary AS (
+      SELECT (SELECT max(bin) FROM cum
+              WHERE bin NOT IN (SELECT bin FROM full_bins)) AS tbin,
+             100000 - (SELECT coalesce(sum(btok), 0) FROM cum
+                       WHERE bin IN (SELECT bin FROM full_bins)) AS remaining),
+    bdocs AS (
+      SELECT s.doc_id, s.source, s.n_tokens, b.remaining,
+             coalesce(sum(s.n_tokens) OVER (ORDER BY md5(CAST(s.doc_id AS VARCHAR))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_me
+      FROM scored s, boundary b WHERE s.bin = b.tbin),
+    selected AS (
+      SELECT doc_id, source, n_tokens FROM scored
+      WHERE bin IN (SELECT bin FROM full_bins)
+      UNION ALL
+      SELECT doc_id, source, n_tokens FROM bdocs
+      WHERE before_me + n_tokens <= remaining)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM selected GROUP BY 1
+    """,
+)
+def select_token_budget(spark, sf_dir):
+    # Data selection under a token budget (the DsDm/QuRating-style
+    # "take the best B tokens" step): documents scored by lexical
+    # diversity (distinct/total tokens), quantized onto a fixed
+    # 1024-bin score grid.  Whole bins are taken from the top until
+    # the budget (100k tokens) would overflow; the single boundary bin
+    # is then filled in deterministic md5(doc_id) order up to the
+    # remainder.  The scale shape: the corpus reduces to a 1024-row
+    # bin histogram (one aggregate), the cumulative threshold is
+    # window arithmetic over those 1024 rows, and only the boundary
+    # bin — budget/1024 resolution — ever needs an ordered prefix
+    # scan.  No global sort of the corpus.
+    from gnocchi_spark.operators.dedup import normalize_text
+    from gnocchi_spark.operators.sampling import sample_key
+    from gnocchi_spark.operators.textstats import tokens
+    from pyspark.sql import Window
+
+    BUDGET = 100_000
+    t = F.col("text")
+    toks = tokens(t)
+    scored = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.length(t) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.least(
+                F.floor(
+                    (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+                    * 1024
+                ),
+                F.lit(1023),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    bins = scored.groupBy("bin").agg(F.sum("n_tokens").alias("btok"))
+    # 1024-row frame: the global window is over the bin histogram, not
+    # data (same bounded-input exemption as vocab_induction)
+    wdesc = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.withColumn("above", F.coalesce(F.sum("btok").over(wdesc), F.lit(0)))
+    full_bins = cum.where(F.col("above") + F.col("btok") <= BUDGET).select("bin")
+    boundary = cum.join(full_bins, "bin", "left_anti").agg(
+        F.max("bin").alias("tbin")
+    )
+    spent = cum.join(full_bins, "bin", "left_semi").agg(
+        F.coalesce(F.sum("btok"), F.lit(0)).alias("spent")
+    )
+    # boundary-bin prefix: ordered window over ONE bin's docs only
+    worder = (
+        Window.partitionBy("bin")
+        .orderBy(sample_key(F.col("doc_id")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bdocs = (
+        scored.join(F.broadcast(boundary), scored.bin == F.col("tbin"))
+        .withColumn(
+            "before_me", F.coalesce(F.sum("n_tokens").over(worder), F.lit(0))
+        )
+        .crossJoin(F.broadcast(spent))
+        .where(F.col("before_me") + F.col("n_tokens") <= BUDGET - F.col("spent"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    selected = (
+        scored.join(full_bins, "bin", "left_semi")
+        .select("doc_id", "source", "n_tokens")
+        .unionByName(bdocs)
+    )
+    return selected.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -40,6 +40,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # ranking runs AFTER the pair reduce: input is the vocab-bounded,
     # min_pair_df-filtered pair table, not data
     "word_pmi_pairs",
+    # cumulative-threshold window runs over the 1024-row score-bin
+    # histogram, not the corpus
+    "select_token_budget",
 }
 
 
