@@ -6062,6 +6062,119 @@ def select_token_budget(spark, sf_dir):
     )
 
 
+@query(
+    "wau_rolling_hll",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_sql_bucket(86400)} AS db,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15))
+                  AS BIGINT) AS hh
+      FROM events),
+    r AS (
+      SELECT event_type, db,
+             CAST(hh & 511 AS INT) AS reg,
+             CAST(CASE WHEN (hh >> 9) = 0 THEN 52
+                  ELSE 52 - length(bin(hh >> 9)) END AS INT) AS rank
+      FROM h),
+    daily AS (
+      SELECT event_type, db, reg, max(rank) AS maxrank
+      FROM r GROUP BY 1, 2, 3),
+    contrib AS (
+      SELECT event_type, db + to_seconds(86400 * i) AS target_day,
+             db AS src_day, reg, maxrank
+      FROM daily, unnest(generate_series(0, 6)) AS t(i)),
+    present AS (SELECT DISTINCT event_type, db FROM daily),
+    win AS (
+      SELECT c.event_type, c.target_day, c.reg, max(c.maxrank) AS maxrank,
+             count(DISTINCT c.src_day) AS _dummy
+      FROM contrib c JOIN present p
+        ON c.event_type = p.event_type AND c.target_day = p.db
+      GROUP BY 1, 2, 3),
+    ndays AS (
+      SELECT c.event_type, c.target_day,
+             count(DISTINCT c.src_day) AS days_in_window
+      FROM contrib c JOIN present p
+        ON c.event_type = p.event_type AND c.target_day = p.db
+      GROUP BY 1, 2),
+    est AS (
+      SELECT event_type, target_day,
+             sum(CAST(1 AS BIGINT) << (52 - maxrank)) AS scaled,
+             count(*) AS nreg
+      FROM win GROUP BY 1, 2)
+    SELECT e.event_type, e.target_day AS day,
+           round(CASE WHEN ({_HLL_ALPHA_M2!r}
+                      / ((scaled / 4503599627370496.0)
+                         + CAST(512 - nreg AS DOUBLE))) <= 1280.0
+                       AND (512 - nreg) > 0
+                      THEN 512.0 * ln(512.0 / CAST(512 - nreg AS DOUBLE))
+                      ELSE {_HLL_ALPHA_M2!r}
+                           / ((scaled / 4503599627370496.0)
+                              + CAST(512 - nreg AS DOUBLE)) END, 4)
+             AS wau_estimate,
+           CAST(n.days_in_window AS BIGINT) AS days_in_window
+    FROM est e JOIN ndays n
+      ON e.event_type = n.event_type AND e.target_day = n.target_day
+    """,
+)
+def wau_rolling_hll(spark, sf_dir):
+    # Rolling 7-day active users from mergeable daily HLL sketches —
+    # the WAU/MAU dashboard primitive.  A naive rolling distinct
+    # re-reads seven days of raw traffic per day; a range join of
+    # sketch tables is a nested loop.  This plan does neither: each
+    # daily register row EXPLODES into the <=7 window-ending days it
+    # contributes to (map-only, x7 on sketch rows, not data rows),
+    # then one (metric, day, register) max-merge and the shared
+    # finalize produce every day's estimate.  Work is bounded by
+    # 7 * 512 registers per (metric, day) regardless of traffic; the
+    # raw stream is read exactly once.
+    from gnocchi_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    idx, rank = hll_register_cols(F.col("user_id").cast("string"), 9)
+    daily = (
+        ev.select(
+            "event_type",
+            truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+            idx.alias("__reg"),
+            rank.alias("__rank"),
+        )
+        .groupBy("event_type", "db", "__reg")
+        .agg(F.max("__rank").alias("__maxrank"))
+    )
+    contrib = daily.select(
+        "event_type",
+        F.col("db").alias("src_day"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6), i -> db + make_interval(0,0,0,i,0,0,0))"
+            )
+        ).alias("target_day"),
+        "__reg",
+        "__maxrank",
+    )
+    present = daily.select("event_type", F.col("db").alias("target_day")).distinct()
+    windowed = contrib.join(F.broadcast(present), ["event_type", "target_day"])
+    regs = windowed.groupBy("event_type", "target_day", "__reg").agg(
+        F.max("__maxrank").alias("__maxrank")
+    )
+    ndays = windowed.groupBy("event_type", "target_day").agg(
+        F.countDistinct("src_day").cast("long").alias("days_in_window")
+    )
+    est = hll_estimate_from_registers(
+        regs, ["event_type", "target_day"], p=9, out_col="wau_estimate"
+    )
+    return est.join(ndays, ["event_type", "target_day"]).select(
+        "event_type",
+        F.col("target_day").alias("day"),
+        "wau_estimate",
+        "days_in_window",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
