@@ -367,9 +367,20 @@ def quantile_from_bin_counts(
     the streaming sink or merged across windows estimate without
     re-reading data.  Deterministic linear interpolation inside the
     crossing bin, same 1-based rank convention as the batch
-    :func:`binned_quantile`."""
+    :func:`binned_quantile`.
+
+    The rank arithmetic runs on exact integers: ``q`` is taken as the
+    rational its decimal literal denotes (0.95 -> 19/20), so the
+    crossing-bin test is an integer comparison and the only float op
+    is one division with identical operands in every engine — a 0.95
+    double here vs a DECIMAL literal in a SQL oracle was measured to
+    flip round(…, 6) by one ulp at dyadic interpolation points."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
+    fr = Fraction(str(q))
+    qn, qd = fr.numerator, fr.denominator
     totals = counts.groupBy(*group_cols).agg(
         F.sum(count_col).alias("__n")
     )
@@ -381,13 +392,13 @@ def quantile_from_bin_counts(
     cum = counts.withColumn(
         "__below", F.coalesce(F.sum(count_col).over(w), F.lit(0))
     ).join(F.broadcast(totals), group_cols)
-    target = F.lit(q) * (F.col("__n") - 1) + 1
-    hit = cum.where(
-        (F.col("__below") < target)
-        & (target <= F.col("__below") + F.col(count_col))
-    )
+    # target rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd as an exact
+    # integer numerator against qd-scaled cumulative counts
+    tnum = F.lit(qn) * (F.col("__n") - 1) + F.lit(qd)
+    below_s = F.lit(qd) * F.col("__below")
+    cnt_s = F.lit(qd) * F.col(count_col)
+    hit = cum.where((below_s < tnum) & (tnum <= below_s + cnt_s))
     width = (hi - lo) / float(bins)
-    est = F.lit(lo) + F.lit(width) * (
-        F.col(bin_col) + (target - F.col("__below")) / F.col(count_col)
-    )
+    frac = (tnum - below_s).cast("double") / cnt_s.cast("double")
+    est = F.lit(lo) + F.lit(width) * (F.col(bin_col) + frac)
     return hit.select(*group_cols, F.round(est, 6).alias(out_col))

@@ -6175,6 +6175,287 @@ def wau_rolling_hll(spark, sf_dir):
     )
 
 
+@query(
+    "histogram_quantile_cascade",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS hb,
+             {_sql_bucket(86400)} AS db,
+             CAST(least(greatest(floor(value / 1.953125), 0), 255) AS INT)
+               AS bin
+      FROM events WHERE value IS NOT NULL),
+    hourly AS (
+      SELECT metric_id, hb, db, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM m GROUP BY 1, 2, 3, 4),
+    merged AS (
+      SELECT metric_id, db, bin, sum(cnt) AS cnt
+      FROM hourly GROUP BY 1, 2, 3),
+    direct AS (
+      SELECT metric_id, db, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM m GROUP BY 1, 2, 3),
+    mq AS (
+      SELECT metric_id, db, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY metric_id, db ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             sum(cnt) OVER (PARTITION BY metric_id, db) AS n
+      FROM merged),
+    dq AS (
+      SELECT metric_id, db, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY metric_id, db ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             sum(cnt) OVER (PARTITION BY metric_id, db) AS n
+      FROM direct),
+    -- target rank 0.95*(n-1)+1 == (19*(n-1)+20)/20 kept as the exact
+    -- integer numerator (matches quantile_from_bin_counts)
+    mhit AS (
+      SELECT metric_id, db,
+             round(0.0 + 1.953125
+                   * (bin + CAST(19 * (n - 1) + 20 - 20 * below AS DOUBLE)
+                            / CAST(20 * cnt AS DOUBLE)), 6) AS merged_p95,
+             n AS n_points
+      FROM mq
+      WHERE 20 * below < 19 * (n - 1) + 20
+        AND 19 * (n - 1) + 20 <= 20 * (below + cnt)),
+    dhit AS (
+      SELECT metric_id, db,
+             round(0.0 + 1.953125
+                   * (bin + CAST(19 * (n - 1) + 20 - 20 * below AS DOUBLE)
+                            / CAST(20 * cnt AS DOUBLE)), 6) AS direct_p95
+      FROM dq
+      WHERE 20 * below < 19 * (n - 1) + 20
+        AND 19 * (n - 1) + 20 <= 20 * (below + cnt))
+    SELECT m.metric_id, m.db AS day, m.merged_p95, d.direct_p95,
+           (m.merged_p95 = d.direct_p95) AS merge_lossless,
+           CAST(m.n_points AS BIGINT) AS n_points
+    FROM mhit m JOIN dhit d ON m.metric_id = d.metric_id AND m.db = d.db
+    """,
+)
+def histogram_quantile_cascade(spark, sf_dir):
+    # The multi-granularity cascade applied to the histogram-quantile
+    # sketch: hourly fixed-grid bin counters ([0, 500] x 256 bins, the
+    # streaming sink's grid) merge to daily by plain summation —
+    # integer counters, so the merged histogram is BIT-IDENTICAL to
+    # one built from raw daily data, proven in-query next to the
+    # served p95.  Together with hll_cascade_merge this demonstrates
+    # the two sketch merge algebras (max for HLL, sum for counters)
+    # riding the same rollup cascade that powers the gnocchi archive
+    # policies.  Shuffle volume: 256 counters per (metric, bucket).
+    from gnocchi_spark.functions.sketches import (
+        histogram_counts,
+        quantile_from_bin_counts,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    LO, HI, BINS = 0.0, 500.0, 256
+    ev = tables.load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("hb"),
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+        "value",
+    )
+    hourly = histogram_counts(ev, "value", ["metric_id", "hb", "db"], LO, HI, BINS)
+    merged = hourly.groupBy("metric_id", "db", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = histogram_counts(ev, "value", ["metric_id", "db"], LO, HI, BINS)
+    mq = quantile_from_bin_counts(
+        merged, ["metric_id", "db"], 0.95, LO, HI, BINS, out_col="merged_p95"
+    )
+    dq = quantile_from_bin_counts(
+        direct, ["metric_id", "db"], 0.95, LO, HI, BINS, out_col="direct_p95"
+    )
+    n = merged.groupBy("metric_id", "db").agg(
+        F.sum("cnt").cast("long").alias("n_points")
+    )
+    return (
+        mq.join(dq, ["metric_id", "db"])
+        .join(n, ["metric_id", "db"])
+        .select(
+            "metric_id",
+            F.col("db").alias("day"),
+            "merged_p95",
+            "direct_p95",
+            (F.col("merged_p95") == F.col("direct_p95")).alias("merge_lossless"),
+            "n_points",
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH rn AS (
+      SELECT n_nationkey, n_name FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'),
+    mkt_cust AS (
+      SELECT c_custkey FROM customer JOIN rn ON c_nationkey = n_nationkey),
+    mkt_orders AS (
+      SELECT o_orderkey, year(o_orderdate) AS o_year FROM orders
+      JOIN mkt_cust ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+    eco AS (
+      SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+    sn AS (
+      SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey),
+    vol AS (
+      SELECT o.o_year, s.supp_nation,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem l
+      JOIN eco p ON l.l_partkey = p.p_partkey
+      JOIN mkt_orders o ON l.l_orderkey = o.o_orderkey
+      JOIN sn s ON l.l_suppkey = s.s_suppkey)
+    SELECT CAST(o_year AS INT) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE 0.0 END) / sum(volume), 6) AS mkt_share,
+           round(sum(volume), 2) AS total_volume
+    FROM vol GROUP BY 1
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    # TPC-H Q8: one nation's share of a region's market for a part
+    # type.  Every dimension collapses before touching lineitem:
+    # region->nations->customers->orders shrink to the market's
+    # orders, parts to the type, suppliers carry their nation —
+    # lineitem joins three broadcast sides and aggregates into two
+    # rows.  The share is a conditional sum inside the same aggregate,
+    # not a second pass.
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    rn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    cu = tables.load(spark, sf_dir, "customer")
+    mkt_cust = cu.join(
+        F.broadcast(rn), cu.c_nationkey == rn.n_nationkey
+    ).select("c_custkey")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    mkt_orders = o.join(
+        F.broadcast(mkt_cust), o.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    eco = (
+        tables.load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sn = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(tables.load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(F.broadcast(eco), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(mkt_orders), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "o_year",
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_1", F.col("volume")
+                ).otherwise(0.0)
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14: promotional revenue share by month.  Date predicate
+    # pushes to the lineitem scan, part broadcasts (only partkey +
+    # type read), and the ratio is one conditional aggregate.
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = tables.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority_returns",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def tpch_q4_priority_returns(spark, sf_dir):
+    # TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders
+    # in a quarter-year with at least one returned line, counted per
+    # priority.  The returnflag filter prunes the semi-join's build
+    # side before the only exchange; the date range pushes to the
+    # orders scan.
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
