@@ -28,6 +28,8 @@ BNL_ALLOWED = {
     "word_pmi_pairs",         # broadcast 1-row doc-count scalar (cross)
     "embedding_drift_matrix", # broadcast k-row centroid table, < condition
     "tpch_q22_dormant_customers",  # broadcast 1-row global-avg scalar (cross)
+    "sample_temperature_mixture",  # broadcast 1-row (wsum, ntot) scalar (cross)
+    "select_token_budget",  # broadcast 1-row spent-tokens scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
