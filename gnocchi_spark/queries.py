@@ -6456,6 +6456,95 @@ def tpch_q4_priority_returns(spark, sf_dir):
     )
 
 
+@query(
+    "resource_scd2_apply",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 250 THEN 'gold'
+                  WHEN value >= 100 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    dedup AS (
+      SELECT user_id, ts, event_id, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_tier
+      FROM obs),
+    changes AS (
+      SELECT user_id, ts, event_id, tier FROM dedup
+      WHERE prev_tier IS NULL OR tier <> prev_tier),
+    revs AS (
+      SELECT user_id, tier, ts AS revision_start,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS revision_end,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn_last
+      FROM changes)
+    SELECT CAST(user_id AS BIGINT) AS resource_id, tier, revision_start,
+           CASE WHEN rn_last = 1 THEN TIMESTAMP '2100-01-01 00:00:00'
+                ELSE revision_end END AS revision_end,
+           CAST(CASE WHEN rn_last = 1 THEN -1
+                     ELSE rn_last - 1 END AS INT) AS revision
+    FROM revs
+    """,
+)
+def resource_scd2_apply(spark, sf_dir):
+    # The SCD-2 WRITE path: apply an observation stream to the
+    # dimension, creating a revision only when an attribute actually
+    # changes (the reference's update path skips no-op PATCHes,
+    # indexer/sqlalchemy.py update_resource: history rows appear only
+    # on change).  Change detection is a lag-compare per resource —
+    # one ordered window riding the resource key — followed by the
+    # same interval/revision numbering as the union view, so the
+    # output IS a valid resource_history_union frame (live row
+    # revision=-1, open end as the far-future sentinel).  At 100 TB
+    # the observation stream compacts to its change points before any
+    # interval arithmetic — the frame never materializes per-event
+    # revisions.
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tier = (
+        F.when(F.col("value") >= 250, "gold")
+        .when(F.col("value") >= 100, "silver")
+        .otherwise("bronze")
+    )
+    asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    ).withColumn("prev_tier", F.lag("tier").over(asc))
+    changes = obs.where(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    revs = changes.select(
+        F.col("user_id").cast("long").alias("resource_id"),
+        "tier",
+        F.col("ts").alias("revision_start"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("__next"),
+        F.row_number().over(desc).alias("__rn_last"),
+    )
+    return revs.select(
+        "resource_id",
+        "tier",
+        "revision_start",
+        F.when(
+            F.col("__rn_last") == 1,
+            F.lit("2100-01-01 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.col("__next"))
+        .alias("revision_end"),
+        F.when(F.col("__rn_last") == 1, F.lit(-1))
+        .otherwise(F.col("__rn_last") - 1)
+        .cast("int")
+        .alias("revision"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
