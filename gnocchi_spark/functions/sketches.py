@@ -208,19 +208,22 @@ def binned_quantile(
     cum = counts.withColumn(
         "__below", F.coalesce(F.sum("__c").over(w), F.lit(0))
     ).join(F.broadcast(stats), group_cols)
-    target = F.lit(q) * (F.col("__n") - 1) + 1  # 1-based linear rank
-    hit = cum.where(
-        (F.col("__below") < target)
-        & (target <= F.col("__below") + F.col("__c"))
-    )
+    # 1-based linear rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd, kept as
+    # an exact integer numerator (same hardening as
+    # quantile_from_bin_counts: a double q here vs a DECIMAL literal in
+    # a SQL oracle flips round(…, 6) at dyadic interpolation points)
+    from fractions import Fraction
+
+    fr = Fraction(str(q))
+    qn, qd = fr.numerator, fr.denominator
+    tnum = F.lit(qn) * (F.col("__n") - 1) + F.lit(qd)
+    below_s = F.lit(qd) * F.col("__below")
+    cnt_s = F.lit(qd) * F.col("__c")
+    hit = cum.where((below_s < tnum) & (tnum <= below_s + cnt_s))
     width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    frac = (tnum - below_s).cast("double") / cnt_s.cast("double")
     est = F.when(F.col("__hi") == F.col("__lo"), F.col("__lo")).otherwise(
-        F.col("__lo")
-        + width2
-        * (
-            F.col("__bin")
-            + (target - F.col("__below")) / F.col("__c")
-        )
+        F.col("__lo") + width2 * (F.col("__bin") + frac)
     )
     return hit.select(*group_cols, F.round(est, 6).alias(out_col))
 

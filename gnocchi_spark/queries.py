@@ -3543,15 +3543,18 @@ def hll_distinct_users(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS below
       FROM c),
+    -- target rank 0.95*(n-1)+1 == (19*(n-1)+20)/20 as an exact integer
+    -- numerator (matches functions/sketches.binned_quantile)
     hit AS (
       SELECT cum.event_type, bin, c, below, s.lo, s.hi, s.n
       FROM cum JOIN stats s ON cum.event_type = s.event_type
-      WHERE below < 0.95 * (n - 1) + 1
-        AND 0.95 * (n - 1) + 1 <= below + c)
+      WHERE 20 * below < 19 * (n - 1) + 20
+        AND 19 * (n - 1) + 20 <= 20 * (below + c))
     SELECT event_type,
            round(CASE WHEN hi = lo THEN lo
                  ELSE lo + ((hi - lo) / 128.0)
-                      * (bin + ((0.95 * (n - 1) + 1) - below) / c)
+                      * (bin + CAST(19 * (n - 1) + 20 - 20 * below AS DOUBLE)
+                               / CAST(20 * c AS DOUBLE))
                  END, 6) AS approx_quantile
     FROM hit
     """,
