@@ -6632,6 +6632,27 @@ CHECK_ORDER = [
     "tpch_q10_returned_items",
 ]
 
+# r04 rotation backlog — registered queries still awaiting their first
+# driver-checked row (all locally green in ORACLE_FULL_r03.txt); next
+# round's window should draw from these, evicting r03's freshly-green
+# rows to the tail:
+#   tpch_q3/q4/q5/q6/q7/q8/q14/q17/q18/q22, calendar_extract_profile,
+#   decontaminate_ngram, sample_domain_mixture, text_repetition,
+#   tfidf_keywords, pretrain_prep_end_to_end, quality_gopher_rules,
+#   corpus_shuffle, dedup_ngram_coverage, embedding_outliers,
+#   dedup_span_apply, dedup_semantic, vocab_induction,
+#   chunk_documents_rag, perplexity_unigram, lateness_profile,
+#   mmr_diversified_topk, rollup_anomaly_zscore, resource_point_in_time,
+#   dedup_containment, tsdb_gap_report, corpus_report,
+#   rollup_consistency_audit, inverted_index_postings, metric_top_movers,
+#   funnel_conversion, cohort_retention, seasonal_profile, word_pmi_pairs,
+#   length_bucket_batches, split_leakage_free, tsdb_trend_forecast,
+#   embedding_drift_matrix, join_skew_report, storage_cost_probe,
+#   metric_correlation_matrix, hll_cascade_merge, tsdb_m4_downsample,
+#   tsdb_time_weighted_avg, ingest_rest_batch_json, tsdb_counter_increase,
+#   sample_temperature_mixture, select_token_budget, wau_rolling_hll,
+#   histogram_quantile_cascade, resource_scd2_apply
+
 
 def ordered_queries() -> dict:
     """QUERIES reordered so CHECK_ORDER comes first, then the rest in
