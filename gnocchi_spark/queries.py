@@ -4914,10 +4914,13 @@ ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
       SELECT event_type AS metric_id, {_sql_bucket(86400)} AS bucket_ts,
              avg(value) AS mean
       FROM events GROUP BY 1, 2),
+    -- x centered on each metric's first bucket (kills the n*Sxx - Sx^2
+    -- cancellation on epoch-scale x; see tsdb_stl_decompose)
+    m0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM r GROUP BY 1),
     x AS (
-      SELECT metric_id,
-             epoch(bucket_ts) / 86400.0 AS x, mean AS y
-      FROM r),
+      SELECT r.metric_id,
+             (epoch(bucket_ts) - epoch(t0)) / 86400.0 AS x, mean AS y
+      FROM r JOIN m0 ON r.metric_id = m0.metric_id),
     fit AS (
       SELECT metric_id, CAST(count(*) AS BIGINT) AS n_days,
              (count(*) * sum(x * y) - sum(x) * sum(y))
@@ -4937,8 +4940,16 @@ def tsdb_trend_forecast(spark, sf_dir):
     # plus a 30-day linear forecast off the mean level.  The
     # capacity-planning read a TSDB serves from its coarsest grain.
     r = rollup_wide(_measures(spark, sf_dir), ["mean"], 86400.0)
-    x = (F.unix_micros("bucket_ts") / F.lit(86400_000_000.0)).alias("x")
-    d = r.select("metric_id", x, F.col("mean").alias("y"))
+    # center x on the metric's first bucket (kills the n*Sxx - Sx^2
+    # cancellation on epoch-scale x; see tsdb_stl_decompose)
+    m0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
+    x = (
+        (F.unix_micros("bucket_ts") - F.unix_micros("t0"))
+        / F.lit(86400_000_000.0)
+    ).alias("x")
+    d = r.join(F.broadcast(m0), "metric_id").select(
+        "metric_id", x, F.col("mean").alias("y")
+    )
     n = F.count("*")
     slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
         n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
@@ -6545,6 +6556,110 @@ def resource_scd2_apply(spark, sf_dir):
         .otherwise(F.col("__rn_last") - 1)
         .cast("int")
         .alias("revision"),
+    )
+
+
+@query(
+    "tsdb_stl_decompose",
+    f"""
+    WITH hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS y
+      FROM events GROUP BY 1, 2),
+    -- x centered on each metric's first bucket: uncentered epoch-days
+    -- make (n*Sxx - Sx^2) a catastrophic cancellation whose last-ulp
+    -- noise differs between engines (measured: a round(,4) flip)
+    m0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM hm GROUP BY 1),
+    x AS (
+      SELECT hm.metric_id, bucket_ts, y,
+             (epoch(bucket_ts) - epoch(t0)) / 86400.0 AS x,
+             CAST(hour(bucket_ts) AS INT) AS hod
+      FROM hm JOIN m0 ON hm.metric_id = m0.metric_id),
+    fit AS (
+      SELECT metric_id,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
+             (sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                        / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                       * sum(x)) / count(*) AS intercept
+      FROM x GROUP BY 1),
+    detr AS (
+      SELECT x.metric_id, x.bucket_ts, x.y, x.hod,
+             f.intercept + f.slope * x.x AS trend
+      FROM x JOIN fit f ON x.metric_id = f.metric_id),
+    seas AS (
+      SELECT metric_id, hod, avg(y - trend) AS s
+      FROM detr GROUP BY 1, 2)
+    SELECT d.metric_id, d.bucket_ts,
+           round(d.y, 4) AS y,
+           round(d.trend, 4) AS trend,
+           round(s.s, 4) AS seasonal,
+           round(d.y - d.trend - s.s, 4) AS residual
+    FROM detr d JOIN seas s ON d.metric_id = s.metric_id AND d.hod = s.hod
+    """,
+)
+def tsdb_stl_decompose(spark, sf_dir):
+    # STL-lite decomposition of each metric's hourly series into
+    # trend + diurnal seasonality + residual — the classical
+    # monitoring decomposition (Cleveland's STL, simplified to a
+    # closed-form linear trend and hour-of-day seasonal means so every
+    # step is one aggregate, no iteration, no driver loop).  Three
+    # shuffles total, all on the metric key or (metric, hour-of-day);
+    # the per-metric fit is a 5-sum closed form broadcast back, so the
+    # hourly frame is scanned twice and never sorted.  The residual is
+    # what rollup_anomaly_zscore-style alerting should consume when
+    # series have diurnal shape (a plain z-score flags every rush
+    # hour).
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    hm = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("y"))
+    # center x on the metric's first bucket — without this the
+    # (n*Sxx - Sx^2) denominator is a catastrophic cancellation on
+    # epoch-scale x and its last-ulp noise differs between engines
+    m0 = hm.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
+    x = hm.join(F.broadcast(m0), "metric_id").select(
+        "metric_id",
+        "bucket_ts",
+        "y",
+        (
+            (
+                F.unix_micros("bucket_ts") - F.unix_micros("t0")
+            ).cast("double")
+            / 1e6
+            / 86400.0
+        ).alias("x"),
+        F.hour("bucket_ts").cast("int").alias("hod"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = x.groupBy("metric_id").agg(
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    detr = x.join(F.broadcast(fit), "metric_id").select(
+        "metric_id",
+        "bucket_ts",
+        "y",
+        "hod",
+        (F.col("intercept") + F.col("slope") * F.col("x")).alias("trend"),
+    )
+    seas = detr.groupBy("metric_id", "hod").agg(
+        F.avg(F.col("y") - F.col("trend")).alias("s")
+    )
+    return detr.join(F.broadcast(seas), ["metric_id", "hod"]).select(
+        "metric_id",
+        "bucket_ts",
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("s", 4).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("s"), 4).alias("residual"),
     )
 
 
