@@ -6663,6 +6663,269 @@ def tsdb_stl_decompose(spark, sf_dir):
     )
 
 
+@query(
+    "rollup_invalidation_plan",
+    f"""
+    WITH late AS (
+      SELECT event_type AS metric_id, ts FROM events
+      WHERE event_id % 37 = 0),
+    cells AS (
+      SELECT metric_id, g.gran,
+             CASE g.gran
+               WHEN 300 THEN {_sql_bucket(300)}
+               WHEN 3600 THEN {_sql_bucket(3600)}
+               ELSE {_sql_bucket(86400)} END AS bucket_ts
+      FROM late, (SELECT unnest([300, 3600, 86400]) AS gran) g)
+    SELECT metric_id, CAST(gran AS BIGINT) AS granularity, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_late_points
+    FROM cells GROUP BY 1, 2, 3
+    """,
+)
+def rollup_invalidation_plan(spark, sf_dir):
+    # Incremental-maintenance planner: given a late-arriving measure
+    # batch, the exact set of materialized rollup cells — per policy
+    # granularity — that must be recomputed (TimescaleDB's continuous-
+    # aggregate invalidation log, computed in one pass instead of
+    # logged per-row).  Each late point explodes into one cell per
+    # granularity (map-only, xG on the LATE batch only, never the
+    # store), then a single aggregate dedups cells and counts the
+    # late mass per cell — the work estimate a scheduler prioritizes
+    # by.  The late batch here is a deterministic slice of the stream
+    # (the driver data has no arrival column at this grain).
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    late = tables.events_as_measures(spark, sf_dir).where(
+        F.col("seq") % 37 == 0
+    )
+    grans = [300.0, 3600.0, 86400.0]
+    cells = late.select(
+        "metric_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(g)).cast("long").alias("granularity"),
+                        truncate_to_bucket(F.col("ts"), g).alias("bucket_ts"),
+                    )
+                    for g in grans
+                ]
+            )
+        ).alias("c"),
+    ).select("metric_id", "c.granularity", "c.bucket_ts")
+    return cells.groupBy("metric_id", "granularity", "bucket_ts").agg(
+        F.count("*").cast("long").alias("n_late_points")
+    )
+
+
+@query(
+    "alert_rule_eval",
+    f"""
+    WITH rules AS (
+      SELECT * FROM (VALUES
+        ('r-click-hi',  'click', 'gt', 120.0, 3),
+        ('r-error-hi',  'error', 'gt', 100.0, 2),
+        ('r-view-lo',   'view',  'lt', 40.0,  2),
+        ('r-purch-hi',  'purchase', 'gt', 170.0, 1))
+        AS t(rule_id, metric_id, op, threshold, min_consecutive)),
+    hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT r.rule_id, r.metric_id, r.threshold, r.min_consecutive,
+             h.bucket_ts, h.mean,
+             CASE WHEN (r.op = 'gt' AND h.mean > r.threshold)
+                    OR (r.op = 'lt' AND h.mean < r.threshold)
+                  THEN 1 ELSE 0 END AS breach
+      FROM rules r JOIN hm h ON r.metric_id = h.metric_id),
+    runs AS (
+      SELECT rule_id, metric_id, threshold, min_consecutive, bucket_ts,
+             mean, breach,
+             row_number() OVER (PARTITION BY rule_id ORDER BY bucket_ts)
+             - sum(breach) OVER (PARTITION BY rule_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM j),
+    alerts AS (
+      SELECT rule_id, metric_id, min(bucket_ts) AS fired_at,
+             max(bucket_ts) AS last_breach,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             round(max(mean), 6) AS worst_value
+      FROM runs WHERE breach = 1
+      GROUP BY rule_id, metric_id, grp, min_consecutive
+      HAVING count(*) >= min_consecutive)
+    SELECT rule_id, metric_id, fired_at, last_breach, n_buckets,
+           worst_value
+    FROM alerts
+    """,
+)
+def alert_rule_eval(spark, sf_dir):
+    # Alert-rule evaluation over the hourly rollup: each rule is
+    # (metric, comparator, threshold, for-N-consecutive-buckets) —
+    # the Prometheus "for:" clause.  Consecutive breach runs are
+    # grouped with the classic gaps-and-islands trick (row_number
+    # minus cumulative breach count is constant within a run), so an
+    # alert row is one aggregate per run — no self-join, no per-bucket
+    # state.  Rules broadcast; windows ride the rule key.  Episodes
+    # shorter than min_consecutive are suppressed.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    rules = spark.createDataFrame(
+        [
+            ("r-click-hi", "click", "gt", 120.0, 3),
+            ("r-error-hi", "error", "gt", 100.0, 2),
+            ("r-view-lo", "view", "lt", 40.0, 2),
+            ("r-purch-hi", "purchase", "gt", 170.0, 1),
+        ],
+        "rule_id string, metric_id string, op string, threshold double,"
+        " min_consecutive int",
+    )
+    hm = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(F.avg("value").alias("mean"))
+    )
+    j = hm.join(F.broadcast(rules), "metric_id").withColumn(
+        "breach",
+        F.when(
+            ((F.col("op") == "gt") & (F.col("mean") > F.col("threshold")))
+            | ((F.col("op") == "lt") & (F.col("mean") < F.col("threshold"))),
+            1,
+        ).otherwise(0),
+    )
+    wseq = Window.partitionBy("rule_id").orderBy("bucket_ts")
+    runs = j.withColumn(
+        "grp",
+        F.row_number().over(wseq)
+        - F.sum("breach").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.where(F.col("breach") == 1)
+        .groupBy("rule_id", "metric_id", "grp", "min_consecutive")
+        .agg(
+            F.min("bucket_ts").alias("fired_at"),
+            F.max("bucket_ts").alias("last_breach"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.round(F.max("mean"), 6).alias("worst_value"),
+        )
+        .where(F.col("n_buckets") >= F.col("min_consecutive"))
+        .select(
+            "rule_id",
+            "metric_id",
+            "fired_at",
+            "last_breach",
+            "n_buckets",
+            "worst_value",
+        )
+    )
+
+
+@query(
+    "tsdb_fill_linear",
+    f"""
+    WITH hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    nxt AS (
+      SELECT metric_id, bucket_ts, mean,
+             lead(bucket_ts) OVER (PARTITION BY metric_id ORDER BY bucket_ts)
+               AS next_ts,
+             lead(mean) OVER (PARTITION BY metric_id ORDER BY bucket_ts)
+               AS next_mean
+      FROM hm),
+    interp AS (
+      SELECT metric_id,
+             bucket_ts + to_seconds(3600 * t.i) AS bucket_ts,
+             mean + (next_mean - mean)
+                    * (CAST(t.i AS DOUBLE)
+                       / (epoch(next_ts) - epoch(bucket_ts)) * 3600.0)
+               AS mean,
+             TRUE AS interpolated
+      FROM nxt,
+           unnest(generate_series(1,
+               CAST((epoch(next_ts) - epoch(bucket_ts)) / 3600 AS BIGINT) - 1))
+             AS t(i)
+      WHERE next_ts IS NOT NULL
+        AND epoch(next_ts) - epoch(bucket_ts) > 3600)
+    SELECT metric_id, bucket_ts, round(mean, 6) AS mean, interpolated
+    FROM (SELECT metric_id, bucket_ts, mean, FALSE AS interpolated FROM hm
+          UNION ALL
+          SELECT metric_id, bucket_ts, mean, interpolated FROM interp)
+    """,
+)
+def tsdb_fill_linear(spark, sf_dir):
+    # fill=linear at read (InfluxDB fill(linear) — a fill mode the
+    # reference's const/null/ffill/bfill family lacks): missing grid
+    # buckets between two observed neighbors take the linear
+    # interpolation between them.  The grid is NEVER materialized:
+    # one lead() per series finds each gap, and only the gap's
+    # interior buckets are exploded (bounded by actual missingness,
+    # not by span x metrics), tagged so callers can tell observed from
+    # synthesized points.  Leading/trailing edges stay missing, like
+    # ffill/bfill edge semantics.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    hm = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(F.avg("value").alias("mean"))
+    )
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    nxt = (
+        hm.withColumn("next_ts", F.lead("bucket_ts").over(w))
+        .withColumn("next_mean", F.lead("mean").over(w))
+    )
+    gap_h = (
+        (F.unix_micros("next_ts") - F.unix_micros("bucket_ts"))
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    interp = (
+        nxt.where(F.col("next_ts").isNotNull() & (gap_h > 1))
+        .select(
+            "metric_id",
+            "bucket_ts",
+            "mean",
+            "next_mean",
+            gap_h.alias("gap_h"),
+            F.explode(F.sequence(F.lit(1), gap_h - 1)).alias("i"),
+        )
+        .select(
+            "metric_id",
+            (
+                F.col("bucket_ts")
+                + F.make_interval(hours=F.col("i").cast("int"))
+            ).alias("bucket_ts"),
+            (
+                F.col("mean")
+                + (F.col("next_mean") - F.col("mean"))
+                * (
+                    F.col("i").cast("double")
+                    / (F.col("gap_h") * F.lit(3600.0))
+                    * 3600.0
+                )
+            ).alias("mean"),
+            F.lit(True).alias("interpolated"),
+        )
+    )
+    observed = hm.select(
+        "metric_id", "bucket_ts", "mean", F.lit(False).alias("interpolated")
+    )
+    return observed.unionByName(interp).select(
+        "metric_id",
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+        "interpolated",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
