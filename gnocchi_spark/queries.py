@@ -6926,6 +6926,150 @@ def tsdb_fill_linear(spark, sf_dir):
     )
 
 
+@query(
+    "ab_test_ztest",
+    """
+    WITH assign AS (
+      SELECT event_type AS metric_id, value,
+             CAST(user_id % 2 AS INT) AS arm
+      FROM events),
+    s AS (
+      SELECT metric_id, arm, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean, var_samp(value) AS var
+      FROM assign GROUP BY 1, 2),
+    wide AS (
+      SELECT a.metric_id,
+             a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+             b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+      FROM s a JOIN s b ON a.metric_id = b.metric_id
+      WHERE a.arm = 0 AND b.arm = 1)
+    SELECT metric_id, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(mean_b - mean_a, 6) AS lift,
+           round((mean_b - mean_a)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_ztest(spark, sf_dir):
+    # Two-sample Welch z-test per metric between experiment arms
+    # (deterministic hash assignment — here the user-id parity) — the
+    # A/B readout an analytics engine serves constantly.  One
+    # aggregate over (metric, arm) collapses the traffic to 2 rows per
+    # metric; the self-join pairing arms is on those aggregate rows,
+    # not data.  var_samp matches both engines' sample-variance
+    # definition; the z statistic is assembled from the five
+    # aggregates with oracle-identical arithmetic.
+    ev = tables.load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("metric_id"),
+            "value",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+        )
+        .groupBy("metric_id", "arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = s.where(F.col("arm") == 0).select(
+        "metric_id",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("metric_id").alias("m2"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    wide = a.join(b, a.metric_id == F.col("m2"))
+    return wide.select(
+        "metric_id",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("lift"),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "tsdb_cusum_drift",
+    f"""
+    WITH hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2),
+    mu AS (
+      SELECT metric_id, avg(mean) AS mu FROM hm GROUP BY 1),
+    dev AS (
+      SELECT h.metric_id, h.bucket_ts, h.mean, h.mean - m.mu AS dev
+      FROM hm h JOIN mu m ON h.metric_id = m.metric_id),
+    cs AS (
+      SELECT metric_id, bucket_ts, mean,
+             sum(dev) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM dev)
+    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
+           round(s - min(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS drift_up,
+           round(max(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s, 4)
+             AS drift_down
+    FROM cs
+    """,
+)
+def tsdb_cusum_drift(spark, sf_dir):
+    # One-sided CUSUM drift statistics per metric over the hourly
+    # rollup.  The textbook recursion S_t = max(0, S_{t-1} + dev_t)
+    # looks window-inexpressible, but it equals the cumulative
+    # deviation sum minus its running minimum (and the downward side
+    # is the running maximum minus the sum) — two plain running-extent
+    # windows riding the metric key, no recursion, no UDF.  A change
+    # point alarms when drift exceeds the tuned h; the statistic is
+    # served unthresholded so callers pick h downstream.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    hm = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(F.avg("value").alias("mean"))
+    )
+    mu = hm.groupBy("metric_id").agg(F.avg("mean").alias("mu"))
+    dev = hm.join(F.broadcast(mu), "metric_id").select(
+        "metric_id",
+        "bucket_ts",
+        "mean",
+        (F.col("mean") - F.col("mu")).alias("dev"),
+    )
+    run = Window.partitionBy("metric_id").orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = dev.withColumn("s", F.sum("dev").over(run))
+    return cs.select(
+        "metric_id",
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+        F.round(F.col("s") - F.min("s").over(run), 4).alias("drift_up"),
+        F.round(F.max("s").over(run) - F.col("s"), 4).alias("drift_down"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
