@@ -486,3 +486,65 @@ def test_streaming_histogram_counts_match_batch_and_serve_quantile(spark, tmp_pa
         F.percentile(F.col("value"), F.lit(0.95)).alias("p")
     ).collect()[0]["p"]
     assert abs(served - exact) <= (HI - LO) / BINS
+
+
+def test_stream_static_dim_enrichment_rollup(spark, tmp_path):
+    """Stream-static join: the measure stream enriches against a static
+    resource dimension (broadcast — no stream state for the join) and
+    rolls up per dimension attribute.  The reference's resource-scoped
+    aggregation (aggregates API) applied at ingest time."""
+    import datetime
+
+    from gnocchi_spark.streaming import ingest as si
+
+    landing = str(tmp_path / "enrich_landing")
+    out = str(tmp_path / "enrich_out")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    t0 = datetime.datetime(2026, 3, 6, 14, 0, 0)
+
+    def t(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    rows = [(f"m{i % 4}", t(i % 50), float(i), i) for i in range(120)]
+    mover = [("m0", t(300), 0.0, 9999)]
+    for batch in (rows, mover):
+        spark.createDataFrame(batch, schema=si.MEASURES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    dim = spark.createDataFrame(
+        [("m0", "web"), ("m1", "web"), ("m2", "db"), ("m3", "db")],
+        "metric_id string, tier string",
+    )
+    stream = si.read_measures_stream(spark, landing).withWatermark(
+        "ts", "10 minutes"
+    )
+    enriched = stream.join(F.broadcast(dim), "metric_id")
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("win"), "tier")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .select(F.col("win.start").alias("bucket_ts"), "tier", "total", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["tier"], r["bucket_ts"]): (r["total"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(rows, schema=si.MEASURES_SCHEMA)
+    want = {
+        (r["tier"], t(0)): (r["total"], r["n"])
+        for r in batch_df.join(dim, "metric_id")
+        .groupBy("tier")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
