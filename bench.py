@@ -288,6 +288,56 @@ def _ppl_on(docs):
     return unigram_lm_score(docs)
 
 
+def _hll_cascade_on(m):
+    """Sketch-cascade stress body: hourly HLL registers merged to daily
+    + the direct daily registers, both estimated (the exact-count join
+    of the registered query is omitted — the claim under stress is the
+    sketch path's register-bounded growth)."""
+    from gnocchi_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    idx, rank = hll_register_cols(F.col("value").cast("string"), 9)
+    base = m.select(
+        "metric_id",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("hb"),
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+        idx.alias("__reg"),
+        rank.alias("__rank"),
+    )
+    hourly = base.groupBy("metric_id", "hb", "db", "__reg").agg(
+        F.max("__rank").alias("__maxrank")
+    )
+    merged = hourly.groupBy("metric_id", "db", "__reg").agg(
+        F.max("__maxrank").alias("__maxrank")
+    )
+    return hll_estimate_from_registers(
+        merged, ["metric_id", "db"], p=9, out_col="merged_distinct"
+    )
+
+
+def _hist_cascade_on(m):
+    from gnocchi_spark.functions.sketches import (
+        histogram_counts,
+        quantile_from_bin_counts,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = m.select(
+        "metric_id",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("hb"),
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+        "value",
+    )
+    hourly = histogram_counts(ev, "value", ["metric_id", "hb", "db"], 0.0, 500.0, 256)
+    merged = hourly.groupBy("metric_id", "db", "bin").agg(F.sum("cnt").alias("cnt"))
+    return quantile_from_bin_counts(
+        merged, ["metric_id", "db"], 0.95, 0.0, 500.0, 256, out_col="p95"
+    )
+
+
 def scale_stress(spark, sf_dir, factor=10):
     """Judge task: run the heaviest operators at 1x and factor-x and
     record wall growth plus dedup candidate-pair counts vs the N^2 pair
@@ -361,6 +411,12 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _bm25_on(docs10)),
         ("perplexity_unigram", lambda: _ppl_on(docs1),
          lambda: _ppl_on(docs10)),
+        # sketch cascades: shuffle rows = metrics x buckets x sketch
+        # size — 10x metrics should grow ~linearly, never with traffic
+        ("hll_cascade", lambda: _hll_cascade_on(_replicated_measures(spark, sf_dir, 1)),
+         lambda: _hll_cascade_on(_replicated_measures(spark, sf_dir, factor))),
+        ("histogram_cascade", lambda: _hist_cascade_on(_replicated_measures(spark, sf_dir, 1)),
+         lambda: _hist_cascade_on(_replicated_measures(spark, sf_dir, factor))),
     ]:
         t1, t10 = timed(mk1), timed(mk10)
         queries[name] = {
