@@ -7070,6 +7070,69 @@ def tsdb_cusum_drift(spark, sf_dir):
     )
 
 
+@query(
+    "store_snapshot_roundtrip",
+    f"""
+    WITH base AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    corrected AS (
+      SELECT metric_id, bucket_ts,
+             CASE WHEN metric_id = 'error' THEN mean * 2.0 ELSE mean END
+               AS mean,
+             cnt
+      FROM base)
+    SELECT metric_id, bucket_ts, round(mean, 6) AS mean, cnt
+    FROM corrected
+    """,
+)
+def store_snapshot_roundtrip(spark, sf_dir):
+    # End-to-end drive of the snapshot store (operators/store.py):
+    # append the hourly rollup as the initial commit, MERGE a
+    # correction batch (the 'error' metric re-stated at 2x — a late
+    # re-statement upsert touching only its sacks), then read the
+    # pinned result back.  The oracle recomputes what the store must
+    # now contain, so the hash-match covers commit, sack-granular
+    # rewrite, batch-wins merge semantics, and manifest-pinned read.
+    # The store root is a per-call tempdir (the driver runs queries
+    # standalone; nothing persists outside the call).
+    import atexit
+    import shutil
+    import tempfile
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.store import SnapshotStore
+
+    hourly = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(
+            F.avg("value").alias("mean"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="gnocchi_spark_store_demo_")
+    # cleaned at interpreter exit (after the caller consumes the lazy
+    # frame) — no collect-and-recreate hop, the read stays distributed
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = SnapshotStore(root, num_sacks=8)
+    store.append(hourly)
+    correction = hourly.where(F.col("metric_id") == "error").withColumn(
+        "mean", F.col("mean") * 2.0
+    )
+    store.merge(correction, key_cols=("metric_id", "bucket_ts"))
+    return store.read(spark).select(
+        "metric_id",
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+        "cnt",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
