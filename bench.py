@@ -220,6 +220,34 @@ def ingest_throughput(spark, sf_dir, factor=10):
     }
 
 
+def per_method_throughput(spark, sf_dir, factor=10):
+    """Spark mirror of the reference's per-method resample benchmark
+    (BASELINE_NUMBERS.carbonara.resample_hz): one rollup per method over
+    the replicated measure stream, measures/s each.  The reference
+    number is single-core points/s on 3600-point buckets; the mirror is
+    the same aggregation shape end to end on local[32]."""
+    from gnocchi_spark.operators.rollup import rollup
+
+    m = _replicated_measures(spark, sf_dir, factor)
+    m = m.persist()
+    n = m.count()
+    out = {}
+    for method in ["mean", "sum", "max", "min", "std", "median",
+                   "first", "last", "count", "5pct", "90pct"]:
+        seq = "seq" if method in ("first", "last") else None
+        t0 = time.time()
+        rollup(m, [method], 300.0, seq_col=seq).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.time() - t0
+        out[method] = {
+            "wall_s": round(wall, 3),
+            "measures_per_s": round(n / wall, 1),
+        }
+    m.unpersist()
+    return out
+
+
 def baseline_section(spark, sf_dir):
     """bench-vs-baseline ratio against the recorded reference numbers
     (tools/baseline_ref.py -> BASELINE_NUMBERS.json)."""
@@ -233,6 +261,7 @@ def baseline_section(spark, sf_dir):
     out = {"ref_measures_per_s": ref, **spark_side}
     if ref:
         out["ratio_ref_over_spark"] = round(ref / spark_side["measures_per_s"], 3)
+    out["per_method"] = per_method_throughput(spark, sf_dir)
     return out
 
 
