@@ -7133,6 +7133,86 @@ def store_snapshot_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "ann_index_roundtrip",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    scored_m AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a="e.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM corpus e CROSS JOIN cent c),
+    members AS (SELECT neighbor_id, cv, centroid_id FROM scored_m WHERE rn = 1),
+    scored_q AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS.format(a="q.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+    probes AS (SELECT query_id, qv, centroid_id FROM scored_q WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, m.neighbor_id,
+             round({_COS.format(a="p.qv", b="m.cv")}, 5) AS cosine
+      FROM members m JOIN probes p USING (centroid_id)
+      WHERE p.query_id != m.neighbor_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank,
+           neighbor_id, cosine
+    FROM cand
+    QUALIFY rank <= 5
+    """,
+)
+def ann_index_roundtrip(spark, sf_dir):
+    # End-to-end drive of the persisted IVF index lifecycle
+    # (operators/ann_index.py): BUILD the inverted file from part of
+    # the corpus, ADD the rest incrementally against the frozen
+    # codebook (sack-granular merge — only touched clusters' files
+    # rewrite), then SEARCH from the persisted index with
+    # manifest-level file pruning (unprobed clusters are never
+    # opened).  The oracle computes IVF top-k over the union corpus
+    # directly, so the hash-match proves build+add+serve end to end —
+    # an index is only correct if it equals the computation it
+    # accelerates.  Index root is a per-call tempdir.
+    import atexit
+    import shutil
+    import tempfile
+
+    from gnocchi_spark.operators.ann_index import IvfIndex
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    build_part = emb.where(F.col("vec_id") >= 200)
+    add_part = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 200))
+    queries_df = emb.where(F.col("vec_id") < 10)
+
+    root = tempfile.mkdtemp(prefix="gnocchi_spark_ivf_demo_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    index = IvfIndex(root, num_sacks=8)
+    index.build(build_part, centroids)
+    index.add(add_part)
+    return index.search(queries_df, k=5, n_probe=2).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "cosine",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
