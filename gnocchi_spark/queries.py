@@ -7213,6 +7213,71 @@ def ann_index_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "slo_burn_rate",
+    f"""
+    WITH b AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS b5,
+             {_sql_bucket(3600)} AS b1h,
+             CASE WHEN value > 400.0 THEN 1 ELSE 0 END AS bad
+      FROM events),
+    w5 AS (
+      SELECT metric_id, b1h, b5,
+             CAST(sum(bad) AS BIGINT) AS bad5, CAST(count(*) AS BIGINT) AS n5
+      FROM b GROUP BY 1, 2, 3),
+    w1h AS (
+      SELECT metric_id, b1h,
+             CAST(sum(bad5) AS BIGINT) AS bad1h,
+             CAST(sum(n5) AS BIGINT) AS n1h,
+             CAST(max(bad5) AS BIGINT) AS worst5_bad,
+             round(max(CAST(bad5 AS DOUBLE) / n5) / 0.01, 4)
+               AS burn_5m_worst
+      FROM w5 GROUP BY 1, 2)
+    SELECT metric_id, b1h AS bucket_ts, bad1h, n1h,
+           round((CAST(bad1h AS DOUBLE) / n1h) / 0.01, 4) AS burn_1h,
+           burn_5m_worst
+    FROM w1h
+    """,
+)
+def slo_burn_rate(spark, sf_dir):
+    # SRE multi-window burn rate (Google SRE workbook's paging rule):
+    # bad-event fraction over a long and a short window, each divided
+    # by the error budget (1%), served unthresholded so the pager
+    # applies its own (14.4x / 6x) cutoffs.  The short-window worst
+    # case rides the SAME aggregation tree as the long window — 5-min
+    # partials roll up to the hour exactly like the archive-policy
+    # cascade, so the two windows cost one raw scan and one re-merge,
+    # not two scans.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    b = tables.load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("b5"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("b1h"),
+        F.when(F.col("value") > 400.0, 1).otherwise(0).alias("bad"),
+    )
+    w5 = b.groupBy("metric_id", "b1h", "b5").agg(
+        F.sum("bad").cast("long").alias("bad5"),
+        F.count("*").cast("long").alias("n5"),
+    )
+    return w5.groupBy("metric_id", "b1h").agg(
+        F.sum("bad5").cast("long").alias("bad1h"),
+        F.sum("n5").cast("long").alias("n1h"),
+        F.round(
+            F.max(F.col("bad5").cast("double") / F.col("n5")) / 0.01, 4
+        ).alias("burn_5m_worst"),
+    ).select(
+        "metric_id",
+        F.col("b1h").alias("bucket_ts"),
+        "bad1h",
+        "n1h",
+        F.round(
+            (F.col("bad1h").cast("double") / F.col("n1h")) / 0.01, 4
+        ).alias("burn_1h"),
+        "burn_5m_worst",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
