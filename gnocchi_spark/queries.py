@@ -7278,6 +7278,62 @@ def slo_burn_rate(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_candidate_profile",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL
+        SELECT doc_b FROM cand) t
+      GROUP BY doc_id)
+    SELECT CAST(floor(log2(degree)) AS BIGINT) AS degree_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(sum(degree) AS BIGINT) AS candidate_slots
+    FROM deg GROUP BY 1
+    """,
+)
+def dedup_candidate_profile(spark, sf_dir):
+    # Candidate-load governance for the LSH self-join: the per-doc
+    # candidate degree distribution (log2 histogram) — the read that
+    # decides whether a band key is hot enough to need salting or a
+    # df-cap BEFORE the verify stage runs.  A healthy banded join has
+    # degrees concentrated in the low buckets; mass in high buckets
+    # means a degenerate band (boilerplate shingles) is about to make
+    # one reducer quadratic.  Same banding parameters as
+    # dedup_minhash_lsh, so this profile audits exactly the join that
+    # query executes.
+    from gnocchi_spark.operators.dedup import (
+        doc_shingle_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures_arrays,
+        spread_for_compute,
+        with_hash_words,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    arrays = with_hash_words(doc_shingle_arrays(spread_for_compute(docs)))
+    sigs = minhash_signatures_arrays(arrays, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, num_hashes=16, band_size=4)
+    deg = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("degree")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("degree").cast("long").alias("candidate_slots"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
