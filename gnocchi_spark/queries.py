@@ -7437,7 +7437,11 @@ CHECK_ORDER = [
 #   metric_correlation_matrix, hll_cascade_merge, tsdb_m4_downsample,
 #   tsdb_time_weighted_avg, ingest_rest_batch_json, tsdb_counter_increase,
 #   sample_temperature_mixture, select_token_budget, wau_rolling_hll,
-#   histogram_quantile_cascade, resource_scd2_apply
+#   histogram_quantile_cascade, resource_scd2_apply, tsdb_stl_decompose,
+#   rollup_invalidation_plan, alert_rule_eval, tsdb_fill_linear,
+#   ab_test_ztest, tsdb_cusum_drift, store_snapshot_roundtrip,
+#   ann_index_roundtrip, slo_burn_rate, dedup_candidate_profile
+# (recompute with: r01/r02 hash_match union vs QUERIES keys)
 
 
 def ordered_queries() -> dict:
