@@ -7334,6 +7334,117 @@ def dedup_candidate_profile(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    # TPC-H Q13: customer order-count distribution.  The left outer
+    # join keeps zero-order customers (the reference query's point —
+    # an inner join silently drops them), with the order-side
+    # predicate in the JOIN condition, not the WHERE (a WHERE would
+    # turn the outer join back into an inner one).  Double
+    # aggregation: per-customer counts, then the distribution —
+    # second shuffle is distinct-count-sized.
+    cu = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1),
+    mx AS (SELECT max(total_revenue) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 2) AS total_revenue
+    FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT m FROM mx)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15: top supplier by quarterly revenue.  The view-and-max
+    # shape: the per-supplier revenue aggregate is computed once and
+    # reused for both the max (1-row broadcast) and the final filter —
+    # in Spark the shared subplan is one exchange reused, not two
+    # scans; supplier is the broadcast dim.  Ties (revenue exactly at
+    # the max) keep all rows, as in the spec.
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    s = tables.load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+def _langid_confusion_sql() -> str:
+    inner = _langid_oracle_sql()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT lang AS actual_lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@query("langid_confusion", _langid_confusion_sql())
+def langid_confusion(spark, sf_dir):
+    # Language-ID evaluation: the (actual, detected) confusion matrix
+    # over the labeled corpus — the quality readout that decides
+    # whether the heuristic classifier is fit for the routing /
+    # quality gates that consume it.  One aggregate over the map-side
+    # classifier; the oracle reuses the full classifier replay SQL as
+    # a subquery.
+    from gnocchi_spark.operators.textstats import detect_language
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang").alias("actual_lang"),
+        detect_language(F.col("text")).alias("detected_lang"),
+    ).groupBy("actual_lang", "detected_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

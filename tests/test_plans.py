@@ -30,6 +30,7 @@ BNL_ALLOWED = {
     "tpch_q22_dormant_customers",  # broadcast 1-row global-avg scalar (cross)
     "sample_temperature_mixture",  # broadcast 1-row (wsum, ntot) scalar (cross)
     "select_token_budget",  # broadcast 1-row spent-tokens scalar (cross)
+    "tpch_q15_top_supplier",  # broadcast 1-row max-revenue scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
