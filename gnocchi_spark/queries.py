@@ -7445,6 +7445,97 @@ def langid_confusion(spark, sf_dir):
     )
 
 
+def _ann_recall_sql() -> str:
+    from gnocchi_spark.operators.similarity import hyperplanes
+
+    bucket = _bucket_sql(hyperplanes(6, 64))
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                 AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                   DESC, c.vec_id) AS rank
+        FROM embeddings c, (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 10) q
+        WHERE q.vec_id != c.vec_id)
+      WHERE rank <= 5),
+    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                   DESC, c.vec_id) AS rank
+        FROM v q JOIN v c
+          ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5),
+    hits AS (
+      SELECT e.query_id,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS k
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, n_hits, k,
+           round(CAST(n_hits AS DOUBLE) / k, 4) AS recall_at_5
+    FROM hits
+    """
+
+
+@query("ann_recall_report", _ann_recall_sql())
+def ann_recall_report(spark, sf_dir):
+    # ANN quality evaluation served as a query: recall@5 of the
+    # LSH-bucketed index against the exact brute-force neighbors, per
+    # query point — the continuous-monitoring readout a deployment
+    # runs on a sampled query slice to catch index drift (the exact
+    # side costs one broadcast pass over the corpus for the SAMPLE
+    # only, so the evaluation is cheap even when serving is
+    # approximate).  Oracle replays both retrieval paths and the
+    # intersection.
+    from gnocchi_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_cosine_topk(
+        emb, queries_df, k=5, n_planes=6, probe_hamming=1
+    ).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").cast("long").alias("n_hits"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        "k",
+        F.round(F.col("n_hits").cast("double") / F.col("k"), 4).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
