@@ -7536,6 +7536,197 @@ def ann_recall_report(spark, sf_dir):
     )
 
 
+@query(
+    "tsdb_trimmed_mean",
+    f"""
+    WITH m AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts, value
+      FROM events),
+    bounds AS (
+      SELECT metric_id, bucket_ts,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM m GROUP BY 1, 2)
+    SELECT m.metric_id, m.bucket_ts,
+           round(avg(CASE WHEN m.value >= b.lo AND m.value <= b.hi
+                          THEN m.value END), 6) AS trimmed_mean,
+           round(avg(m.value), 6) AS plain_mean,
+           CAST(count(CASE WHEN m.value < b.lo OR m.value > b.hi
+                      THEN 1 END) AS BIGINT) AS n_trimmed
+    FROM m JOIN bounds b
+      ON m.metric_id = b.metric_id AND m.bucket_ts = b.bucket_ts
+    GROUP BY 1, 2
+    """,
+)
+def tsdb_trimmed_mean(spark, sf_dir):
+    # Robust rollup: the 5%-trimmed mean per bucket (outliers clipped
+    # by the bucket's own p05/p95) next to the plain mean and the
+    # clipped count — the aggregation a metering pipeline uses when a
+    # sensor glitch must not move the bill.  Two passes over the same
+    # bucketed grouping (percentile bounds, then conditional mean);
+    # both shuffles share the (metric, bucket) key.  The exact
+    # percentile kernel matches DuckDB's quantile_cont convention
+    # (1-based linear interpolation), which the existing pct rollups
+    # already pin.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    m = tables.load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        "value",
+    )
+    bounds = m.groupBy("metric_id", "bucket_ts").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"),
+    )
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return (
+        m.join(bounds, ["metric_id", "bucket_ts"])
+        .groupBy("metric_id", "bucket_ts")
+        .agg(
+            F.round(F.avg(F.when(inside, F.col("value"))), 6).alias(
+                "trimmed_mean"
+            ),
+            F.round(F.avg("value"), 6).alias("plain_mean"),
+            F.count(F.when(~inside, F.lit(1)))
+            .cast("long")
+            .alias("n_trimmed"),
+        )
+    )
+
+
+@query(
+    "tsdb_autocorrelation",
+    f"""
+    WITH hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS y
+      FROM events GROUP BY 1, 2),
+    mu AS (SELECT metric_id, avg(y) AS mu, CAST(count(*) AS BIGINT) AS n
+           FROM hm GROUP BY 1),
+    lagged AS (
+      SELECT h.metric_id, h.y - m.mu AS d,
+             lead(h.y) OVER (PARTITION BY h.metric_id ORDER BY h.bucket_ts)
+               - m.mu AS d1,
+             lead(h.y, 24) OVER (PARTITION BY h.metric_id ORDER BY h.bucket_ts)
+               - m.mu AS d24
+      FROM hm h JOIN mu m ON h.metric_id = m.metric_id)
+    SELECT metric_id,
+           round(sum(d * d1) / sum(d * d), 4) AS acf_lag1,
+           round(sum(d * d24) / sum(d * d), 4) AS acf_lag24,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM lagged GROUP BY 1
+    """,
+)
+def tsdb_autocorrelation(spark, sf_dir):
+    # Autocorrelation of each metric's hourly series at lag 1
+    # (persistence) and lag 24 (diurnal seasonality) — the numeric
+    # test that decides whether the STL seasonal component is real
+    # before alerting trusts it.  Classic ACF estimator: deviations
+    # from the series mean, lagged via lead() on the metric-keyed
+    # window, one aggregate for both lags.  NULL lead rows drop out
+    # of the sums in both engines identically.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    hm = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    mu = hm.groupBy("metric_id").agg(F.avg("y").alias("mu"))
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    lagged = hm.join(F.broadcast(mu), "metric_id").select(
+        "metric_id",
+        (F.col("y") - F.col("mu")).alias("d"),
+        (F.lead("y").over(w) - F.col("mu")).alias("d1"),
+        (F.lead("y", 24).over(w) - F.col("mu")).alias("d24"),
+    )
+    return lagged.groupBy("metric_id").agg(
+        F.round(
+            F.sum(F.col("d") * F.col("d1")) / F.sum(F.col("d") * F.col("d")), 4
+        ).alias("acf_lag1"),
+        F.round(
+            F.sum(F.col("d") * F.col("d24")) / F.sum(F.col("d") * F.col("d")),
+            4,
+        ).alias("acf_lag24"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+@query(
+    "data_quality_report",
+    """
+    WITH checks AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(value) AS BIGINT) AS null_values,
+        CAST(count(*) - count(ts) AS BIGINT) AS null_ts,
+        CAST(count(CASE WHEN value < 0.0 OR value > 1000.0 THEN 1 END)
+             AS BIGINT) AS range_violations,
+        CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+        CAST(count(CASE WHEN isnan(value) OR isinf(value) THEN 1 END)
+             AS BIGINT) AS nonfinite_values
+      FROM events),
+    dupkeys AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_measure_keys
+      FROM (SELECT count(*) AS c FROM events
+            GROUP BY event_type, ts, event_id HAVING count(*) > 1))
+    SELECT c.*, d.dup_measure_keys,
+           (c.null_values = 0 AND c.null_ts = 0 AND c.range_violations = 0
+            AND c.dup_event_ids = 0 AND c.nonfinite_values = 0
+            AND d.dup_measure_keys = 0) AS all_checks_pass
+    FROM checks c, dupkeys d
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    # Deequ-style constraint report over the measure stream:
+    # completeness (no null values/timestamps), range conformance,
+    # id uniqueness, key uniqueness, finiteness — the ingest
+    # contract's audit, computed in ONE pass (a single aggregate
+    # plus the duplicate-key reduce) rather than one scan per check.
+    # The verdict column makes the report consumable by a CI gate.
+    ev = tables.load(spark, sf_dir, "events")
+    checks = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("value")).cast("long").alias("null_values"),
+        (F.count("*") - F.count("ts")).cast("long").alias("null_ts"),
+        F.count(
+            F.when((F.col("value") < 0.0) | (F.col("value") > 1000.0), 1)
+        )
+        .cast("long")
+        .alias("range_violations"),
+        (F.count("*") - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("dup_event_ids"),
+        F.count(F.when(F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")), 1))
+        .cast("long")
+        .alias("nonfinite_values"),
+    )
+    dupkeys = (
+        ev.groupBy("event_type", "ts", "event_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("dup_measure_keys")
+        )
+    )
+    out = checks.crossJoin(F.broadcast(dupkeys))
+    ok = (
+        (F.col("null_values") == 0)
+        & (F.col("null_ts") == 0)
+        & (F.col("range_violations") == 0)
+        & (F.col("dup_event_ids") == 0)
+        & (F.col("nonfinite_values") == 0)
+        & (F.col("dup_measure_keys") == 0)
+    )
+    return out.withColumn("all_checks_pass", ok)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
