@@ -7727,6 +7727,55 @@ def data_quality_report(spark, sf_dir):
     return out.withColumn("all_checks_pass", ok)
 
 
+@query(
+    "ingest_csv_measures",
+    f"""
+    SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+           round(sum(value), 6) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ingest_csv_measures(spark, sf_dir):
+    # CSV measures wire round trip (the bulk-import format every TSDB
+    # accepts): events -> "metric,iso_ts,value" lines -> from_csv with
+    # an explicit schema -> hourly sum.  Like the JSON batch codec the
+    # decode is map-only JVM-side (no UDF, no inferSchema scan);
+    # microsecond ISO timestamps and full-precision doubles survive,
+    # proven by the hash-match against direct aggregation.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    m = spread_for_compute(tables.events_as_measures(spark, sf_dir))
+    lines = m.select(
+        F.concat_ws(
+            ",",
+            F.col("metric_id"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            F.format_string("%.17g", F.col("value")),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            F.col("line"),
+            "metric_id string, ts_raw string, value double",
+        ).alias("r")
+    ).select(
+        F.col("r.metric_id").alias("metric_id"),
+        F.to_timestamp(
+            F.col("r.ts_raw"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+        F.col("r.value").alias("value"),
+    )
+    return parsed.groupBy(
+        "metric_id",
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(
+        F.round(F.sum("value"), 6).alias("total"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
