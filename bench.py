@@ -547,10 +547,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # checkpoint prints: each section appends to the payload and
+    # re-emits the full line, so if the harness times the run out the
+    # LAST complete line still carries everything finished so far
+    print(json.dumps(payload), flush=True)
     payload["baseline"] = baseline_section(spark, sf_dir)
+    print(json.dumps(payload), flush=True)
     if os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0":
         payload["scale_stress"] = scale_stress(spark, sf_dir)
-    print(json.dumps(payload))
+        print(json.dumps(payload), flush=True)
     spark.stop()
 
 
