@@ -31,6 +31,8 @@ BNL_ALLOWED = {
     "sample_temperature_mixture",  # broadcast 1-row (wsum, ntot) scalar (cross)
     "select_token_budget",  # broadcast 1-row spent-tokens scalar (cross)
     "tpch_q15_top_supplier",  # broadcast 1-row max-revenue scalar (cross)
+    "ann_recall_report",  # broadcast 10-query slice (exact + LSH sides)
+    "data_quality_report",  # broadcast 1-row duplicate-key scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
