@@ -7776,6 +7776,133 @@ def ingest_csv_measures(spark, sf_dir):
     )
 
 
+@query(
+    "sample_weighted_topk",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             array_length(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents WHERE length(text) > 0),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) + 1)
+                      / 4294967297.0)
+                   / n_tokens, 9) AS es_key
+      FROM d),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, es_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed)
+    SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def sample_weighted_topk(spark, sf_dir):
+    # Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    # the distributed-reservoir standard): per stratum take the top-k
+    # documents under key u^(1/w) — here ordered by the equivalent
+    # ln(u)/w with w = token count, so longer documents are
+    # proportionally more likely, and the whole draw is DETERMINISTIC
+    # (u from md5(doc_id), not an RNG): re-runs, retries and engines
+    # agree on the sample.  One salted-safe top-k per stratum, no
+    # global sort; the key is rounded to 9 decimals before ranking so
+    # a last-ulp libm difference between engines cannot reorder the
+    # boundary.
+    from gnocchi_spark.operators.dedup import normalize_text
+    from gnocchi_spark.operators.sampling import sample_key
+    from gnocchi_spark.operators.textstats import tokens
+
+    t = F.col("text")
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.length(t) > 0)
+        .select("doc_id", "source", F.size(tokens(t)).alias("n_tokens"))
+    )
+    u = (
+        F.conv(F.substring(sample_key(F.col("doc_id")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = d.withColumn(
+        "es_key", F.round(F.log(u) / F.col("n_tokens"), 9)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "cluster_medoids",
+    f"""
+    WITH pairs AS (
+      SELECT a.label, a.vec_id AS va,
+             {_COS.format(a="a.embedding", b="b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id),
+    agg AS (
+      SELECT label, va AS vec_id,
+             round(avg(cos), 5) AS mean_cos,
+             CAST(count(*) AS BIGINT) + 1 AS n_members
+      FROM pairs GROUP BY 1, 2),
+    best AS (
+      SELECT label, vec_id, mean_cos, n_members,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY mean_cos DESC, vec_id) AS rn
+      FROM agg)
+    SELECT label, vec_id AS medoid_id, mean_cos, n_members
+    FROM best WHERE rn = 1
+    """,
+)
+def cluster_medoids(spark, sf_dir):
+    # Cluster representative selection: the medoid (member maximizing
+    # mean cosine to its cluster) per label group — the "pick one
+    # example per topic" step of corpus curation and the seed for
+    # human review queues.  Pairwise similarity is CLUSTER-BOUNDED
+    # (the SemDeDup argument: the join key is the cluster, so cost is
+    # sum of cluster sizes squared, never corpus²), and the argmax is
+    # on the rounded mean so engine libm noise cannot flip the winner.
+    emb = tables.load(spark, sf_dir, "embeddings")
+    from gnocchi_spark.operators.similarity import cosine
+
+    a = emb.select(
+        "label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("va") != F.col("vb"))
+    ).select("label", "va", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+    agg = pairs.groupBy("label", F.col("va").alias("vec_id")).agg(
+        F.round(F.avg("cos"), 5).alias("mean_cos"),
+        (F.count("*") + 1).cast("long").alias("n_members"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("mean_cos").desc(), F.col("vec_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("medoid_id"), "mean_cos", "n_members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
