@@ -7903,6 +7903,109 @@ def cluster_medoids(spark, sf_dir):
     )
 
 
+@query(
+    "tsdb_percent_rank",
+    f"""
+    WITH hm AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS mean
+      FROM events GROUP BY 1, 2)
+    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
+           round(percent_rank() OVER (PARTITION BY metric_id
+                                      ORDER BY mean, bucket_ts), 6)
+             AS pct_rank
+    FROM hm
+    """,
+)
+def tsdb_percent_rank(spark, sf_dir):
+    # Percentile normalization: each hourly value's rank within its
+    # metric's own history — the unit-free transform that makes a
+    # latency series comparable to a queue-depth series on one
+    # dashboard, and the input to rank-based (Spearman) correlation.
+    # percent_rank is pure integer rank arithmetic ((rank-1)/(n-1)),
+    # so unlike value-space normalizations there is no float-noise
+    # boundary; the window rides the metric key.  bucket_ts joins the
+    # ORDER BY as a tie-break so equal means rank deterministically.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    hm = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+        )
+        .agg(F.avg("value").alias("mean"))
+    )
+    w = Window.partitionBy("metric_id").orderBy("mean", "bucket_ts")
+    return hm.select(
+        "metric_id",
+        "bucket_ts",
+        F.round("mean", 6).alias("mean"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "metric_user_entropy",
+    """
+    WITH c AS (
+      SELECT event_type AS metric_id, user_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT metric_id, sum(n) AS total,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM c GROUP BY 1)
+    SELECT c.metric_id,
+           t.n_users,
+           CAST(t.total AS BIGINT) AS n_events,
+           round(-sum((CAST(c.n AS DOUBLE) / t.total)
+                      * ln(CAST(c.n AS DOUBLE) / t.total)), 4) AS entropy,
+           round(-sum((CAST(c.n AS DOUBLE) / t.total)
+                      * ln(CAST(c.n AS DOUBLE) / t.total))
+                 / ln(CAST(t.n_users AS DOUBLE)), 4) AS normalized_entropy,
+           round(max(c.n) / CAST(t.total AS DOUBLE), 6) AS top_user_share
+    FROM c JOIN tot t ON c.metric_id = t.metric_id
+    GROUP BY c.metric_id, t.n_users, t.total
+    """,
+)
+def metric_user_entropy(spark, sf_dir):
+    # Traffic-concentration diagnostic: Shannon entropy of each
+    # metric's per-user event distribution, normalized by ln(n_users),
+    # plus the top-user share — the quantitative version of
+    # join_skew_report's "is this key skewed" read (normalized entropy
+    # near 1 = uniform, near 0 = one hot key; the number that decides
+    # salting before a per-user shuffle).  Two aggregations riding the
+    # (metric, user) then metric keys.
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("metric_id"), "user_id"
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = c.groupBy("metric_id").agg(
+        F.sum("n").alias("total"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    j = c.join(F.broadcast(tot), "metric_id")
+    p = F.col("n").cast("double") / F.col("total")
+    return j.groupBy("metric_id", "n_users", "total").agg(
+        F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        F.round(
+            -F.sum(p * F.log(p)) / F.log(F.col("n_users").cast("double")),
+            4,
+        ).alias("normalized_entropy"),
+        F.round(
+            F.max("n") / F.col("total").cast("double"), 6
+        ).alias("top_user_share"),
+    ).select(
+        "metric_id",
+        "n_users",
+        F.col("total").cast("long").alias("n_events"),
+        "entropy",
+        "normalized_entropy",
+        "top_user_share",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #
