@@ -8006,6 +8006,90 @@ def metric_user_entropy(spark, sf_dir):
     )
 
 
+@query(
+    "user_pagerank",
+    f"""
+    WITH occ AS (
+      SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM occ a JOIN occ b ON a.b = b.b AND a.user_id != b.user_id),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    p0 AS (SELECT src AS uid, 1.0 / n AS p FROM deg, nn),
+    p1 AS (
+      SELECT e.dst AS uid, 0.15 / max(nn.n) + 0.85 * sum(p0.p / deg.d) AS p
+      FROM e JOIN p0 ON e.src = p0.uid JOIN deg ON e.src = deg.src, nn
+      GROUP BY e.dst),
+    p2 AS (
+      SELECT e.dst AS uid, 0.15 / max(nn.n) + 0.85 * sum(p1.p / deg.d) AS p
+      FROM e JOIN p1 ON e.src = p1.uid JOIN deg ON e.src = deg.src, nn
+      GROUP BY e.dst),
+    p3 AS (
+      SELECT e.dst AS uid, 0.15 / max(nn.n) + 0.85 * sum(p2.p / deg.d) AS p
+      FROM e JOIN p2 ON e.src = p2.uid JOIN deg ON e.src = deg.src, nn
+      GROUP BY e.dst)
+    SELECT p3.uid AS user_id, deg.d AS degree, round(p3.p, 8) AS pagerank
+    FROM p3 JOIN deg ON p3.uid = deg.src
+    """,
+)
+def user_pagerank(spark, sf_dir):
+    # PageRank (3 unrolled power iterations, damping 0.85) over the
+    # purchase co-occurrence graph — the iterative-join workload class
+    # beyond the dedup family's connected components.  Edges are
+    # bucket-bounded (users sharing a purchase hour), so the pair
+    # space is sum-over-buckets of n_b², never users²; every iteration
+    # is one key-partitioned join + aggregate on the SAME edge
+    # partitioning, which is what lets a 1000-executor run reuse one
+    # shuffle layout across iterations.  The iteration count is fixed
+    # and unrolled — no driver loop per convergence check — and the
+    # oracle replays all three iterations.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    occ = (
+        tables.load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", truncate_to_bucket(F.col("ts"), 3600.0).alias("b")
+        )
+        .distinct()
+    )
+    o2 = occ.select(F.col("user_id").alias("uid2"), F.col("b").alias("b2"))
+    e = (
+        occ.join(
+            o2,
+            (F.col("b") == F.col("b2")) & (F.col("user_id") != F.col("uid2")),
+        )
+        .select(F.col("user_id").alias("src"), F.col("uid2").alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    p = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("uid"), (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    ed = e.join(deg, "src")
+    for _ in range(3):
+        p = (
+            ed.join(p, ed.src == p.uid)
+            .groupBy(F.col("dst").alias("nuid"))
+            .agg(F.sum(F.col("p") / F.col("d")).alias("contrib"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("nuid").alias("uid"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("contrib")).alias(
+                    "p"
+                ),
+            )
+        )
+    return p.join(deg, p.uid == deg.src).select(
+        F.col("uid").alias("user_id"),
+        F.col("d").alias("degree"),
+        F.round("p", 8).alias("pagerank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

@@ -33,6 +33,7 @@ BNL_ALLOWED = {
     "tpch_q15_top_supplier",  # broadcast 1-row max-revenue scalar (cross)
     "ann_recall_report",  # broadcast 10-query slice (exact + LSH sides)
     "data_quality_report",  # broadcast 1-row duplicate-key scalar (cross)
+    "user_pagerank",  # broadcast 1-row node-count scalar (cross, x4 iterations)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
