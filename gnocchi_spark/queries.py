@@ -8196,7 +8196,12 @@ CHECK_ORDER = [
 #   histogram_quantile_cascade, resource_scd2_apply, tsdb_stl_decompose,
 #   rollup_invalidation_plan, alert_rule_eval, tsdb_fill_linear,
 #   ab_test_ztest, tsdb_cusum_drift, store_snapshot_roundtrip,
-#   ann_index_roundtrip, slo_burn_rate, dedup_candidate_profile
+#   ann_index_roundtrip, slo_burn_rate, dedup_candidate_profile,
+#   tpch_q13_order_distribution, tpch_q15_top_supplier, langid_confusion,
+#   ann_recall_report, tsdb_trimmed_mean, tsdb_autocorrelation,
+#   data_quality_report, ingest_csv_measures, sample_weighted_topk,
+#   cluster_medoids, tsdb_percent_rank, metric_user_entropy,
+#   user_pagerank
 # (recompute with: r01/r02 hash_match union vs QUERIES keys)
 
 
