@@ -8090,6 +8090,116 @@ def user_pagerank(spark, sf_dir):
     )
 
 
+@query(
+    "metric_freshness",
+    """
+    WITH last_pts AS (
+      SELECT event_type AS metric_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM events GROUP BY 1),
+    now_proxy AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT metric_id, last_ts, n_points,
+           round((epoch(now_ts) - epoch(last_ts)), 3) AS staleness_s,
+           (epoch(now_ts) - epoch(last_ts)) <= 3600.0 AS fresh_1h
+    FROM last_pts, now_proxy
+    """,
+)
+def metric_freshness(spark, sf_dir):
+    # Data-freshness report: per metric, the time since its last
+    # measure relative to the stream's high-water mark — the staleness
+    # page every TSDB ops team keeps (a silent exporter looks exactly
+    # like this).  One per-metric aggregate plus a 1-row high-water
+    # broadcast; the freshness verdict uses the same integer-µs
+    # arithmetic in both engines.
+    ev = tables.load(spark, sf_dir, "events")
+    last_pts = ev.groupBy(F.col("event_type").alias("metric_id")).agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_points"),
+    )
+    now_proxy = ev.agg(F.max("ts").alias("now_ts"))
+    stale = (
+        F.unix_micros("now_ts") - F.unix_micros("last_ts")
+    ).cast("double") / 1e6
+    return last_pts.crossJoin(F.broadcast(now_proxy)).select(
+        "metric_id",
+        "last_ts",
+        "n_points",
+        F.round(stale, 3).alias("staleness_s"),
+        (stale <= 3600.0).alias("fresh_1h"),
+    )
+
+
+@query(
+    "corpus_zipf_fit",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM wc QUALIFY r <= 1000),
+    xy AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+             AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                            / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                           * sum(x)) / count(*), 4) AS intercept
+    FROM xy
+    """,
+)
+def corpus_zipf_fit(spark, sf_dir):
+    # Zipf rank-frequency fit over the top-1000 words: natural
+    # corpora fit slope ~ -1; machine-generated or heavily duplicated
+    # text drifts, so the slope is a cheap whole-corpus quality
+    # signal next to the per-doc gates.  The corpus collapses to its
+    # word counts (one aggregate), the top-1000 rank is
+    # TakeOrderedAndProject, and the log-log regression is the same
+    # closed-form five-sum kernel as tsdb_trend_forecast — x here is
+    # ln(rank) in [0, ln 1000], already centered enough that the
+    # cancellation hazard does not apply.
+    from gnocchi_spark.operators.dedup import normalize_text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = (
+        wc.orderBy(F.col("c").desc(), F.col("w")).limit(1000)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w"))
+            ),
+        )
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return xy.agg(
+        n.cast("long").alias("n_words"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-order curation.
 #

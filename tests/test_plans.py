@@ -34,6 +34,7 @@ BNL_ALLOWED = {
     "ann_recall_report",  # broadcast 10-query slice (exact + LSH sides)
     "data_quality_report",  # broadcast 1-row duplicate-key scalar (cross)
     "user_pagerank",  # broadcast 1-row node-count scalar (cross, x4 iterations)
+    "metric_freshness",  # broadcast 1-row high-water-mark scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
@@ -49,6 +50,8 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # cumulative-threshold window runs over the 1024-row score-bin
     # histogram, not the corpus
     "select_token_budget",
+    # rank assignment runs AFTER limit(1000): bounded input
+    "corpus_zipf_fit",
 }
 
 
