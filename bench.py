@@ -547,15 +547,26 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # checkpoint prints: each section appends to the payload and
-    # re-emits the full line, so if the harness times the run out the
-    # LAST complete line still carries everything finished so far
-    print(json.dumps(payload), flush=True)
+    # Checkpoints go to STDERR and to a local file; stdout carries
+    # EXACTLY ONE JSON document, printed once at the very end, so any
+    # consumer parsing stdout (first line, last line, or whole-stream
+    # json.loads) sees the same complete payload.  (The r03 driver run
+    # recorded "parsed": null because the old behavior re-emitted the
+    # growing payload on stdout after each section.)
+    def checkpoint(p):
+        line = json.dumps(p)
+        print(line, file=sys.stderr, flush=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL_LAST.json"), "w") as fh:
+            fh.write(line + "\n")
+
+    checkpoint(payload)
     payload["baseline"] = baseline_section(spark, sf_dir)
-    print(json.dumps(payload), flush=True)
+    checkpoint(payload)
     if os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0":
         payload["scale_stress"] = scale_stress(spark, sf_dir)
-        print(json.dumps(payload), flush=True)
+        checkpoint(payload)
+    print(json.dumps(payload), flush=True)
     spark.stop()
 
 

@@ -152,6 +152,36 @@ def expected_standard_error(p: int) -> float:
     return 1.04 / math.sqrt(1 << p)
 
 
+def _exact_rank_cols(q: float, n_col, below_col, cnt_col):
+    """Exact-integer crossing-bin rank arithmetic shared by
+    :func:`binned_quantile` and :func:`quantile_from_bin_counts`.
+
+    ``q`` is taken as the rational its decimal literal denotes
+    (0.95 -> 19/20) so the crossing test is exact in every engine.
+    The target rank numerator is qn*(n-1)+qd against qd-scaled
+    cumulative counts; for non-dyadic q whose decimal repr has a huge
+    denominator (q=1/3 -> qd ~ 1e16) the product qn*(n-1) overflows
+    BIGINT once n exceeds ~2700 and non-ANSI Spark wraps silently, so
+    all products are carried in decimal(38,0) — exact up to
+    n ~ 1e22 even at qd = 1e16, far beyond any 100-TB group.
+
+    Returns (tnum, below_s, cnt_s) decimal Columns; callers compare
+    them and take ``(tnum - below_s) / cnt_s`` as the interpolation
+    fraction (cast to double at the single final division).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(q))
+    qn, qd = fr.numerator, fr.denominator
+    dec = "decimal(38,0)"
+    qn_d = F.lit(qn).cast(dec)
+    qd_d = F.lit(qd).cast(dec)
+    tnum = qn_d * (n_col - 1).cast(dec) + qd_d
+    below_s = qd_d * below_col.cast(dec)
+    cnt_s = qd_d * cnt_col.cast(dec)
+    return tnum, below_s, cnt_s
+
+
 def binned_quantile(
     df: DataFrame,
     value_col: str,
@@ -208,17 +238,13 @@ def binned_quantile(
     cum = counts.withColumn(
         "__below", F.coalesce(F.sum("__c").over(w), F.lit(0))
     ).join(F.broadcast(stats), group_cols)
-    # 1-based linear rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd, kept as
-    # an exact integer numerator (same hardening as
-    # quantile_from_bin_counts: a double q here vs a DECIMAL literal in
-    # a SQL oracle flips round(…, 6) at dyadic interpolation points)
-    from fractions import Fraction
-
-    fr = Fraction(str(q))
-    qn, qd = fr.numerator, fr.denominator
-    tnum = F.lit(qn) * (F.col("__n") - 1) + F.lit(qd)
-    below_s = F.lit(qd) * F.col("__below")
-    cnt_s = F.lit(qd) * F.col("__c")
+    # 1-based linear rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd, kept
+    # exact in decimal(38,0) (see _exact_rank_cols: a double q here vs
+    # a DECIMAL literal in a SQL oracle flips round(…, 6) at dyadic
+    # interpolation points, and BIGINT wraps for non-dyadic q at n>2700)
+    tnum, below_s, cnt_s = _exact_rank_cols(
+        q, F.col("__n"), F.col("__below"), F.col("__c")
+    )
     hit = cum.where((below_s < tnum) & (tnum <= below_s + cnt_s))
     width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     frac = (tnum - below_s).cast("double") / cnt_s.cast("double")
@@ -378,12 +404,8 @@ def quantile_from_bin_counts(
     is one division with identical operands in every engine — a 0.95
     double here vs a DECIMAL literal in a SQL oracle was measured to
     flip round(…, 6) by one ulp at dyadic interpolation points."""
-    from fractions import Fraction
-
     from pyspark.sql import Window
 
-    fr = Fraction(str(q))
-    qn, qd = fr.numerator, fr.denominator
     totals = counts.groupBy(*group_cols).agg(
         F.sum(count_col).alias("__n")
     )
@@ -395,11 +417,12 @@ def quantile_from_bin_counts(
     cum = counts.withColumn(
         "__below", F.coalesce(F.sum(count_col).over(w), F.lit(0))
     ).join(F.broadcast(totals), group_cols)
-    # target rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd as an exact
-    # integer numerator against qd-scaled cumulative counts
-    tnum = F.lit(qn) * (F.col("__n") - 1) + F.lit(qd)
-    below_s = F.lit(qd) * F.col("__below")
-    cnt_s = F.lit(qd) * F.col(count_col)
+    # target rank q*(n-1) + 1 == (qn*(n-1) + qd) / qd, exact in
+    # decimal(38,0) against qd-scaled cumulative counts (BIGINT wraps
+    # for non-dyadic q once n > ~2700 — see _exact_rank_cols)
+    tnum, below_s, cnt_s = _exact_rank_cols(
+        q, F.col("__n"), F.col("__below"), F.col(count_col)
+    )
     hit = cum.where((below_s < tnum) & (tnum <= below_s + cnt_s))
     width = (hi - lo) / float(bins)
     frac = (tnum - below_s).cast("double") / cnt_s.cast("double")

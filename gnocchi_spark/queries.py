@@ -5464,6 +5464,8 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
                  / (sqrt(n_buckets * saa - sa * sa)
                     * sqrt(n_buckets * sbb - sb * sb)), 4) AS pearson_r
     FROM s
+    WHERE n_buckets > 1 AND (n_buckets * saa - sa * sa) > 0
+      AND (n_buckets * sbb - sb * sb) > 0
     """,
 )
 def metric_correlation_matrix(spark, sf_dir):
@@ -5502,16 +5504,19 @@ def metric_correlation_matrix(spark, sf_dir):
         )
     )
     nb = F.col("n_buckets")
-    return s.select(
+    var_a = nb * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = nb * F.col("sbb") - F.col("sb") * F.col("sb")
+    # degenerate guard: constant series have zero (or, via float
+    # cancellation, epsilon-negative) variance — Spark's x/0.0 is NULL
+    # where DuckDB's IEEE division is inf/NaN, so both sides filter
+    # those pairs out identically instead of disagreeing on them
+    return s.where((nb > 1) & (var_a > 0) & (var_b > 0)).select(
         "metric_a",
         "metric_b",
         "n_buckets",
         F.round(
             (nb * F.col("sab") - F.col("sa") * F.col("sb"))
-            / (
-                F.sqrt(nb * F.col("saa") - F.col("sa") * F.col("sa"))
-                * F.sqrt(nb * F.col("sbb") - F.col("sb") * F.col("sb"))
-            ),
+            / (F.sqrt(var_a) * F.sqrt(var_b)),
             4,
         ).alias("pearson_r"),
     )
@@ -6947,7 +6952,7 @@ def tsdb_fill_linear(spark, sf_dir):
            round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
            round(mean_b - mean_a, 6) AS lift,
            round((mean_b - mean_a)
-                 / sqrt(var_a / n_a + var_b / n_b), 4) AS z_score
+                 / sqrt(nullif(var_a / n_a + var_b / n_b, 0)), 4) AS z_score
     FROM wide
     """,
 )
@@ -6994,10 +6999,17 @@ def ab_test_ztest(spark, sf_dir):
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
         F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("lift"),
+        # nullif guards the both-arms-constant case (pooled variance
+        # exactly 0): Spark's x/0.0 is NULL, DuckDB's is inf — nullif
+        # makes both engines emit NULL for the undefined z
         F.round(
             (F.col("mean_b") - F.col("mean_a"))
             / F.sqrt(
-                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+                F.nullif(
+                    F.col("var_a") / F.col("n_a")
+                    + F.col("var_b") / F.col("n_b"),
+                    F.lit(0.0),
+                )
             ),
             4,
         ).alias("z_score"),
@@ -7612,8 +7624,8 @@ def tsdb_trimmed_mean(spark, sf_dir):
                - m.mu AS d24
       FROM hm h JOIN mu m ON h.metric_id = m.metric_id)
     SELECT metric_id,
-           round(sum(d * d1) / sum(d * d), 4) AS acf_lag1,
-           round(sum(d * d24) / sum(d * d), 4) AS acf_lag24,
+           round(sum(d * d1) / nullif(sum(d * d), 0), 4) AS acf_lag1,
+           round(sum(d * d24) / nullif(sum(d * d), 0), 4) AS acf_lag24,
            CAST(count(*) AS BIGINT) AS n_buckets
     FROM lagged GROUP BY 1
     """,
@@ -7644,12 +7656,15 @@ def tsdb_autocorrelation(spark, sf_dir):
         (F.lead("y").over(w) - F.col("mu")).alias("d1"),
         (F.lead("y", 24).over(w) - F.col("mu")).alias("d24"),
     )
+    # nullif: a constant series has sum(d*d) == 0 exactly — both
+    # engines then agree on NULL instead of Spark-NULL vs DuckDB-inf
+    ss = F.nullif(F.sum(F.col("d") * F.col("d")), F.lit(0.0))
     return lagged.groupBy("metric_id").agg(
         F.round(
-            F.sum(F.col("d") * F.col("d1")) / F.sum(F.col("d") * F.col("d")), 4
+            F.sum(F.col("d") * F.col("d1")) / ss, 4
         ).alias("acf_lag1"),
         F.round(
-            F.sum(F.col("d") * F.col("d24")) / F.sum(F.col("d") * F.col("d")),
+            F.sum(F.col("d") * F.col("d24")) / ss,
             4,
         ).alias("acf_lag24"),
         F.count("*").cast("long").alias("n_buckets"),
@@ -7963,7 +7978,8 @@ def tsdb_percent_rank(spark, sf_dir):
                       * ln(CAST(c.n AS DOUBLE) / t.total)), 4) AS entropy,
            round(-sum((CAST(c.n AS DOUBLE) / t.total)
                       * ln(CAST(c.n AS DOUBLE) / t.total))
-                 / ln(CAST(t.n_users AS DOUBLE)), 4) AS normalized_entropy,
+                 / nullif(ln(CAST(t.n_users AS DOUBLE)), 0),
+                 4) AS normalized_entropy,
            round(max(c.n) / CAST(t.total AS DOUBLE), 6) AS top_user_share
     FROM c JOIN tot t ON c.metric_id = t.metric_id
     GROUP BY c.metric_id, t.n_users, t.total
@@ -7989,8 +8005,13 @@ def metric_user_entropy(spark, sf_dir):
     p = F.col("n").cast("double") / F.col("total")
     return j.groupBy("metric_id", "n_users", "total").agg(
         F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        # nullif: a single-user metric has ln(n_users) == 0 — both
+        # engines emit NULL rather than Spark-NULL vs DuckDB-inf
         F.round(
-            -F.sum(p * F.log(p)) / F.log(F.col("n_users").cast("double")),
+            -F.sum(p * F.log(p))
+            / F.nullif(
+                F.log(F.col("n_users").cast("double")), F.lit(0.0)
+            ),
             4,
         ).alias("normalized_entropy"),
         F.round(

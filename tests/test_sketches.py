@@ -56,6 +56,45 @@ def test_binned_quantile_within_bin_width_of_exact(spark):
     assert abs(got - exact) <= bin_width
 
 
+def test_binned_quantile_nondyadic_q_large_n(spark):
+    # q=1/3's double repr is a rational with denominator ~1e16; the
+    # rank numerator qn*(n-1) wraps BIGINT once n > ~2700, silently
+    # returning a wrong bin in non-ANSI Spark.  decimal(38,0) rank
+    # arithmetic (_exact_rank_cols) keeps it exact — verify at n=10000
+    # against numpy's linear-interpolation percentile.
+    from gnocchi_spark.functions.sketches import binned_quantile
+    import numpy as np
+
+    q = 1.0 / 3.0
+    vals = [float(x) for x in range(10000)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, value double"
+    ).repartition(8)
+    rows = binned_quantile(df, "value", ["g"], q=q, bins=256).collect()
+    assert len(rows) == 1, "overflowed rank matched zero or many bins"
+    exact = float(np.percentile(np.array(vals), q * 100))
+    bin_width = (max(vals) - min(vals)) / 256
+    assert abs(rows[0][1] - exact) <= bin_width
+
+
+def test_quantile_from_bin_counts_nondyadic_q_large_n(spark):
+    # same overflow scenario through the streaming-sink finalizer:
+    # counter table whose total n is 60000 across 4 bins
+    from gnocchi_spark.functions.sketches import quantile_from_bin_counts
+
+    counts = spark.createDataFrame(
+        [("g", 0, 15000), ("g", 1, 15000), ("g", 2, 15000), ("g", 3, 15000)],
+        "g string, bin int, cnt long",
+    )
+    rows = quantile_from_bin_counts(
+        counts, ["g"], q=1.0 / 3.0, lo=0.0, hi=4.0, bins=4
+    ).collect()
+    assert len(rows) == 1
+    # rank = q*(n-1)+1 = 20000.666…: crossing bin 1, frac ≈ 1/3 within
+    est = rows[0][1]
+    assert 1.0 <= est <= 2.0, est
+
+
 def test_binned_quantile_degenerate_group(spark):
     from gnocchi_spark.functions.sketches import binned_quantile
 
