@@ -455,8 +455,15 @@ def scale_stress(spark, sf_dir, factor=10):
         }
 
     def minhash_cands(docs):
+        # same autotuned banding minhash_near_duplicates defaults to —
+        # r grows with log(N) so candidate volume stays ~linear
+        from gnocchi_spark.operators.dedup import autotune_minhash_params
+
         arrays = with_hash_words(doc_shingle_arrays(docs))
-        n = lsh_candidate_pairs(minhash_signatures_arrays(arrays)).count()
+        nh, r = autotune_minhash_params(docs.count())
+        n = lsh_candidate_pairs(
+            minhash_signatures_arrays(arrays, nh), nh, r
+        ).count()
         spark.catalog.clearCache()
         return n
 
@@ -488,6 +495,10 @@ def scale_stress(spark, sf_dir, factor=10):
                 (n10 * (n10 - 1)) / (n1 * (n1 - 1)), 2
             ),
         }
+    from gnocchi_spark.operators.dedup import autotune_minhash_params
+
+    mh1 = autotune_minhash_params(n_docs1)
+    mh10 = autotune_minhash_params(n_docs10)
     return {
         "factor": factor,
         "queries": queries,
@@ -495,6 +506,10 @@ def scale_stress(spark, sf_dir, factor=10):
         "emb_lsh_params": {
             "x1": {"n_bands": bands1, "band_planes": bits1},
             "x10": {"n_bands": bands10, "band_planes": bits10},
+        },
+        "minhash_params": {
+            "x1": {"num_hashes": mh1[0], "band_size": mh1[1]},
+            "x10": {"num_hashes": mh10[0], "band_size": mh10[1]},
         },
     }
 

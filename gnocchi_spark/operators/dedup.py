@@ -289,13 +289,65 @@ def jaccard_pairs(
     )
 
 
+def autotune_minhash_params(
+    n_docs: int,
+    threshold: float = 0.9,
+    recall: float = 0.95,
+    j_bg: float = 0.15,
+    max_bands: int = 12,
+    max_band_size: int = 12,
+) -> tuple[int, int]:
+    """Pick ``(num_hashes, band_size)`` from corpus size so background
+    candidate volume stays ~linear in N while pairs at ``threshold``
+    Jaccard are still caught with probability ``recall`` — the minhash
+    twin of ``similarity.autotune_lsh_params`` (same scale law, Jaccard
+    band-collision rate j_bg**r instead of the hyperplane 2**-r).
+
+    With *fixed* rows-per-band r, uncorrelated same-domain prose
+    (background 5-gram Jaccard j_bg ~ 0.15) collides on a band at the
+    constant rate j_bg**r, so candidates grow as b * N**2 * j_bg**r —
+    quadratic (measured 25.4x at a 10x corpus with the old fixed r=4,
+    BENCH_r03 candidates.minhash).  Keeping expected background
+    collisions per doc bounded (b * N * j_bg**r <= ~2) requires
+    **r ~ log_{1/j_bg}(N)**; the recall lost to longer band keys is
+    bought back with more bands via the OR-construction:
+
+      p1 = threshold ** r            per-band collision at threshold
+      b  = ceil(log(1-recall) / log(1-p1))
+
+    r and b are interdependent (the background bound scales with b),
+    so a short fixed-point loop settles both; it converges in <= 3
+    rounds for any realistic N.  Returns num_hashes = b*r so that
+    ``lsh_candidate_pairs(sigs, num_hashes, band_size=r)`` uses exactly
+    b bands.
+    """
+    import math
+
+    n = max(int(n_docs), 2)
+    r, b = 4, 4
+    for _ in range(8):
+        r_new = max(
+            4, math.ceil(math.log(b * n / 2.0) / math.log(1.0 / j_bg))
+        )
+        r_new = min(r_new, max_band_size)
+        p1 = threshold ** r_new
+        b_new = math.ceil(
+            math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - p1)
+        )
+        b_new = max(1, min(b_new, max_bands))
+        if (r_new, b_new) == (r, b):
+            break
+        r, b = r_new, b_new
+    return b * r, r
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    num_hashes: int = 16,
-    band_size: int = 4,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
     threshold: float = 0.6,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
@@ -306,14 +358,18 @@ def minhash_near_duplicates(
     - ``k=5`` character shingles: with ``k=3`` ordinary same-language
       prose scores 0.3-0.6 Jaccard against unrelated text and LSH
       degenerates to the quadratic pair space.
-    - ``band_size=4`` (rows/band): false-candidate volume is
+    - ``band_size`` (rows/band): false-candidate volume is
       N^2/2 x n_bands x j_bg^band_size.  Same-domain prose has
       background 5-gram Jaccard j_bg ~ 0.15; r=2 bands fire at j^2
       (measured 2.6M candidates from 5k docs - 21% of ALL pairs, 118 s
-      verify), r=4 fires at j^4 ~ 5e-4 (~10k candidates, ~1 s).  The
-      LSH threshold (1/b)^(1/r) = 0.71 sits just above the 0.6 verify
-      threshold; near-exact duplicates (j >= 0.9) are caught with
-      p > 0.98.
+      verify), r=4 fires at j^4 ~ 5e-4 (~10k candidates, ~1 s).  But a
+      FIXED r is itself a scale bug: the background term b*N^2*j_bg^r
+      is quadratic in N (measured 25.4x candidates at a 10x corpus),
+      so when the caller does not pin the parameters they are
+      AUTOTUNED from the corpus count — r grows with log(N) and the
+      band count restores recall (see autotune_minhash_params).
+      Callers with a persisted band index (incremental_minhash_matches)
+      or an exact-replay oracle pin them explicitly.
     """
     from pyspark import StorageLevel
 
@@ -327,7 +383,11 @@ def minhash_near_duplicates(
     arrays = with_hash_words(
         doc_shingle_arrays(spread_for_compute(docs), text_col, id_col, k)
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    arrays.count()
+    n_docs = arrays.count()
+    if num_hashes is None or band_size is None:
+        auto_nh, auto_r = autotune_minhash_params(n_docs)
+        num_hashes = auto_nh if num_hashes is None else num_hashes
+        band_size = auto_r if band_size is None else band_size
     sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
     return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)

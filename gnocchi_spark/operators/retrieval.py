@@ -354,4 +354,10 @@ def mmr_rerank(
             )
         )
         chosen = chosen.union(pick)
+        # truncate lineage per greedy round: `pick` references `chosen`
+        # twice (redundancy max + anti-join), so the plan otherwise
+        # doubles per step (r03 audit: 521 exchanges / 1206 scans at
+        # k=5).  Lazy local checkpoint caps the per-round plan at the
+        # (queries*step)-row chosen set — values identical.
+        chosen = chosen.localCheckpoint(eager=False)
     return chosen

@@ -8104,6 +8104,14 @@ def user_pagerank(spark, sf_dir):
                 ),
             )
         )
+        # truncate lineage per power iteration: without this the plan
+        # nests every prior iteration's joins (r03 audit: 50 exchanges
+        # / 24 scans for 3 iterations), and Catalyst + codegen cost
+        # grows multiplicatively with iteration count long before data
+        # does.  Lazy local checkpoint materializes the (n_users)-row
+        # rank vector on first use and replaces the subtree with a
+        # LogicalRDD — values identical, plan O(1) per iteration.
+        p = p.localCheckpoint(eager=False)
     return p.join(deg, p.uid == deg.src).select(
         F.col("uid").alias("user_id"),
         F.col("d").alias("degree"),

@@ -74,6 +74,35 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_autotune_minhash_params_schedule():
+    # rows-per-band must grow ~log(N) (the background-collision term
+    # b*N^2*j_bg^r is quadratic under fixed r — measured 25.4x
+    # candidates at a 10x corpus in BENCH_r03) while the band count
+    # keeps recall at the 0.9-Jaccard design point above 0.95
+    from gnocchi_spark.operators.dedup import autotune_minhash_params
+
+    prev_r = 0
+    for n in [100, 1000, 10_000, 100_000, 1_000_000, 1_000_000_000]:
+        nh, r = autotune_minhash_params(n)
+        assert r >= prev_r, "band size must be monotone in corpus size"
+        prev_r = r
+        b = nh // r
+        assert nh == b * r
+        assert nh <= 144, "signature width must stay bounded"
+        # OR-construction recall at the j=0.9 design threshold
+        p1 = 0.9 ** r
+        recall = 1.0 - (1.0 - p1) ** b
+        assert recall >= 0.95, (n, nh, r, recall)
+        # expected background collisions per doc stay bounded:
+        # b * N * j_bg^r <= ~2 (the linear-candidates invariant),
+        # modulo the r cap at huge N
+        if r < 12:
+            assert b * n * 0.15 ** r <= 2.5, (n, nh, r)
+    n4, r4 = autotune_minhash_params(100)
+    n6, r6 = autotune_minhash_params(1_000_000)
+    assert r6 > r4, "schedule must actually move across 4 decades"
+
+
 def test_simhash(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
