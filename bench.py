@@ -546,8 +546,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_session_conf(spark)
 
-    # warm-up: JVM/codegen/parquet-footer caches
+    # warm-up: JVM/codegen/parquet-footer caches.  The second statement
+    # compiles the heavy string/regex/map expression shapes (split,
+    # str_to_map, rlike, explode, window-free agg) on 1k synthetic rows
+    # so the first timed query measures the query, not the JIT — a
+    # fresh JVM otherwise charges ~3 s of codegen warm-up to whichever
+    # string-dense query happens to run first (measured on
+    # ingest_influxdb_lines: 6.1 s cold vs 2.3 s warm).
     tables.load(spark, sf_dir, "events").agg(F.count("*")).collect()
+    from gnocchi_spark.sources import influxdb
+
+    warm_lines = spark.range(1000).select(
+        F.format_string("m,host=h%d,dc=east value=%d 1000000", "id", "id").alias("line")
+    )
+    influxdb.parse_lines(warm_lines).agg(F.count("*")).collect()
 
     timings: dict[str, float] = {}
     timings["rollup_policy_cascade"] = round(run_query(spark, lambda: rollup_policy_bench(spark, sf_dir)), 3)

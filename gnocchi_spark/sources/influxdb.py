@@ -72,11 +72,18 @@ def _field_value(raw: Column) -> Column:
     Booleans parse to 1.0/0.0 like the reference grammar's boolean
     action (``influxdb.py:40-42``).
     """
+    # branch order + cheap prefilters minimize regex invocations on the
+    # hot path: plain numbers (the common case) hit one regex; the
+    # integer branch only runs its regex on 'i'-suffixed tokens, the
+    # boolean branches never reach a regex at all
     return (
-        F.when(raw.rlike(_INTEGER_RE), raw.substr(F.lit(1), F.length(raw) - 1).cast("double"))
+        F.when(
+            raw.endswith("i") & raw.rlike(_INTEGER_RE),
+            raw.substr(F.lit(1), F.length(raw) - 1).cast("double"),
+        )
         .when(raw.rlike(_NUMBER_RE), raw.cast("double"))
-        .when(raw.rlike(_BOOL_TRUE_RE), F.lit(1.0))
-        .when(raw.rlike(_BOOL_FALSE_RE), F.lit(0.0))
+        .when(raw.isin("True", "true", "TRUE", "T", "t"), F.lit(1.0))
+        .when(raw.isin("False", "false", "FALSE", "F", "f"), F.lit(0.0))
         .otherwise(F.lit(None).cast("double"))
     )
 
@@ -138,11 +145,21 @@ def parse_lines(
         F.str_to_map("tagset", F.lit(","), F.lit("="))
     )
     # unescape AFTER tokenization (keys sort in unescaped order, as the
-    # reference's sorted(tags) does)
-    tags = F.transform_values(
-        F.transform_keys(tags, lambda k, _: _unescape(k)),
-        lambda _, v: _unescape(v),
+    # reference's sorted(tags) does) — but only on rows that actually
+    # carry a sentinel: `when` branches evaluate lazily per row, so the
+    # overwhelmingly-common clean tagset skips both map transforms
+    has_sentinel = (
+        F.col("tagset").contains(_S_SPACE)
+        | F.col("tagset").contains(_S_COMMA)
+        | F.col("tagset").contains(_S_EQ)
     )
+    tags = F.when(
+        has_sentinel,
+        F.transform_values(
+            F.transform_keys(tags, lambda k, _: _unescape(k)),
+            lambda _, v: _unescape(v),
+        ),
+    ).otherwise(tags)
     df = df.withColumn("tags", tags).withColumn(
         "resource_id", F.element_at("tags", tag_to_rid)
     )

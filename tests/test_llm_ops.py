@@ -192,8 +192,32 @@ def test_multimodal_plumbing(docs):
     assert len(out[1]["features"]) == 4
     assert out[1]["features"][0] == out[1]["n_bytes"]
     assert out[6]["features"] == [0.0, 0.0, 0.0, 0.0]
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        decode_image_features(media, fake=False).collect()
+    # fake=False is import-guarded, not an error: non-image payloads
+    # fall back to the stand-in per payload, so the auto path matches
+    # the forced-fake path byte-for-byte whether or not PIL exists
+    auto = {
+        r["doc_id"]: r for r in decode_image_features(media, fake=False).collect()
+    }
+    assert {k: v["features"] for k, v in auto.items()} == {
+        k: v["features"] for k, v in out.items()
+    }
+
+
+def test_multimodal_real_decode_iff_pil():
+    # the real path engages exactly when PIL is importable: a valid
+    # 2x2 PNG must produce pixel moments, not byte moments
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from gnocchi_spark.operators.multimodal import _real_features
+
+    im = PIL_Image.new("L", (2, 2))
+    im.putdata([0, 85, 170, 255])
+    buf = _io.BytesIO()
+    im.save(buf, format="PNG")
+    feats = _real_features(PIL_Image, buf.getvalue())
+    assert feats is not None
+    assert feats[1:] == [127.5, 255.0, 0.0]  # mean/max/min of pixels
 
 
 def test_multimodal_resize(docs):
@@ -208,8 +232,12 @@ def test_multimodal_resize(docs):
     assert (out[1]["width"], out[1]["height"], out[1]["n_bytes"]) == (4, 3, 12)
     # empty payload: zero-filled target
     assert bytes(out[6]["payload"]) == b"\x00" * 12
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
-        resize_images(media, 4, 3, fake=False).collect()
+    # import-guarded auto path: undecodable payloads stride-resize
+    # identically to the forced-fake path in any environment
+    auto = {r["doc_id"]: r for r in resize_images(media, 4, 3, fake=False).collect()}
+    assert {k: bytes(v["payload"]) for k, v in auto.items()} == {
+        k: bytes(v["payload"]) for k, v in out.items()
+    }
 
 
 def test_multimodal_frame_sample_bytes(spark):
