@@ -8243,105 +8243,93 @@ def corpus_zipf_fit(spark, sf_dir):
 # per round as ORACLE_FULL_r{N}.txt.
 # ---------------------------------------------------------------------------
 CHECK_ORDER = [
-    # --- r03 rotation -----------------------------------------------------
-    # The r02 driver check ran against a pre-fix snapshot where freshly
-    # regenerated TIMESTAMP_NTZ testdata broke unix_micros(); 26 queries
-    # errored for that single root cause (fixed in tables.normalize_timestamps,
-    # commit b6aed28).  This window re-checks all 26 so the driver records
-    # their green rows, and fills the remaining 24 slots with queries that
-    # have never had a driver-checked row (families: maintenance/policy,
-    # sources wire decode, sketches, retrieval, round-3 dedup, TPC-H tail).
-    # Everything already hash-green in r01/r02 moves to the tail; the full
-    # 119-query result is still committed per round as ORACLE_FULL_r{N}.txt.
-    # -- the 26 rows that errored in CORRECTNESS_r02 --
-    "tsdb_rollup_mean_5m",
-    "tsdb_rollup_multi_1h",
-    "tsdb_rollup_std_1h",
-    "tsdb_rollup_pct_1d",
-    "tsdb_rollup_first_last_1h",
-    "tsdb_rate_mean_1h",
-    "tsdb_resample_5m_to_1h",
-    "tsdb_read_window",
-    "tsdb_multi_granularity_read",
-    "tsdb_ops_arith_fill0",
-    "tsdb_ops_aggregate_mean",
-    "tsdb_ops_aggregate_rate",
-    "tsdb_ops_rolling_mean4",
-    "tsdb_ops_resample_form",
-    "tsdb_ops_unary_math",
-    "tsdb_ops_fmax_mod_pow",
-    "tsdb_ops_rateofchange",
-    "tsdb_ops_rateofchangesec",
-    "tsdb_ops_clip_compare",
-    "tsdb_fill_ffill",
-    "tsdb_fill_bfill",
-    "measure_value_search",
-    "metric_wildcard_semijoin",
-    "resource_groupby_aggregates",
-    "history_grouped_usage",
-    "aggregates_api_end_to_end",
-    # -- never driver-checked: maintenance / policy / calendar tail --
-    "tsdb_calendar_sunday_week",
-    "maintenance_retention",
-    "maintenance_inactivity",
-    "metric_backlog",
-    "policy_rule_assignment",
-    "tsdb_refresh_on_read",
-    "injector_synthetic",
-    # -- never driver-checked: sources + multimodal --
-    "ingest_prometheus_wire",
-    "multimodal_frame_sample",
-    # -- never driver-checked: relational ops Spark lacks natively --
-    "asof_join_nearest",
-    "sessionize_gap",
-    # -- never driver-checked: sketch family --
-    "hll_distinct_users",
-    "cms_heavy_hitters",
-    "binned_quantile_p95",
-    # -- never driver-checked: retrieval family --
-    "bm25_retrieval",
-    "hybrid_rrf_retrieval",
-    "cluster_topics_kmeans",
-    # -- never driver-checked: round-3 dedup / pipeline --
-    "dedup_span_exact",
-    "dedup_incremental_minhash",
-    "dedup_bloom_batch",
-    "pii_redact",
-    "pack_sequences_512",
-    "ann_pq_topk",
-    # -- never driver-checked: TPC-H anchor tail --
-    "tpch_q10_returned_items",
+    # --- r04 rotation -----------------------------------------------------
+    # CORRECTNESS_r03 recorded 50/50 green; the cumulative driver-green
+    # union (r01∪r02∪r03) covers 81 of 162 registered queries.  This
+    # window front-loads 50 of the 81 never-driver-checked names — the
+    # TPC-H anchor tail, the sketch cascades, store/ANN round trips,
+    # wire codecs, the r03 tsdb/stat family (including every query whose
+    # degenerate-division guards changed this round), and pipeline
+    # representatives.  The 31 still-unchecked names listed below the
+    # window are the r05 rotation; everything previously green moves to
+    # the tail and stays covered by ORACLE_FULL_r{N}.txt.
+    # -- TPC-H anchor tail --
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_returns",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_dormant_customers",
+    # -- sketch cascades --
+    "hll_cascade_merge",
+    "wau_rolling_hll",
+    "histogram_quantile_cascade",
+    # -- store / ANN round trips --
+    "store_snapshot_roundtrip",
+    "ann_index_roundtrip",
+    "ann_recall_report",
+    # -- wire codecs --
+    "ingest_rest_batch_json",
+    "ingest_csv_measures",
+    # -- queries whose numeric guards / lineage changed in r04 --
+    "metric_correlation_matrix",
+    "ab_test_ztest",
+    "tsdb_autocorrelation",
+    "metric_user_entropy",
+    "user_pagerank",
+    "mmr_diversified_topk",
+    # -- tsdb / rollup analytics family --
+    "rollup_consistency_audit",
+    "rollup_invalidation_plan",
+    "tsdb_fill_linear",
+    "tsdb_m4_downsample",
+    "tsdb_time_weighted_avg",
+    "tsdb_counter_increase",
+    "tsdb_trimmed_mean",
+    "tsdb_percent_rank",
+    "tsdb_gap_report",
+    "tsdb_stl_decompose",
+    "tsdb_cusum_drift",
+    "tsdb_trend_forecast",
+    "rollup_anomaly_zscore",
+    "seasonal_profile",
+    "alert_rule_eval",
+    "slo_burn_rate",
+    # -- resource history --
+    "resource_point_in_time",
+    "resource_scd2_apply",
+    # -- pipeline representatives --
+    "decontaminate_ngram",
+    "quality_gopher_rules",
+    "dedup_semantic",
+    "split_leakage_free",
+    "select_token_budget",
+    "pretrain_prep_end_to_end",
 ]
 
-# r04 rotation backlog — registered queries still awaiting their first
-# driver-checked row (all locally green in ORACLE_FULL_r03.txt); next
-# round's window should draw from these, evicting r03's freshly-green
-# rows to the tail:
-#   tpch_q3/q4/q5/q6/q7/q8/q14/q17/q18/q22, calendar_extract_profile,
-#   decontaminate_ngram, sample_domain_mixture, text_repetition,
-#   tfidf_keywords, pretrain_prep_end_to_end, quality_gopher_rules,
-#   corpus_shuffle, dedup_ngram_coverage, embedding_outliers,
-#   dedup_span_apply, dedup_semantic, vocab_induction,
+# r05 rotation backlog — the 31 registered queries still awaiting their
+# first driver-checked row after the r04 window above (all locally
+# green in ORACLE_FULL_r04.txt); they fit a single 50-slot window, so
+# r05 should front-load all of them, completing driver coverage of the
+# full registry:
+#   calendar_extract_profile, sample_domain_mixture, text_repetition,
+#   tfidf_keywords, corpus_shuffle, dedup_ngram_coverage,
+#   embedding_outliers, dedup_span_apply, vocab_induction,
 #   chunk_documents_rag, perplexity_unigram, lateness_profile,
-#   mmr_diversified_topk, rollup_anomaly_zscore, resource_point_in_time,
-#   dedup_containment, tsdb_gap_report, corpus_report,
-#   rollup_consistency_audit, inverted_index_postings, metric_top_movers,
-#   funnel_conversion, cohort_retention, seasonal_profile, word_pmi_pairs,
-#   length_bucket_batches, split_leakage_free, tsdb_trend_forecast,
-#   embedding_drift_matrix, join_skew_report, storage_cost_probe,
-#   metric_correlation_matrix, hll_cascade_merge, tsdb_m4_downsample,
-#   tsdb_time_weighted_avg, ingest_rest_batch_json, tsdb_counter_increase,
-#   sample_temperature_mixture, select_token_budget, wau_rolling_hll,
-#   histogram_quantile_cascade, resource_scd2_apply, tsdb_stl_decompose,
-#   rollup_invalidation_plan, alert_rule_eval, tsdb_fill_linear,
-#   ab_test_ztest, tsdb_cusum_drift, store_snapshot_roundtrip,
-#   ann_index_roundtrip, slo_burn_rate, dedup_candidate_profile,
-#   tpch_q13_order_distribution, tpch_q15_top_supplier, langid_confusion,
-#   ann_recall_report, tsdb_trimmed_mean, tsdb_autocorrelation,
-#   data_quality_report, ingest_csv_measures, sample_weighted_topk,
-#   cluster_medoids, tsdb_percent_rank, metric_user_entropy,
-#   user_pagerank
-# (recompute with: r01/r02 hash_match union vs QUERIES keys)
+#   dedup_containment, corpus_report, inverted_index_postings,
+#   metric_top_movers, funnel_conversion, cohort_retention,
+#   word_pmi_pairs, length_bucket_batches, embedding_drift_matrix,
+#   join_skew_report, storage_cost_probe, sample_temperature_mixture,
+#   dedup_candidate_profile, langid_confusion, data_quality_report,
+#   sample_weighted_topk, cluster_medoids, metric_freshness,
+#   corpus_zipf_fit
+# (recompute with: r01..r04 hash_match union vs QUERIES keys)
 
 
 def ordered_queries() -> dict:
