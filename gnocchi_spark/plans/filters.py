@@ -58,6 +58,21 @@ def compile_filter(node: dict | None, attr_resolver=None) -> Column:
     raise ValueError(f"unknown filter operator {op!r}")
 
 
+def compose_search_filter(caller_ast: dict | None, policy_ast: dict | None) -> dict | None:
+    """Merge the caller's search filter with the auth-policy filter the
+    way the reference's aggregates endpoint does
+    (rest/aggregates/api.py:541-556): the policy filter is conjoined
+    around the caller's filter, so a caller can narrow its view but can
+    never widen it past what policy allows.  Returns the composed AST
+    (``None`` when both are absent); feed the result to
+    :func:`compile_filter`."""
+    if not policy_ast:
+        return caller_ast or None
+    if not caller_ast:
+        return policy_ast
+    return {"and": [policy_ast, caller_ast]}
+
+
 def _resolve(attr: str, attr_resolver) -> Column:
     if attr_resolver is not None:
         col = attr_resolver(attr)

@@ -1265,6 +1265,71 @@ def aggregates_api_end_to_end(spark, sf_dir):
     )
 
 
+@query(
+    "resource_rbac_scoped_aggregates",
+    f"""
+    WITH res AS (
+      SELECT DISTINCT user_id,
+             'user' || CAST(user_id % 3 AS VARCHAR) || ':proj'
+                    || CAST(user_id % 2 AS VARCHAR) AS creator,
+             user_id % 4 AS tier
+      FROM events),
+    scoped AS (
+      SELECT * FROM res
+      WHERE creator LIKE '%:proj1'
+        AND (tier >= 2 OR creator LIKE '%:proj0')),
+    per_series AS (
+      SELECT e.user_id, r.tier, {_sql_bucket(3600)} AS ts, avg(e.value) AS v
+      FROM events e JOIN scoped r ON e.user_id = r.user_id
+      WHERE e.event_type = 'click'
+      GROUP BY 1, 2, 3)
+    SELECT tier, ts, round(avg(v), 6) AS value
+    FROM per_series GROUP BY 1, 2
+    """,
+)
+def resource_rbac_scoped_aggregates(spark, sf_dir):
+    # RBAC-scoped aggregates search (rest/aggregates/api.py:541-556):
+    # the auth policy filter is AND-composed around the caller's search
+    # filter before list_resources, so the caller can narrow but never
+    # widen its scope.  Here the caller's OR-leg tries to reach proj0
+    # resources; the policy conjunction (creator ends ':proj1') makes
+    # that leg unsatisfiable, leaving tier>=2 within proj1 — provably
+    # un-widenable (test_filters_rbac_composition in tests/test_resources.py).  The
+    # composed predicate is one Column, so Catalyst pushes the whole
+    # RBAC check into the resource-side scan before the fact join.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.plans.filters import compile_filter, compose_search_filter
+
+    ev = tables.load(spark, sf_dir, "events")
+    resources = ev.select(
+        "user_id",
+        F.format_string(
+            "user%d:proj%d", F.col("user_id") % 3, F.col("user_id") % 2
+        ).alias("creator"),
+        (F.col("user_id") % 4).alias("tier"),
+    ).distinct()
+    caller_ast = {
+        "or": [{">=": {"tier": 2}}, {"=": {"created_by_project_id": "proj0"}}]
+    }
+    policy_ast = {"=": {"created_by_project_id": "proj1"}}
+    scoped = resources.where(
+        compile_filter(compose_search_filter(caller_ast, policy_ast))
+    )
+    per_series = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(scoped), "user_id")
+        .groupBy(
+            "user_id",
+            "tier",
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("ts"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    return per_series.groupBy("tier", "ts").agg(
+        F.round(F.avg("v"), 6).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / similarity / text analysis / multimodal
 # (BASELINE.json north star, beyond the reference's own surface)
@@ -8243,93 +8308,77 @@ def corpus_zipf_fit(spark, sf_dir):
 # per round as ORACLE_FULL_r{N}.txt.
 # ---------------------------------------------------------------------------
 CHECK_ORDER = [
-    # --- r04 rotation -----------------------------------------------------
-    # CORRECTNESS_r03 recorded 50/50 green; the cumulative driver-green
-    # union (r01∪r02∪r03) covers 81 of 162 registered queries.  This
-    # window front-loads 50 of the 81 never-driver-checked names — the
-    # TPC-H anchor tail, the sketch cascades, store/ANN round trips,
-    # wire codecs, the r03 tsdb/stat family (including every query whose
-    # degenerate-division guards changed this round), and pipeline
-    # representatives.  The 31 still-unchecked names listed below the
-    # window are the r05 rotation; everything previously green moves to
-    # the tail and stays covered by ORACLE_FULL_r{N}.txt.
-    # -- TPC-H anchor tail --
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_returns",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_dormant_customers",
-    # -- sketch cascades --
-    "hll_cascade_merge",
-    "wau_rolling_hll",
-    "histogram_quantile_cascade",
-    # -- store / ANN round trips --
-    "store_snapshot_roundtrip",
-    "ann_index_roundtrip",
-    "ann_recall_report",
-    # -- wire codecs --
-    "ingest_rest_batch_json",
-    "ingest_csv_measures",
-    # -- queries whose numeric guards / lineage changed in r04 --
-    "metric_correlation_matrix",
-    "ab_test_ztest",
-    "tsdb_autocorrelation",
-    "metric_user_entropy",
-    "user_pagerank",
-    "mmr_diversified_topk",
-    # -- tsdb / rollup analytics family --
-    "rollup_consistency_audit",
-    "rollup_invalidation_plan",
-    "tsdb_fill_linear",
-    "tsdb_m4_downsample",
-    "tsdb_time_weighted_avg",
-    "tsdb_counter_increase",
-    "tsdb_trimmed_mean",
-    "tsdb_percent_rank",
-    "tsdb_gap_report",
-    "tsdb_stl_decompose",
-    "tsdb_cusum_drift",
-    "tsdb_trend_forecast",
-    "rollup_anomaly_zscore",
-    "seasonal_profile",
-    "alert_rule_eval",
-    "slo_burn_rate",
-    # -- resource history --
-    "resource_point_in_time",
-    "resource_scd2_apply",
-    # -- pipeline representatives --
-    "decontaminate_ngram",
-    "quality_gopher_rules",
-    "dedup_semantic",
-    "split_leakage_free",
-    "select_token_budget",
-    "pretrain_prep_end_to_end",
+    # --- r05 rotation -----------------------------------------------------
+    # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
+    # union (r01..r04) covers 131 of the 162 queries registered at r04.
+    # This window front-loads ALL 31 remaining never-driver-checked
+    # names (completing gate-of-record coverage of the full registry),
+    # then the query added this round (resource_rbac_scoped_aggregates),
+    # then 18 re-checks: the three candidate-generation queries whose
+    # banding/plane schedules changed this round (simhash / embedding
+    # LSH / minhash pinning coherence) and the Sec.2.3-2.5 rollup/ops/
+    # fill core.  Everything else stays covered by ORACLE_FULL_r05.txt.
+    # -- the 31-query backlog: first driver check ever --
+    "calendar_extract_profile",
+    "sample_domain_mixture",
+    "text_repetition",
+    "tfidf_keywords",
+    "corpus_shuffle",
+    "dedup_ngram_coverage",
+    "embedding_outliers",
+    "dedup_span_apply",
+    "vocab_induction",
+    "chunk_documents_rag",
+    "perplexity_unigram",
+    "lateness_profile",
+    "dedup_containment",
+    "corpus_report",
+    "inverted_index_postings",
+    "metric_top_movers",
+    "funnel_conversion",
+    "cohort_retention",
+    "word_pmi_pairs",
+    "length_bucket_batches",
+    "embedding_drift_matrix",
+    "join_skew_report",
+    "storage_cost_probe",
+    "sample_temperature_mixture",
+    "dedup_candidate_profile",
+    "langid_confusion",
+    "data_quality_report",
+    "sample_weighted_topk",
+    "cluster_medoids",
+    "metric_freshness",
+    "corpus_zipf_fit",
+    # -- new this round --
+    "resource_rbac_scoped_aggregates",
+    # -- re-checks: candidate generators retuned this round --
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "dedup_minhash_lsh",
+    # -- re-checks: Sec.2.3-2.5 rollup / ops / fill core --
+    "tsdb_rollup_mean_5m",
+    "tsdb_rollup_multi_1h",
+    "tsdb_rollup_std_1h",
+    "tsdb_rollup_pct_1d",
+    "tsdb_rollup_first_last_1h",
+    "tsdb_rate_mean_1h",
+    "tsdb_resample_5m_to_1h",
+    "tsdb_calendar_week",
+    "tsdb_ops_aggregate_mean",
+    "tsdb_ops_rolling_mean4",
+    "tsdb_ops_arith_fill0",
+    "tsdb_ops_clip_compare",
+    "tsdb_fill_ffill",
+    "tsdb_fill_bfill",
+    "tsdb_multi_granularity_read",
 ]
 
-# r05 rotation backlog — the 31 registered queries still awaiting their
-# first driver-checked row after the r04 window above (all locally
-# green in ORACLE_FULL_r04.txt); they fit a single 50-slot window, so
-# r05 should front-load all of them, completing driver coverage of the
-# full registry:
-#   calendar_extract_profile, sample_domain_mixture, text_repetition,
-#   tfidf_keywords, corpus_shuffle, dedup_ngram_coverage,
-#   embedding_outliers, dedup_span_apply, vocab_induction,
-#   chunk_documents_rag, perplexity_unigram, lateness_profile,
-#   dedup_containment, corpus_report, inverted_index_postings,
-#   metric_top_movers, funnel_conversion, cohort_retention,
-#   word_pmi_pairs, length_bucket_batches, embedding_drift_matrix,
-#   join_skew_report, storage_cost_probe, sample_temperature_mixture,
-#   dedup_candidate_profile, langid_confusion, data_quality_report,
-#   sample_weighted_topk, cluster_medoids, metric_freshness,
-#   corpus_zipf_fit
-# (recompute with: r01..r04 hash_match union vs QUERIES keys)
+# r05 closes the rotation: after this window every registered query has
+# at least one driver-checked green row (r01..r04 union = 131/162; the
+# 31 above + the new RBAC query complete it).  From r06 on, windows
+# re-check whatever changed that round plus a rolling sample of the
+# core; full-registry coverage is maintained by ORACLE_FULL_r{N}.txt.
 
 
 def ordered_queries() -> dict:

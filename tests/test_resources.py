@@ -140,3 +140,34 @@ def test_granularity_intersection():
     p3 = ArchivePolicy("c", 0, (ArchivePolicyItem(1.0, points=10),))
     with pytest.raises(ValueError):
         granularity_intersection({"m1": p1, "m3": p3})
+
+
+def test_filters_rbac_composition(spark):
+    # compose_search_filter (rest/aggregates/api.py:541-556): whatever
+    # the caller sends, the composed scope is a subset of what the
+    # policy filter alone allows — the caller can narrow, never widen.
+    from gnocchi_spark.plans.filters import compile_filter, compose_search_filter
+
+    df = spark.createDataFrame(
+        [
+            Row(rid=i, creator=f"user{i % 3}:proj{i % 2}", tier=i % 4)
+            for i in range(40)
+        ]
+    )
+    policy = {"=": {"created_by_project_id": "proj1"}}
+    policy_rows = {r["rid"] for r in df.where(compile_filter(policy)).collect()}
+    caller_attempts = [
+        None,
+        {">=": {"tier": 2}},
+        # tries to escape to proj0 via an OR-leg
+        {"or": [{">=": {"tier": 2}}, {"=": {"created_by_project_id": "proj0"}}]},
+        # tries to negate the policy itself
+        {"not": {"=": {"created_by_project_id": "proj1"}}},
+    ]
+    for caller in caller_attempts:
+        composed = compose_search_filter(caller, policy)
+        got = {r["rid"] for r in df.where(compile_filter(composed)).collect()}
+        assert got <= policy_rows, (caller, got - policy_rows)
+    # and without a policy filter the caller's AST passes through intact
+    assert compose_search_filter({"=": {"tier": 1}}, None) == {"=": {"tier": 1}}
+    assert compose_search_filter(None, None) is None
