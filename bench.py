@@ -377,6 +377,7 @@ def scale_stress(spark, sf_dir, factor=10):
         lsh_candidate_pairs,
         minhash_near_duplicates,
         minhash_signatures_arrays,
+        simhash_band_candidates,
         simhash_near_duplicates,
         with_hash_words,
     )
@@ -468,7 +469,9 @@ def scale_stress(spark, sf_dir, factor=10):
         return n
 
     def simhash_cands(docs):
-        n = simhash_near_duplicates(docs, max_hamming=32).count()
+        # band-collision pairs BEFORE the hamming filter, at the same
+        # autotuned banding production uses
+        n = simhash_band_candidates(docs).count()
         spark.catalog.clearCache()
         return n
 

@@ -9,8 +9,9 @@ LLM-data-pipeline operators) — designed Spark-first for 100 TB corpora:
   buckets -> candidate pairs via self-join on band key -> exact Jaccard
   verification.  Only bucket-mates ever join: the quadratic pair space
   is never materialized.
-- **SimHash**: token hashes folded into a 32-bit signature; banded
-  (pigeonhole) candidate generation + exact Hamming check.
+- **SimHash**: token hashes folded into a size-autotuned signature
+  (band width ~ log2(N), n_bands = max_hamming+1); pigeonhole-exact
+  banded candidate generation + exact Hamming check.
 - **n-gram Jaccard**: exact pairwise similarity over candidate pairs.
 
 Hash primitive is md5 (hex string) everywhere: deterministic,
@@ -386,8 +387,18 @@ def minhash_near_duplicates(
     n_docs = arrays.count()
     if num_hashes is None or band_size is None:
         auto_nh, auto_r = autotune_minhash_params(n_docs)
-        num_hashes = auto_nh if num_hashes is None else num_hashes
-        band_size = auto_r if band_size is None else band_size
+        if band_size is None and num_hashes is not None:
+            # pinned signature length: autotuned width, clamped so at
+            # least one full band fits (an unclamped r > num_hashes
+            # would yield zero bands and silently no candidates)
+            band_size = min(auto_r, num_hashes)
+        elif num_hashes is None and band_size is not None:
+            # pinned band width: keep the autotuned band COUNT so the
+            # OR-construction recall the tuner assumed is preserved
+            num_hashes = max(1, auto_nh // auto_r) * band_size
+        else:
+            num_hashes, band_size = auto_nh, auto_r
+    assert num_hashes >= band_size >= 1, (num_hashes, band_size)
     sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
     return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
@@ -436,77 +447,135 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
 
 
-def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
-) -> DataFrame:
-    """32-bit SimHash over whitespace tokens.
+# nibble-bit membership sets: bit k of an md5 is bit (k % 4) of hex
+# digit (k // 4); a digit has that bit set iff it is in the k%4-th set
+_NIBBLE_BIT_SETS = ("13579bdf", "2367abef", "4567cdef", "89abcdef")
 
-    Bit i of the signature is the sign of sum over tokens of
-    (+1 if hex digit i of md5(token) >= 8 else -1) — i.e. each md5 hex
-    character contributes one signature bit.  Pure Column expressions.
+
+def _md5_bit_vote(h: Column, k: int) -> Column:
+    """+1/-1 SimHash vote for bit ``k`` (0..127) of md5 hex column ``h``."""
+    digit = F.substring(h, k // 4 + 1, 1)
+    return F.when(digit.isin(*_NIBBLE_BIT_SETS[k % 4]), 1).otherwise(-1)
+
+
+def autotune_simhash_params(
+    n_docs: int,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    target_cands_per_doc: float = 2.0,
+    min_band_bits: int = 8,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, band_bits)`` from corpus size — the SimHash twin
+    of :func:`autotune_minhash_params`.
+
+    Exactness fixes the band count: ``n_bands = max_hamming + 1`` is the
+    pigeonhole minimum (a pair differing in <= max_hamming bits must
+    agree exactly on >= 1 band), and any extra band only adds background
+    collisions without catching new true pairs.  What must scale with N
+    is the band WIDTH: uncorrelated docs collide on a w-bit band at the
+    constant rate 2**-w, so candidates grow as b * N**2 * 2**-w —
+    quadratic at any fixed w (measured with the old fixed 8-bit bands:
+    6.4M candidates from 5k docs = 51% of the whole pair space,
+    BENCH_r04 candidates.simhash).  Bounding expected background
+    candidates per doc (b * N * 2**-w <= target) requires
+
+      w = ceil(log2(n_bands * N / target))  ~  log2(N) + const.
+
+    Total signature width b*w is capped at 128 so one md5 per token
+    still supplies every bit; with max_hamming=3 that allows w <= 32,
+    i.e. ~2 background candidates/doc out to N ~ 2**30 per band.
     """
-    assert bits <= 32
+    import math
+
+    b = n_bands if n_bands is not None else max_hamming + 1
+    assert b >= max_hamming + 1, "pigeonhole needs n_bands >= max_hamming+1"
+    n = max(int(n_docs), 2)
+    w = math.ceil(math.log2(b * n / target_cands_per_doc))
+    w = max(min_band_bits, min(w, 128 // b))
+    return b, w
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Banded SimHash over whitespace tokens: ``doc_id, sig`` where
+    ``sig`` is an ``array<long>`` of ``n_bands`` keys, band i packing
+    signature bits [i*band_bits, (i+1)*band_bits).
+
+    Bit k of the signature is the sign of the sum over tokens of
+    (+1 if bit k of md5(token) is set else -1); total width
+    ``n_bands * band_bits`` may use all 128 md5 bits.  Pure Column
+    expressions — the whole kernel stays in whole-stage codegen.
+    """
+    w = band_bits
+    bits = n_bands * w
+    assert bits <= 128, "one md5 per token supplies at most 128 bits"
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
     bit_sums = [
-        F.sum(
-            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
+        F.sum(_md5_bit_vote(F.col("h"), k)).alias(f"b{k}") for k in range(bits)
     ]
     agg = tokens.groupBy("doc_id").agg(*bit_sums)
-    sig = F.conv(
-        F.concat(*[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(bits)]),
-        2,
-        10,
-    ).cast("long")
-    return agg.select("doc_id", sig.alias("simhash"))
+    band_keys = []
+    for i in range(n_bands):
+        key = F.lit(0).cast("long")
+        for j in range(w):
+            key = key + F.when(
+                F.col(f"b{i * w + j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_keys.append(key)
+    return agg.select("doc_id", F.array(*band_keys).alias("sig"))
 
 
-def simhash_near_duplicates(
+def simhash_band_candidates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bits: int = 32,
-    n_bands: int = 4,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dups: banded candidate generation (pigeonhole — any
-    pair within max_hamming agrees exactly on >= 1 of n_bands byte
-    bands when max_hamming < n_bands), exact Hamming verification via
-    xor + bit_count."""
+    """Distinct SimHash candidate pairs (share >= 1 band key) with their
+    exact Hamming distance — the pre-threshold stage of
+    :func:`simhash_near_duplicates`, exposed so benchmarks can measure
+    candidate volume directly.  Banding autotunes from ``docs.count()``
+    unless both parameters are pinned; pinning one derives the other
+    coherently (same contract as :func:`minhash_near_duplicates`)."""
     from pyspark import StorageLevel
 
+    if band_bits is None or n_bands is None:
+        n_bands, band_bits = autotune_simhash_params(
+            docs.count(), max_hamming, n_bands=n_bands
+        )
+    assert n_bands >= max_hamming + 1, "pigeonhole needs n_bands >= max_hamming+1"
     # both sides of the band self-join consume the signatures; eager
     # persist (one row per doc) avoids recomputing the token explode +
-    # 32 bit-vote sums twice
-    sigs = simhash_signatures(spread_for_compute(docs), text_col, id_col, bits).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the bit-vote sums twice
+    sigs = simhash_signatures(
+        spread_for_compute(docs), text_col, id_col, n_bands, band_bits
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
     long = sigs.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+        "sig",
+        F.posexplode("sig").alias("band", "key"),
+    )
     a, b = long.alias("a"), long.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(
             b,
@@ -519,9 +588,26 @@ def simhash_near_duplicates(
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """SimHash near-dups: size-autotuned banded candidate generation
+    (pigeonhole-exact: with n_bands >= max_hamming+1 every pair within
+    max_hamming shares a band, so the result is EXACTLY the Hamming
+    ball regardless of band width), exact Hamming verification via
+    xor + bit_count over the band-key array."""
+    return simhash_band_candidates(
+        docs, text_col, id_col, max_hamming, n_bands, band_bits
+    ).where(F.col("hamming") <= max_hamming)
 
 def connected_components(
     pairs: DataFrame,

@@ -139,7 +139,7 @@ def autotune_lsh_params(
     threshold: float = 0.9,
     recall: float = 0.9,
     max_bands: int = 64,
-    slack_bits: int = 2,
+    slack_bits: int = 3,
 ) -> tuple[int, int]:
     """Pick ``(n_bands, band_planes)`` for banded hyperplane LSH so that
     background candidate volume stays ~linear in corpus size while pairs
@@ -157,7 +157,11 @@ def autotune_lsh_params(
 
     Expected background volume at the returned parameters is
     n_bands * N / 2**slack_bits pairs per item-pair-space row, i.e.
-    linear.  ``max_bands`` caps the map-side cost (n_bands * r dot
+    linear.  slack_bits=3 (one plane more than the r03 tuning): each
+    extra plane halves background collisions, keeping measured per-doc
+    candidates ~flat across a 10x corpus (BENCH_r04 showed 15.98x
+    candidate growth at slack 2 — superlinear per doc from a small
+    base).  ``max_bands`` caps the map-side cost (n_bands * r dot
     products per vector); the cap binds only for thresholds near
     orthogonality, where hyperplane LSH is fundamentally weak (the
     p1/p2 gap vanishes) and an IVF route (ivf_cosine_topk) is the

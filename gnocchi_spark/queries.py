@@ -1990,22 +1990,39 @@ def multimodal_frame_sample(spark, sf_dir):
     return out.select("doc_id", "frame_idx", "n_frames", "frame_bytes")
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB mirror of operators.dedup.simhash_near_duplicates
-    (32 bits, 4 bands, hamming <= 3): per-hex-digit bit votes, banded
-    candidates, xor + bit_count verification."""
-    in_set = "('8','9','a','b','c','d','e','f')"
+def _simhash_oracle_sql(
+    n_bands: int = 4, band_bits: int = 16, max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of operators.dedup.simhash_near_duplicates at the
+    pinned banding (4 x 16-bit bands = 64-bit signature): per-md5-bit
+    votes, band keys, xor + bit_count verification.  Deliberately
+    STRONGER than the Spark plan: the oracle scans ALL pairs (no
+    bands), so it also asserts the pigeonhole claim that banded
+    candidate generation loses no pair within max_hamming."""
+    sets = {
+        0: "('1','3','5','7','9','b','d','f')",
+        1: "('2','3','6','7','a','b','e','f')",
+        2: "('4','5','6','7','c','d','e','f')",
+        3: "('8','9','a','b','c','d','e','f')",
+    }
+    bits = n_bands * band_bits
     bit_sums = ",\n             ".join(
-        f"sum(CASE WHEN substring(h, {i + 1}, 1) IN {in_set} THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(32)
+        f"sum(CASE WHEN substring(h, {k // 4 + 1}, 1) IN {sets[k % 4]}"
+        f" THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(bits)
     )
-    sig_terms = " + ".join(
-        f"CASE WHEN b{i} > 0 THEN CAST({1 << (31 - i)} AS BIGINT) ELSE 0 END"
-        for i in range(32)
+    keys = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{i * band_bits + j} > 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE 0 END"
+            for j in range(band_bits)
+        )
+        + f") AS k{i}"
+        for i in range(n_bands)
     )
-    bands = "\n        UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band, (simhash >> {i * 8}) & 255 AS key FROM sig"
-        for i in range(4)
+    ham = " + ".join(
+        f"bit_count(xor(a.k{i}, b.k{i}))" for i in range(n_bands)
     )
     return f"""
     WITH toks AS (
@@ -2015,21 +2032,28 @@ def _simhash_oracle_sql() -> str:
     bits AS (
       SELECT doc_id, {bit_sums}
       FROM toks GROUP BY doc_id),
-    sig AS (SELECT doc_id, {sig_terms} AS simhash FROM bits),
-    bands AS ({bands})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    sig AS (SELECT doc_id, {keys} FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
     """
 
 
 @query("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
+    # Banding is PINNED here (4 x 16-bit bands) because the SQL oracle
+    # is static while the production default autotunes band width with
+    # log2(corpus size) (operators/dedup.py autotune_simhash_params);
+    # the autotuned path's recall + candidate scaling are covered by
+    # tests/test_banding.py and bench.py scale_stress.  The oracle runs
+    # band-free over all pairs, so this query also proves the banded
+    # plan returns exactly the Hamming ball.
     from gnocchi_spark.operators.dedup import simhash_near_duplicates
 
-    out = simhash_near_duplicates(tables.load(spark, sf_dir, "documents"))
+    out = simhash_near_duplicates(
+        tables.load(spark, sf_dir, "documents"), n_bands=4, band_bits=16
+    )
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )

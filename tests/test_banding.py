@@ -157,3 +157,79 @@ def test_no_global_window_in_query_plans(spark, sf_dir, qname):
     df = queries.QUERIES[qname](spark, sf_dir)
     bad = global_window_lines(df)
     assert not bad, f"{qname} still has empty-partition Window nodes: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# LSH banding (SimHash): pigeonhole recall under the autotuned schedule
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_autotune_schedule():
+    from gnocchi_spark.operators.dedup import autotune_simhash_params
+
+    b1, w1 = autotune_simhash_params(100, max_hamming=3)
+    b2, w2 = autotune_simhash_params(1_000_000, max_hamming=3)
+    b3, w3 = autotune_simhash_params(1_000_000_000, max_hamming=3)
+    # exactness pins the band count at the pigeonhole minimum...
+    assert b1 == b2 == b3 == 4
+    # ...while band width grows ~log2(N) so background candidates per
+    # doc (b * N * 2**-w) stay bounded
+    assert w1 < w2 < w3
+    for n, b, w in [(100, b1, w1), (1_000_000, b2, w2)]:
+        assert b * n * 2.0 ** -w <= 2.5, (n, b, w)
+    # the 128-bit md5 budget is never exceeded
+    assert b3 * w3 <= 128
+
+
+def test_simhash_banding_recall(spark):
+    # Banded candidate generation must lose NO pair within max_hamming
+    # (pigeonhole: n_bands = max_hamming+1): compare the banded result
+    # against band-free all-pairs ground truth over the same signature.
+    from gnocchi_spark.operators.dedup import (
+        autotune_simhash_params,
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    rows = []
+    did = 0
+    for _ in range(30):
+        base = [rng.choice(words) for _ in range(60)]
+        rows.append(Row(doc_id=did, text=" ".join(base)))
+        did += 1
+        mut = list(base)
+        mut[rng.randrange(len(mut))] = rng.choice(words)  # 1-token tweak
+        rows.append(Row(doc_id=did, text=" ".join(mut)))
+        did += 1
+    df = spark.createDataFrame(rows)
+
+    n_bands, band_bits = autotune_simhash_params(len(rows), max_hamming=3)
+    sigs = simhash_signatures(df, n_bands=n_bands, band_bits=band_bits)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert len(truth) >= 5, "planted near-copies should land within hamming 3"
+    assert got == truth  # 100% recall AND no extras, distances identical

@@ -340,7 +340,7 @@ def test_autotune_lsh_params_scale_law():
     b3, r3 = autotune_lsh_params(5_000_000)
     # bits grow with log2(N) so background candidates stay ~linear
     assert r1 < r2 < r3
-    assert r2 == 15  # ceil(log2 5000) + 2
+    assert r2 == 16  # ceil(log2 5000) + 3 slack bits (r05 schedule)
     # recall is bought back with more bands as keys get longer
     assert b1 <= b2 <= b3
 
