@@ -49,7 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window covers every operator
     family (see queries.CHECK_ORDER; the tail is verified by
-    tools/check_oracle.py, full-78 results committed per round)."""
+    tools/check_oracle.py, full-registry results committed per round
+    as ORACLE_FULL_r{N}.txt)."""
     return _q.ordered_queries()
 
 

@@ -462,7 +462,7 @@ def autotune_simhash_params(
     n_docs: int,
     max_hamming: int = 3,
     n_bands: int | None = None,
-    target_cands_per_doc: float = 2.0,
+    background_budget: float = 10_000.0,
     min_band_bits: int = 8,
 ) -> tuple[int, int]:
     """Pick ``(n_bands, band_bits)`` from corpus size — the SimHash twin
@@ -476,21 +476,27 @@ def autotune_simhash_params(
     constant rate 2**-w, so candidates grow as b * N**2 * 2**-w —
     quadratic at any fixed w (measured with the old fixed 8-bit bands:
     6.4M candidates from 5k docs = 51% of the whole pair space,
-    BENCH_r04 candidates.simhash).  Bounding expected background
-    candidates per doc (b * N * 2**-w <= target) requires
+    BENCH_r04 candidates.simhash).
 
-      w = ceil(log2(n_bands * N / target))  ~  log2(N) + const.
+    Unlike minhash, widening simhash bands costs NO recall — the
+    pigeonhole guarantee holds at any width — so the tuner can bound
+    the corpus-TOTAL expected background (b * N**2 / 2**w <= budget),
+    i.e. w ~ 2*log2(N), keeping candidate volume ~flat rather than
+    merely ~linear as the corpus grows:
+
+      w = ceil(log2(n_bands * N**2 / background_budget))
 
     Total signature width b*w is capped at 128 so one md5 per token
-    still supplies every bit; with max_hamming=3 that allows w <= 32,
-    i.e. ~2 background candidates/doc out to N ~ 2**30 per band.
+    still supplies every bit; with max_hamming=3 the cap (w=32) binds
+    around N ~ 3M, beyond which background grows as N**2/2**32 — still
+    under one candidate per doc out to N ~ 4 billion.
     """
     import math
 
     b = n_bands if n_bands is not None else max_hamming + 1
     assert b >= max_hamming + 1, "pigeonhole needs n_bands >= max_hamming+1"
     n = max(int(n_docs), 2)
-    w = math.ceil(math.log2(b * n / target_cands_per_doc))
+    w = math.ceil(math.log2(b * n * n / background_budget))
     w = max(min_band_bits, min(w, 128 // b))
     return b, w
 

@@ -11,7 +11,10 @@ the library exists; otherwise — and per-payload whenever a payload
 does not decode (corrupt bytes are routine at 100-TB scale) — it falls
 back to a deterministic byte-level stand-in, so the same pipeline runs
 in containers with and without media libraries.  ``fake=True`` forces
-the stand-in everywhere, which is what tests and SQL oracles replay.
+the stand-in everywhere, which is what SQL oracles replay, and
+``decoder=`` names an importable mini-PIL module for the real branch —
+tests drive it with the pure-Python BMP codec ``_bmp_shim`` so the
+real decode path executes even where PIL is absent.
 Real video keyframe extraction (ffmpeg) has no pure-PIL equivalent for
 non-animated formats; multi-frame images (GIF/TIFF) use PIL's seek().
 """
@@ -55,6 +58,21 @@ def _pil_image():
         return None
 
 
+def _resolve_decoder(fake: bool, decoder: str | None):
+    """Pick the decode module inside the mapInPandas closure: forced
+    stand-in (``fake``), an explicit importable module exposing the
+    mini-PIL API (``decoder`` — a STRING so it pickles to executors;
+    tests pass the pure-Python BMP codec ``_bmp_shim`` to execute the
+    real branch without PIL), else PIL when importable."""
+    if fake:
+        return None
+    if decoder is not None:
+        import importlib  # noqa: PLC0415
+
+        return importlib.import_module(decoder)
+    return _pil_image()
+
+
 def attach_payload(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -81,12 +99,15 @@ def _fake_features(payload: bytes, n: int = 4) -> list[float]:
 
 
 def _real_features(Image, payload: bytes) -> list[float] | None:
-    """PIL decode -> grayscale pixel moments, same shape as the
-    stand-in.  Returns None when the payload is not a decodable image
-    so the caller falls back deterministically."""
+    """Decode -> grayscale pixel moments, same shape as the stand-in.
+    Returns None when the payload is not a decodable image so the
+    caller falls back deterministically.  Moments run over the raw
+    ``tobytes()`` buffer — a per-pixel Python list via ``getdata()``
+    would be slow and memory-heavy for large images inside an Arrow
+    batch."""
     try:
         with Image.open(io.BytesIO(payload)) as im:
-            px = list(im.convert("L").getdata())
+            px = im.convert("L").tobytes()
     except Exception:
         return None
     if not px:
@@ -100,7 +121,10 @@ def _real_features(Image, payload: bytes) -> list[float] | None:
 
 
 def decode_image_features(
-    media: DataFrame, fake: bool = False, batch_hint: int = 1024
+    media: DataFrame,
+    fake: bool = False,
+    batch_hint: int = 1024,
+    decoder: str | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
@@ -111,7 +135,7 @@ def decode_image_features(
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = None if fake else _pil_image()
+        Image = _resolve_decoder(fake, decoder)
 
         def feats(p: bytes) -> list[float]:
             if Image is not None:
@@ -157,7 +181,11 @@ def _stride_resize(b: bytes, target: int) -> bytes:
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, fake: bool = False
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    decoder: str | None = None,
 ) -> DataFrame:
     """Resize every image payload to ``width x height`` (1:1 rows).
 
@@ -170,7 +198,7 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
-        Image = None if fake else _pil_image()
+        Image = _resolve_decoder(fake, decoder)
 
         def one(b: bytes) -> bytes:
             if Image is not None:
@@ -238,7 +266,9 @@ def _chunk_frames(b: bytes) -> list[bytes]:
     return [b[i * len(b) // n : (i + 1) * len(b) // n] for i in range(n)]
 
 
-def sample_frames(media: DataFrame, fake: bool = False) -> DataFrame:
+def sample_frames(
+    media: DataFrame, fake: bool = False, decoder: str | None = None
+) -> DataFrame:
     """Sample frames from every video payload (1 -> N rows).
 
     Real path: PIL multi-frame decode (GIF/TIFF keyframes) when PIL is
@@ -251,7 +281,7 @@ def sample_frames(media: DataFrame, fake: bool = False) -> DataFrame:
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = None if fake else _pil_image()
+        Image = _resolve_decoder(fake, decoder)
         for pdf in batches:
             ids, idxs, totals, sizes, blobs = [], [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):

@@ -7197,13 +7197,26 @@ def store_snapshot_roundtrip(spark, sf_dir):
     # now contain, so the hash-match covers commit, sack-granular
     # rewrite, batch-wins merge semantics, and manifest-pinned read.
     # The store root is a per-call tempdir (the driver runs queries
-    # standalone; nothing persists outside the call).
+    # standalone; nothing persists outside the call).  Under plan-only
+    # mode (tools/plan_report.py) the builds are skipped and the read
+    # plan is audited over the committed store_stub fixture — same
+    # manifest-pinned read path, zero jobs, zero tempdirs.
     import atexit
+    import os as _os
     import shutil
     import tempfile
 
+    from gnocchi_spark import planmode
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
     from gnocchi_spark.operators.store import SnapshotStore
+
+    if planmode.plan_only():
+        stub = SnapshotStore(
+            _os.path.join(planmode.FIXTURES, "store_stub"), num_sacks=2
+        )
+        return stub.read(spark).select(
+            "metric_id", "bucket_ts", F.round("mean", 6).alias("mean"), "cnt"
+        )
 
     hourly = (
         tables.load(spark, sf_dir, "events")
@@ -7281,14 +7294,31 @@ def ann_index_roundtrip(spark, sf_dir):
     # opened).  The oracle computes IVF top-k over the union corpus
     # directly, so the hash-match proves build+add+serve end to end —
     # an index is only correct if it equals the computation it
-    # accelerates.  Index root is a per-call tempdir.
+    # accelerates.  Index root is a per-call tempdir.  Under plan-only
+    # mode the build/add are skipped and the search plan is audited
+    # over the committed ivf_stub fixture (gnocchi_spark/planmode.py).
     import atexit
+    import os as _os
     import shutil
     import tempfile
 
+    from gnocchi_spark import planmode
     from gnocchi_spark.operators.ann_index import IvfIndex
 
     emb = tables.load(spark, sf_dir, "embeddings")
+
+    if planmode.plan_only():
+        stub = IvfIndex(
+            _os.path.join(planmode.FIXTURES, "ivf_stub"), num_sacks=2
+        )
+        return stub.search(
+            emb.where(F.col("vec_id") < 10), k=5, n_probe=2
+        ).select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
     centroids = (
         emb.orderBy("vec_id")
         .limit(8)

@@ -203,21 +203,86 @@ def test_multimodal_plumbing(docs):
     }
 
 
-def test_multimodal_real_decode_iff_pil():
-    # the real path engages exactly when PIL is importable: a valid
-    # 2x2 PNG must produce pixel moments, not byte moments
-    PIL_Image = pytest.importorskip("PIL.Image")
+def test_multimodal_real_decode():
+    # the real-decode branch executes WITHOUT PIL via the pure-Python
+    # BMP codec shim (operators/_bmp_shim.py): known pixels must yield
+    # pixel moments, not byte moments
     import io as _io
 
-    from gnocchi_spark.operators.multimodal import _real_features
+    from gnocchi_spark.operators import _bmp_shim
+    from gnocchi_spark.operators.multimodal import _fake_features, _real_features
 
-    im = PIL_Image.new("L", (2, 2))
-    im.putdata([0, 85, 170, 255])
-    buf = _io.BytesIO()
-    im.save(buf, format="PNG")
-    feats = _real_features(PIL_Image, buf.getvalue())
+    pixels = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    bmp = _bmp_shim.encode(pixels, 2, 2)
+    # codec round trip: decode returns exactly the encoded pixels
+    assert _bmp_shim.open(_io.BytesIO(bmp))._pixels == pixels
+    feats = _real_features(_bmp_shim, bmp)
     assert feats is not None
     assert feats[1:] == [127.5, 255.0, 0.0]  # mean/max/min of pixels
+    assert feats != _fake_features(bmp), "must be the real branch"
+    # an undecodable payload falls back per-payload (returns None)
+    assert _real_features(_bmp_shim, b"not a bmp") is None
+    # if real PIL ever appears in this container, the shim's codec and
+    # luma must agree with it on the same BMP bytes
+    try:
+        from PIL import Image as PIL_Image
+    except ImportError:
+        pass
+    else:
+        assert _real_features(PIL_Image, bmp) == feats
+
+
+def test_multimodal_real_decode_distributed(spark):
+    # real branch through the Arrow-batched executor path: the decoder
+    # module is imported BY THE PYTHON WORKER (a driver-side monkeypatch
+    # could never prove this), BMP payloads decode, corrupt ones fall
+    # back per-payload
+    from gnocchi_spark.operators import _bmp_shim
+    from gnocchi_spark.operators.multimodal import (
+        _fake_features,
+        decode_image_features,
+        resize_images,
+        sample_frames,
+    )
+
+    shim = "gnocchi_spark.operators._bmp_shim"
+
+    def flat_bmp(val, w=4, h=2):
+        return _bmp_shim.encode([(val, val, val)] * (w * h), w, h)
+
+    media = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(flat_bmp(10)),
+                meta=Row(mime="image/bmp", n_bytes=0)),
+            Row(doc_id=2, payload=bytearray(flat_bmp(200)),
+                meta=Row(mime="image/bmp", n_bytes=0)),
+            Row(doc_id=3, payload=bytearray(b"corrupt"),
+                meta=Row(mime="image/bmp", n_bytes=0)),
+        ]
+    )
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in decode_image_features(media, decoder=shim).collect()
+    }
+    n = len(flat_bmp(10))
+    assert feats[1] == [float(n), 10.0, 10.0, 10.0]  # pixel moments
+    assert feats[2] == [float(n), 200.0, 200.0, 200.0]
+    assert feats[3] == _fake_features(b"corrupt")  # per-payload fallback
+
+    resized = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_images(media, 2, 1, decoder=shim).collect()
+    }
+    assert resized[1] == bytes([10, 10])  # real nearest-neighbor resize
+    assert len(resized[3]) == 2  # fallback stride keeps target size
+
+    frames = [
+        r
+        for r in sample_frames(media, decoder=shim).collect()
+        if r["doc_id"] == 1
+    ]
+    assert len(frames) == 1 and frames[0]["n_frames"] == 1
+    assert bytes(frames[0]["frame"]) == bytes([10] * 8)  # 4x2 luma plane
 
 
 def test_multimodal_resize(docs):
