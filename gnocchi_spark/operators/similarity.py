@@ -139,7 +139,8 @@ def autotune_lsh_params(
     threshold: float = 0.9,
     recall: float = 0.9,
     max_bands: int = 64,
-    slack_bits: int = 3,
+    slack_bits: int = 1,
+    slope: float = 1.35,
 ) -> tuple[int, int]:
     """Pick ``(n_bands, band_planes)`` for banded hyperplane LSH so that
     background candidate volume stays ~linear in corpus size while pairs
@@ -155,13 +156,18 @@ def autotune_lsh_params(
       p1        = (1 - theta/pi) ** r      per-band collision at threshold
       n_bands   = ceil(log(1-recall) / log(1-p1))   OR-construction
 
-    Expected background volume at the returned parameters is
-    n_bands * N / 2**slack_bits pairs per item-pair-space row, i.e.
-    linear.  slack_bits=3 (one plane more than the r03 tuning): each
-    extra plane halves background collisions, keeping measured per-doc
-    candidates ~flat across a 10x corpus (BENCH_r04 showed 15.98x
-    candidate growth at slack 2 — superlinear per doc from a small
-    base).  ``max_bands`` caps the map-side cost (n_bands * r dot
+    ``slope`` makes r grow FASTER than log2(N): with r = log2(N) +
+    const the background term b*N**2/2**r is exactly linear per corpus,
+    but the band count b itself grows ~1.167**r to hold recall, so
+    measured candidate growth stayed ~16x per 10x corpus at any
+    constant slack (BENCH_r04/r05 probes).  A 1.35 slope overshoots the
+    background by N**0.35, absorbing the band-count growth: measured
+    11.5x candidates at a 10x corpus with 2-3x FASTER wall (fewer
+    verifications), same pigeonhole-free probabilistic recall at the
+    0.9-cosine design point.  Beyond the max_bands cap (N ~ 500k at
+    threshold 0.9) recall decays — hyperplane LSH's shallow p1/p2 gap
+    is fundamental there, and the IVF/PQ indexes (ivf_cosine_topk,
+    ann_index.IvfIndex) are the designated scale path.  ``max_bands`` caps the map-side cost (n_bands * r dot
     products per vector); the cap binds only for thresholds near
     orthogonality, where hyperplane LSH is fundamentally weak (the
     p1/p2 gap vanishes) and an IVF route (ivf_cosine_topk) is the
@@ -170,7 +176,7 @@ def autotune_lsh_params(
     import math
 
     n = max(int(n_items), 2)
-    r = max(6, math.ceil(math.log2(n)) + slack_bits)
+    r = max(6, math.ceil(slope * math.log2(n)) + slack_bits)
     theta = math.acos(min(max(threshold, -1.0), 1.0))
     p1 = (1.0 - theta / math.pi) ** r
     if p1 >= 1.0:

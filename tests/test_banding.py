@@ -172,9 +172,9 @@ def test_simhash_autotune_schedule():
     b3, w3 = autotune_simhash_params(1_000_000_000, max_hamming=3)
     # exactness pins the band count at the pigeonhole minimum...
     assert b1 == b2 == b3 == 4
-    # ...while band width grows ~log2(N) so background candidates per
-    # doc (b * N * 2**-w) stay bounded
-    assert w1 < w2 < w3
+    # ...while band width grows ~2*log2(N) (corpus-total background
+    # budget) until the 128-bit md5 budget caps it
+    assert w1 < w2 <= w3 == 128 // 4
     for n, b, w in [(100, b1, w1), (1_000_000, b2, w2)]:
         assert b * n * 2.0 ** -w <= 2.5, (n, b, w)
     # the 128-bit md5 budget is never exceeded

@@ -405,7 +405,7 @@ def test_autotune_lsh_params_scale_law():
     b3, r3 = autotune_lsh_params(5_000_000)
     # bits grow with log2(N) so background candidates stay ~linear
     assert r1 < r2 < r3
-    assert r2 == 16  # ceil(log2 5000) + 3 slack bits (r05 schedule)
+    assert r2 == 18  # ceil(1.35 * log2 5000) + 1 (r05 steep schedule)
     # recall is bought back with more bands as keys get longer
     assert b1 <= b2 <= b3
 
@@ -563,3 +563,26 @@ def test_containment_detects_quote_inside_long_doc(spark):
     assert r["containment"] >= 0.8
     assert r["n_a"] <= r["n_b"]
     assert not any(3 in p for p in pairs)
+
+
+def test_dedup_tuners_pinned_param_coherence(spark, docs):
+    # pinning exactly ONE parameter must never produce a degenerate
+    # configuration (zero bands / over-budget signature) — the derived
+    # parameter follows the pinned one
+    from gnocchi_spark.operators.dedup import (
+        autotune_simhash_params,
+        minhash_near_duplicates,
+        simhash_band_candidates,
+    )
+
+    # minhash: pinned short signature -> band width clamps to fit
+    out = minhash_near_duplicates(docs, num_hashes=8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} >= {(1, 2)}  # exact dup pair
+    # minhash: pinned band width -> band count preserved via num_hashes
+    out = minhash_near_duplicates(docs, band_size=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} >= {(1, 2)}
+    # simhash: pinned band_bits survives; pinned n_bands clamps width
+    got = simhash_band_candidates(docs, band_bits=12).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in got)
+    b, w = autotune_simhash_params(10**9, max_hamming=3, n_bands=5)
+    assert b == 5 and b * w <= 128
