@@ -5748,6 +5748,171 @@ def hll_cascade_merge(spark, sf_dir):
     )
 
 
+def _hll_est_sql(scaled: str, nreg: str) -> str:
+    """DuckDB expression finalizing an HLL estimate from integer
+    register aggregates (p=9 registers, 2^52-scaled harmonic sum) —
+    the exact mirror of sketches.hll_estimate_from_registers."""
+    denom = f"(({scaled} / 4503599627370496.0) + CAST(512 - {nreg} AS DOUBLE))"
+    return (
+        f"round(CASE WHEN ({_HLL_ALPHA_M2!r} / {denom}) <= 1280.0"
+        f" AND (512 - {nreg}) > 0"
+        f" THEN 512.0 * ln(512.0 / CAST(512 - {nreg} AS DOUBLE))"
+        f" ELSE {_HLL_ALPHA_M2!r} / {denom} END, 4)"
+    )
+
+
+@query(
+    "hll_audience_overlap",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_sql_bucket(86400)} AS db,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15))
+                  AS BIGINT) AS hh
+      FROM events),
+    r AS (
+      SELECT event_type, db, CAST(hh & 511 AS INT) AS reg,
+             CAST(CASE WHEN (hh >> 9) = 0 THEN 52
+                  ELSE 52 - length(bin(hh >> 9)) END AS INT) AS rank
+      FROM h),
+    regs AS (
+      SELECT event_type, db, reg, max(rank) AS maxrank
+      FROM r GROUP BY 1, 2, 3),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    ur AS (
+      SELECT p.ta, p.tb, g.db, g.reg, max(g.maxrank) AS maxrank
+      FROM regs g JOIN pairs p
+        ON g.event_type = p.ta OR g.event_type = p.tb
+      GROUP BY 1, 2, 3, 4),
+    eu AS (
+      SELECT ta, tb, db,
+             sum(CAST(1 AS BIGINT) << (52 - maxrank)) AS scaled,
+             count(*) AS nreg
+      FROM ur GROUP BY 1, 2, 3),
+    es AS (
+      SELECT event_type, db,
+             sum(CAST(1 AS BIGINT) << (52 - maxrank)) AS scaled,
+             count(*) AS nreg
+      FROM regs GROUP BY 1, 2),
+    fu AS (SELECT ta, tb, db, {_hll_est_sql("scaled", "nreg")}
+             AS union_distinct FROM eu),
+    fs AS (SELECT event_type, db, {_hll_est_sql("scaled", "nreg")}
+             AS est FROM es),
+    du AS (SELECT DISTINCT event_type, {_sql_bucket(86400)} AS db, user_id
+           FROM events),
+    xi AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.db,
+             CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.db = b.db
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2, 3)
+    SELECT u.ta, u.tb, u.db AS day,
+           a.est AS a_distinct, b.est AS b_distinct, u.union_distinct,
+           round(a.est + b.est - u.union_distinct, 4) AS intersection_est,
+           round((a.est + b.est - u.union_distinct) / u.union_distinct, 4)
+             AS jaccard_est,
+           COALESCE(x.exact_intersection, 0) AS exact_intersection
+    FROM fu u
+    JOIN fs a ON a.event_type = u.ta AND a.db = u.db
+    JOIN fs b ON b.event_type = u.tb AND b.db = u.db
+    LEFT JOIN xi x ON x.ta = u.ta AND x.tb = u.tb AND x.db = u.db
+    """,
+)
+def hll_audience_overlap(spark, sf_dir):
+    # Audience-overlap analytics from sketch ALGEBRA: |A∩B| and Jaccard
+    # for every event-type pair per day via HLL inclusion-exclusion —
+    # |A∪B| is a per-register max merge of the SAME register tables the
+    # distinct cascade maintains (hll_cascade_merge), so pairwise
+    # overlap costs no raw re-read: shuffle volume is bounded by
+    # 512 registers x pairs x days, independent of traffic.  The exact
+    # intersection column is the diagnostic a deployment samples, not
+    # part of the serving path.  Register arithmetic is integer-exact
+    # cross-engine; estimates finalize with one rounded double each.
+    from gnocchi_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    idx, rank = hll_register_cols(F.col("user_id").cast("string"), 9)
+    base = ev.select(
+        "event_type",
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+        idx.alias("__reg"),
+        rank.alias("__rank"),
+    )
+    regs = base.groupBy("event_type", "db", "__reg").agg(
+        F.max("__rank").alias("__maxrank")
+    )
+    tdf = ev.select("event_type").distinct()
+    pairs = tdf.select(F.col("event_type").alias("ta")).join(
+        tdf.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    # union registers per pair: two equi broadcast joins (member types
+    # fan each register row into its pairs), then per-register max
+    pr = regs.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("ta")
+    ).unionByName(regs.join(F.broadcast(pairs), F.col("event_type") == F.col("tb")))
+    union_regs = pr.groupBy("ta", "tb", "db", "__reg").agg(
+        F.max("__maxrank").alias("__maxrank")
+    )
+    est_u = hll_estimate_from_registers(
+        union_regs, ["ta", "tb", "db"], p=9, out_col="union_distinct"
+    )
+    single = hll_estimate_from_registers(
+        regs, ["event_type", "db"], p=9, out_col="est"
+    )
+    est_a = single.select(
+        F.col("event_type").alias("ta"), "db", F.col("est").alias("a_distinct")
+    )
+    est_b = single.select(
+        F.col("event_type").alias("tb"), "db", F.col("est").alias("b_distinct")
+    )
+    du = ev.select(
+        "event_type",
+        truncate_to_bucket(F.col("ts"), 86400.0).alias("db"),
+        "user_id",
+    ).distinct()
+    xi = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.db") == F.col("y.db"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+            F.col("x.db").alias("db"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    inter = F.col("a_distinct") + F.col("b_distinct") - F.col("union_distinct")
+    return (
+        est_u.join(est_a, ["ta", "db"])
+        .join(est_b, ["tb", "db"])
+        .join(xi, ["ta", "tb", "db"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.col("db").alias("day"),
+            "a_distinct",
+            "b_distinct",
+            "union_distinct",
+            F.round(inter, 4).alias("intersection_est"),
+            F.round(inter / F.col("union_distinct"), 4).alias("jaccard_est"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+
+
 @query(
     "tsdb_m4_downsample",
     f"""
@@ -8425,7 +8590,8 @@ CHECK_ORDER = [
     "tsdb_ops_clip_compare",
     "tsdb_fill_ffill",
     "tsdb_fill_bfill",
-    "tsdb_multi_granularity_read",
+    # -- new this round (slot swapped in for an already-green re-check) --
+    "hll_audience_overlap",
 ]
 
 # r05 closes the rotation: after this window every registered query has

@@ -35,6 +35,7 @@ BNL_ALLOWED = {
     "data_quality_report",  # broadcast 1-row duplicate-key scalar (cross)
     "user_pagerank",  # broadcast 1-row node-count scalar (cross, x4 iterations)
     "metric_freshness",  # broadcast 1-row high-water-mark scalar (cross)
+    "hll_audience_overlap",  # broadcast 5-row event-type table, < self-pair
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
