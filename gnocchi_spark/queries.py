@@ -8526,6 +8526,113 @@ def corpus_zipf_fit(spark, sf_dir):
 # `python tools/check_oracle.py` whose full-suite result is committed
 # per round as ORACLE_FULL_r{N}.txt.
 # ---------------------------------------------------------------------------
+
+@query(
+    "tsdb_ewma_smooth",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT metric_id, bucket_ts, round(v, 6) AS v,
+           round((COALESCE(1.0 * lag(v, 0) OVER p, 0.0) + COALESCE(0.7 * lag(v, 1) OVER p, 0.0) + COALESCE(0.48999999999999994 * lag(v, 2) OVER p, 0.0) + COALESCE(0.3429999999999999 * lag(v, 3) OVER p, 0.0) + COALESCE(0.24009999999999995 * lag(v, 4) OVER p, 0.0) + COALESCE(0.16806999999999994 * lag(v, 5) OVER p, 0.0) + COALESCE(0.11764899999999996 * lag(v, 6) OVER p, 0.0) + COALESCE(0.08235429999999996 * lag(v, 7) OVER p, 0.0) + COALESCE(0.05764800999999997 * lag(v, 8) OVER p, 0.0) + COALESCE(0.04035360699999998 * lag(v, 9) OVER p, 0.0) + COALESCE(0.028247524899999984 * lag(v, 10) OVER p, 0.0) + COALESCE(0.019773267429999988 * lag(v, 11) OVER p, 0.0))
+                 / (CASE WHEN lag(v, 0) OVER p IS NOT NULL THEN 1.0 ELSE 0.0 END + CASE WHEN lag(v, 1) OVER p IS NOT NULL THEN 0.7 ELSE 0.0 END + CASE WHEN lag(v, 2) OVER p IS NOT NULL THEN 0.48999999999999994 ELSE 0.0 END + CASE WHEN lag(v, 3) OVER p IS NOT NULL THEN 0.3429999999999999 ELSE 0.0 END + CASE WHEN lag(v, 4) OVER p IS NOT NULL THEN 0.24009999999999995 ELSE 0.0 END + CASE WHEN lag(v, 5) OVER p IS NOT NULL THEN 0.16806999999999994 ELSE 0.0 END + CASE WHEN lag(v, 6) OVER p IS NOT NULL THEN 0.11764899999999996 ELSE 0.0 END + CASE WHEN lag(v, 7) OVER p IS NOT NULL THEN 0.08235429999999996 ELSE 0.0 END + CASE WHEN lag(v, 8) OVER p IS NOT NULL THEN 0.05764800999999997 ELSE 0.0 END + CASE WHEN lag(v, 9) OVER p IS NOT NULL THEN 0.04035360699999998 ELSE 0.0 END + CASE WHEN lag(v, 10) OVER p IS NOT NULL THEN 0.028247524899999984 ELSE 0.0 END + CASE WHEN lag(v, 11) OVER p IS NOT NULL THEN 0.019773267429999988 ELSE 0.0 END), 6) AS ewma
+    FROM r WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)
+    """,
+)
+def tsdb_ewma_smooth(spark, sf_dir):
+    # Truncated-kernel EWMA over the 5-min mean rollup: a 12-lag
+    # geometric kernel (alpha=0.3) renormalized over the lags that
+    # exist, so series heads smooth over what is present instead of
+    # decaying from a fake zero.  The truncation is what makes the
+    # recurrence a WINDOW EXPRESSION: the exact EWMA is a sequential
+    # scan per series (driver-hostile at 100 TB), while a 12-lag kernel
+    # captures 1-(1-alpha)^12 ~ 98.6% of the exact filter's mass and
+    # runs inside the same metric-keyed exchange as every other rollup
+    # read.  Weights are embedded as repr'd Python doubles so both
+    # engines consume bit-identical literals.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    weights = [1.0, 0.7, 0.48999999999999994, 0.3429999999999999, 0.24009999999999995, 0.16806999999999994, 0.11764899999999996, 0.08235429999999996, 0.05764800999999997, 0.04035360699999998, 0.028247524899999984, 0.019773267429999988]
+    num = sum(
+        (F.coalesce(F.lit(wj) * F.lag("v", j).over(w), F.lit(0.0))
+         for j, wj in enumerate(weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(F.lag("v", j).over(w).isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+         for j, wj in enumerate(weights)),
+        F.lit(0.0),
+    )
+    return r.select(
+        "metric_id",
+        "bucket_ts",
+        F.round("v", 6).alias("v"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "corpus_novelty_scores",
+    f"""
+    WITH {_gram_sql(5, distinct=True)},
+    eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    fo AS (SELECT gram, min(doc_id) AS first_doc FROM eg GROUP BY 1)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM eg e JOIN fo f USING (gram)
+    GROUP BY 1
+    """,
+)
+def corpus_novelty_scores(spark, sf_dir):
+    # First-occurrence n-gram novelty per document: the fraction of a
+    # doc's distinct 5-grams it INTRODUCES to the corpus (doc_id as the
+    # ingestion-order proxy) — the standard curriculum/dedup-adjacent
+    # signal for "how much new text does this doc add".  Two shuffles,
+    # both uniform: gram-keyed first-occurrence min, then doc-keyed
+    # roll-up; no driver loop, no pair joins — novelty needs only the
+    # gram's global min owner, not pairwise overlap.
+    from gnocchi_spark.operators.dedup import spread_for_compute
+    from gnocchi_spark.operators.pipeline import with_token_ngrams
+
+    docs = tables.load(spark, sf_dir, "documents")
+    grams = with_token_ngrams(
+        spread_for_compute(docs), 5, "text", distinct=True
+    ).select("doc_id", F.explode("__grams").alias("gram"))
+    fo = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(fo, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
@@ -8587,11 +8694,11 @@ CHECK_ORDER = [
     "tsdb_ops_aggregate_mean",
     "tsdb_ops_rolling_mean4",
     "tsdb_ops_arith_fill0",
-    "tsdb_ops_clip_compare",
     "tsdb_fill_ffill",
-    "tsdb_fill_bfill",
-    # -- new this round (slot swapped in for an already-green re-check) --
+    # -- new this round (slots swapped in for already-green re-checks) --
     "hll_audience_overlap",
+    "tsdb_ewma_smooth",
+    "corpus_novelty_scores",
 ]
 
 # r05 closes the rotation: after this window every registered query has
