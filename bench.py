@@ -468,12 +468,34 @@ def scale_stress(spark, sf_dir, factor=10):
         spark.catalog.clearCache()
         return n
 
+    simhash_hamming_split = {}
+
     def simhash_cands(docs):
         # band-collision pairs BEFORE the hamming filter, at the same
-        # autotuned banding production uses
-        n = simhash_band_candidates(docs).count()
+        # autotuned banding production uses — split by hamming so the
+        # growth attribution is visible: background (uncorrelated)
+        # pairs concentrate near (bits - w)/2, genuinely-correlated
+        # pairs sit low.  If growth comes from the low bucket, it is
+        # the corpus's real similar-pair growth, not a banding defect.
+        from gnocchi_spark.operators.dedup import autotune_simhash_params
+
+        n_docs = docs.count()
+        b, w = autotune_simhash_params(n_docs)
+        cut = (b * w) // 4
+        split = {
+            ("low" if r["low"] else "background"): r["cnt"]
+            for r in simhash_band_candidates(docs)
+            .groupBy((F.col("hamming") <= cut).alias("low"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        simhash_hamming_split[n_docs] = {
+            "hamming_cut": cut,
+            "low": split.get("low", 0),
+            "background": split.get("background", 0),
+        }
         spark.catalog.clearCache()
-        return n
+        return split.get("low", 0) + split.get("background", 0)
 
     def emb_cands(emb):
         bands, bits = autotune_lsh_params(emb.count())
@@ -498,6 +520,14 @@ def scale_stress(spark, sf_dir, factor=10):
                 (n10 * (n10 - 1)) / (n1 * (n1 - 1)), 2
             ),
         }
+        if name == "simhash" and simhash_hamming_split:
+            s1 = simhash_hamming_split.get(n1, {})
+            s10 = simhash_hamming_split.get(n10, {})
+            candidates[name]["hamming_split"] = {"x1": s1, "x10": s10}
+            if s1.get("background") and s10.get("background") is not None:
+                candidates[name]["background_growth"] = round(
+                    s10["background"] / s1["background"], 2
+                )
     from gnocchi_spark.operators.dedup import autotune_minhash_params
 
     mh1 = autotune_minhash_params(n_docs1)

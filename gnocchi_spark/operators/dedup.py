@@ -502,11 +502,13 @@ def autotune_simhash_params(
     still supplies every bit; with max_hamming=3 the cap (w=32) binds
     around N ~ 1M, beyond which background grows as N**2/2**32 — still
     under one candidate per doc out to N ~ 4 billion.  Measured floor
-    (sf0.1 probe, 5k->50k docs): below budget ~1e3 candidates stop
-    shrinking because the remainder are genuinely-correlated pairs
-    (templated/near-dup families) whose band keys collide at ANY width
-    — candidate growth ~3.6x per 10x corpus tracks the corpus's real
-    similar-pair growth, with wall growth ~1.8x.
+    (sf0.1 probe, 5k->50k docs, hamming-split attribution in BENCH
+    scale_stress): background candidates (hamming near (bits-w)/2) are
+    FLAT — 18,010 -> 18,046 at a 10x corpus against a 100x pair space —
+    so the schedule removes exactly what it claims; the residual
+    ~3.6x candidate growth is all low-hamming pairs, i.e. the corpus's
+    genuinely-correlated near-dup families, which any exact method
+    must surface.  Wall growth ~1.8x.
     """
     import math
 
