@@ -160,3 +160,64 @@ def session_stats(
     if value_col:
         aggs.append(F.sum(value_col).alias("value_sum"))
     return s.groupBy(*[F.col(k) for k in key_cols], F.col("session_id")).agg(*aggs)
+
+
+def interval_join_pairs(
+    starts: DataFrame,
+    probes: DataFrame,
+    key_cols: Sequence[str],
+    window_seconds: float,
+    start_ts: str = "ts",
+    probe_ts: str = "ts",
+    probe_prefix: str = "p_",
+) -> DataFrame:
+    """Banded interval join: every (start, probe) pair with equal
+    ``key_cols`` and ``start_ts <= probe_ts < start_ts + window``.
+    Probe columns come back prefixed with ``probe_prefix``.
+
+    Spark has no interval-join operator, and the naive formulation —
+    an equi-join on the key with a range predicate — degenerates to
+    |starts| x |probes-per-key| candidates re-filtered afterwards.
+    This uses the standard banded-bucket decomposition instead: time
+    is cut into window-sized buckets; a start interval
+    [t, t + window) can only overlap bucket floor(t/W) and the next
+    one, so each start is exploded to exactly TWO (key, bucket) join
+    rows and each probe to one.  The join is then a pure equi-join on
+    (key, bucket) whose candidate count is bounded by genuine temporal
+    locality (pairs at most one window apart), never by per-key row
+    count; Catalyst shuffles both sides once on the same key and the
+    range residual is evaluated map-side post-join.  Bucket arithmetic
+    is integer microseconds end to end, so band assignment is exact —
+    no float boundary can disagree with the residual predicate.
+    """
+    keys = list(key_cols)
+    w_us = int(round(window_seconds * 1_000_000))
+    s_us = F.unix_micros(F.col(start_ts))
+    s = starts.select(
+        "*",
+        F.explode(
+            F.array(
+                (s_us / F.lit(w_us)).cast("long"),
+                (s_us / F.lit(w_us)).cast("long") + 1,
+            )
+        ).alias("__bucket"),
+    )
+    p_us = F.unix_micros(F.col(probe_ts))
+    p = probes.select(
+        *[F.col(k).alias(f"{probe_prefix}{k}") for k in keys],
+        (p_us / F.lit(w_us)).cast("long").alias("__bucket"),
+        *[
+            F.col(c).alias(f"{probe_prefix}{c}")
+            for c in probes.columns
+            if c not in keys
+        ],
+    )
+    pts = F.col(f"{probe_prefix}{probe_ts}")
+    cond = [F.col(k) == F.col(f"{probe_prefix}{k}") for k in keys]
+    cond.append(s["__bucket"] == p["__bucket"])
+    cond.append(pts >= F.col(start_ts))
+    cond.append(
+        F.unix_micros(pts) < F.unix_micros(F.col(start_ts)) + F.lit(w_us)
+    )
+    joined = s.join(p, on=cond, how="inner")
+    return joined.drop("__bucket", *[f"{probe_prefix}{k}" for k in keys])

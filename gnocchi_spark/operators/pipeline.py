@@ -770,3 +770,78 @@ def pmi_word_pairs(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-n-gram importance weights for domain-targeted data
+    selection (DSIR, Xie et al. 2023, arXiv:2302.03169): score every
+    document by the mean log-likelihood ratio of its tokens under a
+    target-domain bag-of-hashed-tokens model vs the raw-corpus model.
+    Documents whose token distribution looks like the target score
+    high; selection then samples by score (importance resampling).
+
+    ``is_target`` marks the rows that define the target distribution
+    (e.g. ``F.col("lang") == "en"`` or a curated-source predicate);
+    the raw distribution is the whole input.  Laplace-smoothed bucket
+    probabilities: p(b) = (count(b) + 1) / (total + n_buckets), with
+    tokens hashed into ``n_buckets`` buckets via md5 so any engine
+    replays the same buckets bit-for-bit.
+
+    Returns (id_col, n_tokens, dsir_score) with
+    dsir_score = round(mean_b log(p_target(b) / p_raw(b)), 6).
+
+    Scale shape: one token-keyed shuffle reduces the corpus to at most
+    ``n_buckets`` rows; totals are a 1-row aggregate crossJoined back
+    (broadcast); the per-bucket log-ratio table is broadcast to the
+    exploded tokens, so the only other wide exchange is the final
+    per-document mean.  Nothing in the plan grows with corpus size
+    except the two linear passes over the tokens.
+    """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    toks = (
+        spread_for_compute(docs)
+        .where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            is_target.alias("__t"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .select(
+            id_col,
+            "__t",
+            (
+                F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("cnt_r"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("double").alias("cnt_t"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    b = F.lit(float(n_buckets))
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("cnt_t") + 1.0) / (F.col("tot_t") + b))
+            - F.log((F.col("cnt_r") + 1.0) / (F.col("tot_r") + b))
+        ).alias("__lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("__lr") / F.count("*"), 6).alias("dsir_score"),
+        )
+    )

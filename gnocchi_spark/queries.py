@@ -8633,6 +8633,175 @@ def corpus_novelty_scores(spark, sf_dir):
 
 
 
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    tb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(nt, ' ')) AS tok
+            FROM norm)),
+    bs AS (
+      SELECT bucket, CAST(count(*) AS DOUBLE) AS cnt_r,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS cnt_t
+      FROM tb GROUP BY 1),
+    tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM bs),
+    lr AS (
+      SELECT bucket,
+             ln((cnt_t + 1.0) / (tot_t + 4096.0))
+               - ln((cnt_r + 1.0) / (tot_r + 4096.0)) AS lr
+      FROM bs, tot)
+    SELECT t.doc_id, min(t.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(l.lr) / count(*), 6) AS dsir_score
+    FROM tb t JOIN lr l USING (bucket) GROUP BY 1
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    # DSIR (Xie et al. 2023) domain-targeted selection scores: mean
+    # hashed-token log-likelihood ratio of each document under the
+    # English-subset target model vs the raw-corpus model, 4096 md5
+    # buckets, Laplace smoothing.  The per-bucket log-ratios are
+    # bit-identical across engines (integer counts, one division
+    # chain); only the per-doc mean is an order-varying double sum,
+    # absorbed by round(,6).  Plan: token shuffle -> <=4096-row stats,
+    # 1-row totals crossJoin (broadcast), ratio table broadcast back —
+    # per-doc mean is the only corpus-sized exchange.
+    from gnocchi_spark.operators.pipeline import dsir_importance
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = dsir_importance(docs, F.col("lang") == "en", n_buckets=4096)
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "dsir_score"
+    )
+
+
+@query(
+    "anomaly_seasonal_zscore",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    h AS (SELECT metric_id, bucket_ts, v,
+                 CAST(hour(bucket_ts) AS INT) AS hod FROM r),
+    m AS (SELECT metric_id, hod, avg(v) AS mu,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM h GROUP BY 1, 2),
+    s AS (SELECT h.metric_id, h.hod,
+                 sum((h.v - m.mu) * (h.v - m.mu)) AS ss2
+          FROM h JOIN m USING (metric_id, hod) GROUP BY 1, 2)
+    SELECT h.metric_id, h.bucket_ts, round(h.v, 6) AS v,
+           round(m.mu, 6) AS seasonal_mean,
+           CASE WHEN m.n >= 3 AND s.ss2 > 1e-9
+                THEN round((h.v - m.mu) / sqrt(s.ss2 / (m.n - 1)), 4)
+           END AS z
+    FROM h JOIN m USING (metric_id, hod) JOIN s USING (metric_id, hod)
+    """,
+)
+def anomaly_seasonal_zscore(spark, sf_dir):
+    # Seasonal-baseline anomaly scores: each 1 h rollup bucket is
+    # z-scored against the hour-of-day profile of its own metric (the
+    # standard "same hour, other days" seasonal baseline).  Two-pass
+    # moments — mean first, then sum of squared deviations — so the
+    # variance never goes through the n*Sxx - Sx^2 cancellation that
+    # flips cross-engine last-ulp signs; ss2 is a sum of non-negatives,
+    # and the 1e-9 emission guard sits ~13 orders above double noise
+    # and far below any genuine variance.  Every row is emitted (z NULL
+    # when the guard fails) so the result SET never depends on a
+    # computed double.  Profile tables are (metric, hour)-sized and
+    # broadcast; the only corpus-sized exchange is the 1 h rollup.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    h = r.withColumn("hod", F.hour("bucket_ts").cast("int"))
+    m = h.groupBy("metric_id", "hod").agg(
+        F.avg("v").alias("mu"), F.count("*").cast("long").alias("n")
+    )
+    hm = h.join(F.broadcast(m), ["metric_id", "hod"])
+    s = hm.groupBy("metric_id", "hod").agg(
+        F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias(
+            "ss2"
+        )
+    )
+    z = F.when(
+        (F.col("n") >= 3) & (F.col("ss2") > 1e-9),
+        F.round(
+            (F.col("v") - F.col("mu"))
+            / F.sqrt(F.col("ss2") / (F.col("n") - 1)),
+            4,
+        ),
+    )
+    return hm.join(F.broadcast(s), ["metric_id", "hod"]).select(
+        "metric_id",
+        "bucket_ts",
+        F.round("v", 6).alias("v"),
+        F.round("mu", 6).alias("seasonal_mean"),
+        z.alias("z"),
+    )
+
+
+@query(
+    "interval_join_activity",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT s.event_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT p.event_type) AS BIGINT) AS n_types,
+           round(coalesce(sum(p.value), 0.0), 6) AS sum_value
+    FROM s LEFT JOIN events p
+      ON p.user_id = s.user_id
+     AND p.event_id != s.event_id
+     AND p.ts >= s.ts
+     AND p.ts < s.ts + INTERVAL 900 SECOND
+    GROUP BY 1
+    """,
+)
+def interval_join_activity(spark, sf_dir):
+    # Interval join: per purchase event, same-user activity inside the
+    # following 15 minutes (count / distinct types / value sum) — the
+    # "what happened around the anchor event" join every feature store
+    # and attribution pipeline runs.  The oracle states it as the
+    # natural theta join; the Spark plan is the banded-bucket
+    # decomposition (operators/asof.py:interval_join_pairs): anchors
+    # explode to two window-sized time buckets, probes to one, and the
+    # join is a pure (user, bucket) equi-join with a map-side exact
+    # range residual — candidates bounded by temporal locality, never
+    # by per-user row count.  Anchors with an empty window are restored
+    # by the final left join against the full anchor set.
+    from gnocchi_spark.operators.asof import interval_join_pairs
+
+    ev = tables.load(spark, sf_dir, "events")
+    starts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = interval_join_pairs(
+        starts, ev, ["user_id"], 900.0
+    ).where(F.col("p_event_id") != F.col("event_id"))
+    agg = pairs.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("p_event_type").cast("long").alias("n_types"),
+        F.round(F.sum("p_value"), 6).alias("sum_value"),
+    )
+    return starts.join(agg, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
@@ -8690,15 +8859,17 @@ CHECK_ORDER = [
     "tsdb_rollup_first_last_1h",
     "tsdb_rate_mean_1h",
     "tsdb_resample_5m_to_1h",
-    "tsdb_calendar_week",
     "tsdb_ops_aggregate_mean",
-    "tsdb_ops_rolling_mean4",
     "tsdb_ops_arith_fill0",
-    "tsdb_fill_ffill",
-    # -- new this round (slots swapped in for already-green re-checks) --
+    # -- new this round (slots swapped in for already-green re-checks;
+    #    tsdb_calendar_week / tsdb_ops_rolling_mean4 / tsdb_fill_ffill
+    #    keep their driver-r03 green rows) --
     "hll_audience_overlap",
     "tsdb_ewma_smooth",
     "corpus_novelty_scores",
+    "dsir_importance_weights",
+    "anomaly_seasonal_zscore",
+    "interval_join_activity",
 ]
 
 # r05 closes the rotation: after this window every registered query has

@@ -123,3 +123,72 @@ def test_sessionize_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # lag + running sum + groupBy all share the user_id partitioning
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestIntervalJoinPairs:
+    """Banded interval join: pairs with start_ts <= probe_ts < start_ts + W,
+    verified against a brute-force cross join, including pairs that
+    straddle a bucket boundary (the explode-to-two-buckets case)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        base = dt.datetime(2024, 1, 1)
+
+        def at(sec, us=0):
+            return base + dt.timedelta(seconds=sec, microseconds=us)
+
+        starts = spark.createDataFrame(
+            [
+                (1, 10, at(0)),       # bucket 0; window [0, 60)
+                (2, 10, at(55)),      # straddles buckets 0/1
+                (3, 10, at(120)),     # empty window
+                (4, 20, at(0)),       # other key
+            ],
+            "sid long, k long, ts timestamp",
+        )
+        probes = spark.createDataFrame(
+            [
+                (100, 10, at(0)),            # == start 1 ts (inclusive)
+                (101, 10, at(59, 999999)),   # last us of start 1's window
+                (102, 10, at(60)),           # exactly W after start 1: OUT,
+                                             # but IN start 2's window
+                (103, 10, at(114, 999999)),  # last us of start 2's window
+                (104, 10, at(115)),          # first us past it: OUT
+                (105, 20, at(30)),           # matches start 4 only (key)
+                (106, 30, at(10)),           # key matches nothing
+            ],
+            "pid long, k long, ts timestamp",
+        )
+        return starts, probes
+
+    def test_matches_brute_force(self, spark, frames):
+        from gnocchi_spark.operators.asof import interval_join_pairs
+
+        starts, probes = frames
+        got = sorted(
+            (r["sid"], r["p_pid"])
+            for r in interval_join_pairs(
+                starts, probes, ["k"], 60.0
+            ).collect()
+        )
+        brute = sorted(
+            (s["sid"], p["pid"])
+            for s in starts.collect()
+            for p in probes.collect()
+            if s["k"] == p["k"]
+            and s["ts"] <= p["ts"] < s["ts"] + dt.timedelta(seconds=60)
+        )
+        assert got == brute
+        assert (1, 100) in got and (1, 101) in got      # inclusive lower
+        assert (1, 102) not in got                       # exclusive upper
+        assert (2, 102) in got and (2, 103) in got       # cross-bucket
+        assert (2, 104) not in got
+        assert all(s != 3 for s, _ in got)               # empty window
+
+    def test_no_duplicate_pairs_from_band_explode(self, spark, frames):
+        from gnocchi_spark.operators.asof import interval_join_pairs
+
+        starts, probes = frames
+        pairs = interval_join_pairs(starts, probes, ["k"], 60.0)
+        n = pairs.count()
+        assert pairs.select("sid", "p_pid").distinct().count() == n

@@ -328,3 +328,44 @@ def test_duplicated_ngram_coverage_counts_doc_once(spark):
         r["doc_id"]: r for r in duplicated_ngram_coverage(docs, n=2).collect()
     }
     assert out[0]["n_dup_grams"] == 0
+
+
+class TestDsirImportance:
+    def test_target_like_docs_score_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from gnocchi_spark.operators.pipeline import dsir_importance
+
+        # target dialect uses one vocabulary, background another; a
+        # held-out doc written in the target dialect must outscore a
+        # held-out background doc.
+        rows = [(i, "alpha beta gamma delta", True) for i in range(20)]
+        rows += [(20 + i, "omega sigma tau rho", False) for i in range(20)]
+        rows += [(99, "alpha beta beta gamma", False),   # target-like
+                 (98, "omega tau tau sigma", False)]     # background-like
+        docs = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+        scores = {
+            r["doc_id"]: r["dsir_score"]
+            for r in dsir_importance(docs, F.col("t"), n_buckets=64).collect()
+        }
+        assert scores[99] > 0 > scores[98]
+        assert all(scores[i] > 0 for i in range(20))
+        assert all(scores[i] < 0 for i in range(20, 40))
+
+    def test_token_count_and_smoothing_floor(self, spark):
+        from pyspark.sql import functions as F
+
+        from gnocchi_spark.operators.pipeline import dsir_importance
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", True), (2, "a b", False), (3, "", False)],
+            "doc_id long, text string, t boolean",
+        )
+        out = {r["doc_id"]: r for r in dsir_importance(
+            docs, F.col("t"), n_buckets=16
+        ).collect()}
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+        assert 3 not in out  # empty text excluded, not scored as zero
+        # every score is finite (Laplace smoothing: no log(0) anywhere)
+        import math
+        assert all(math.isfinite(r["dsir_score"]) for r in out.values())
