@@ -8802,6 +8802,150 @@ def interval_join_activity(spark, sf_dir):
     )
 
 
+@query(
+    "user_journey_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p_next
+    FROM t
+    """,
+)
+def user_journey_transitions(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event
+    # sequences: P(next event type | current), the standard journey /
+    # funnel-exploration view.  The sequence windows ride ONE
+    # user-keyed exchange (per-user rows are bounded by user activity,
+    # not corpus size); the transition table that follows is
+    # (n_types^2)-sized, so the normalizing window over prev_type is
+    # metadata-scale.  Tie order within a timestamp is pinned by
+    # event_id so both engines walk identical sequences.
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias(
+            "p_next"
+        ),
+    )
+
+
+@query(
+    "metric_lead_lag",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    lags AS (SELECT unnest([0, 1, 2]) AS lag),
+    p AS (
+      SELECT a.metric_id AS metric_a, bb.metric_id AS metric_b, l.lag,
+             a.v AS va, bb.v AS vb
+      FROM r a CROSS JOIN lags l
+      JOIN r bb ON bb.b = a.b + to_microseconds(l.lag * 300 * 1000000)
+              AND a.metric_id < bb.metric_id),
+    m AS (
+      SELECT metric_a, metric_b, lag, CAST(count(*) AS BIGINT) AS n,
+             avg(va) AS ma, avg(vb) AS mb
+      FROM p GROUP BY 1, 2, 3),
+    s AS (
+      SELECT p.metric_a, p.metric_b, p.lag,
+             sum((p.va - m.ma) * (p.vb - m.mb)) AS sab,
+             sum((p.va - m.ma) * (p.va - m.ma)) AS saa,
+             sum((p.vb - m.mb) * (p.vb - m.mb)) AS sbb
+      FROM p JOIN m USING (metric_a, metric_b, lag) GROUP BY 1, 2, 3)
+    SELECT m.metric_a, m.metric_b, CAST(m.lag AS INT) AS lag, m.n,
+           round(s.sab / sqrt(s.saa * s.sbb), 4) AS pearson_r
+    FROM m JOIN s USING (metric_a, metric_b, lag)
+    WHERE m.n > 1 AND s.saa > 1e-9 AND s.sbb > 1e-9
+    """,
+)
+def metric_lead_lag(spark, sf_dir):
+    # Lead-lag cross-correlation: Pearson r between metric a at t and
+    # metric b at t + lag buckets (lags 0-2 x 5 min) — "does a move
+    # before b", the root-causing companion to the simultaneous
+    # correlation matrix.  The lagged pairing is an equi-join on the
+    # SHIFTED bucket timestamp (exact integer-us arithmetic), so the
+    # pair space stays (metrics x buckets x lags), never rows x rows.
+    # Moments are two-pass centered — per-(pair,lag) means broadcast
+    # back, then sums of deviation products — so no n*Sxx - Sx^2
+    # cancellation; the 1e-9 variance guards sit far above double
+    # noise (genuine variances are O(1)) and identically on both
+    # engines.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
+    ).agg(F.avg("value").alias("v"))
+    lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
+    a = r.select(
+        F.col("metric_id").alias("metric_a"),
+        F.col("b"),
+        F.col("v").alias("va"),
+    ).crossJoin(F.broadcast(lags))
+    bb = r.select(
+        F.col("metric_id").alias("metric_b"),
+        F.col("b").alias("b2"),
+        F.col("v").alias("vb"),
+    )
+    shifted = F.timestamp_micros(
+        F.unix_micros(F.col("b")) + F.col("lag").cast("long") * 300_000_000
+    )
+    p = a.join(
+        bb,
+        (F.col("b2") == shifted) & (F.col("metric_a") < F.col("metric_b")),
+    )
+    m = p.groupBy("metric_a", "metric_b", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("va").alias("ma"),
+        F.avg("vb").alias("mb"),
+    )
+    pm = p.join(F.broadcast(m), ["metric_a", "metric_b", "lag"])
+    s = pm.groupBy("metric_a", "metric_b", "lag").agg(
+        F.sum((F.col("va") - F.col("ma")) * (F.col("vb") - F.col("mb"))).alias("sab"),
+        F.sum((F.col("va") - F.col("ma")) * (F.col("va") - F.col("ma"))).alias("saa"),
+        F.sum((F.col("vb") - F.col("mb")) * (F.col("vb") - F.col("mb"))).alias("sbb"),
+    )
+    return (
+        m.join(F.broadcast(s), ["metric_a", "metric_b", "lag"])
+        .where(
+            (F.col("n") > 1) & (F.col("saa") > 1e-9) & (F.col("sbb") > 1e-9)
+        )
+        .select(
+            "metric_a",
+            "metric_b",
+            "lag",
+            "n",
+            F.round(
+                F.col("sab") / F.sqrt(F.col("saa") * F.col("sbb")), 4
+            ).alias("pearson_r"),
+        )
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
@@ -8854,22 +8998,23 @@ CHECK_ORDER = [
     # -- re-checks: Sec.2.3-2.5 rollup / ops / fill core --
     "tsdb_rollup_mean_5m",
     "tsdb_rollup_multi_1h",
-    "tsdb_rollup_std_1h",
     "tsdb_rollup_pct_1d",
     "tsdb_rollup_first_last_1h",
     "tsdb_rate_mean_1h",
-    "tsdb_resample_5m_to_1h",
     "tsdb_ops_aggregate_mean",
     "tsdb_ops_arith_fill0",
     # -- new this round (slots swapped in for already-green re-checks;
-    #    tsdb_calendar_week / tsdb_ops_rolling_mean4 / tsdb_fill_ffill
-    #    keep their driver-r03 green rows) --
+    #    tsdb_calendar_week / tsdb_ops_rolling_mean4 / tsdb_fill_ffill /
+    #    tsdb_rollup_std_1h / tsdb_resample_5m_to_1h keep their
+    #    driver-r03 green rows) --
     "hll_audience_overlap",
     "tsdb_ewma_smooth",
     "corpus_novelty_scores",
     "dsir_importance_weights",
     "anomaly_seasonal_zscore",
     "interval_join_activity",
+    "user_journey_transitions",
+    "metric_lead_lag",
 ]
 
 # r05 closes the rotation: after this window every registered query has

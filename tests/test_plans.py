@@ -36,6 +36,7 @@ BNL_ALLOWED = {
     "user_pagerank",  # broadcast 1-row node-count scalar (cross, x4 iterations)
     "metric_freshness",  # broadcast 1-row high-water-mark scalar (cross)
     "hll_audience_overlap",  # broadcast 5-row event-type table, < self-pair
+    "metric_lead_lag",  # broadcast 3-row lag table (cross) onto the rollup
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
