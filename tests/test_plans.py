@@ -37,6 +37,7 @@ BNL_ALLOWED = {
     "metric_freshness",  # broadcast 1-row high-water-mark scalar (cross)
     "hll_audience_overlap",  # broadcast 5-row event-type table, < self-pair
     "metric_lead_lag",  # broadcast 3-row lag table (cross) onto the rollup
+    "dsir_importance_weights",  # broadcast 1-row token-total scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
