@@ -150,6 +150,22 @@ def _sessions_on(ev):
     )
 
 
+def _interval_on(ev):
+    # the interval_join_activity shape: purchases anchor a 15-min
+    # same-user window; banded (user, bucket) equi-join + residual
+    from gnocchi_spark.operators.asof import interval_join_pairs
+
+    starts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        interval_join_pairs(starts, ev, ["user_id"], 900.0)
+        .where(F.col("p_event_id") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_events"), F.sum("p_value").alias("sum_value"))
+    )
+
+
 def _replicated_docs(spark, sf_dir, factor):
     """documents x factor, each replica Caesar-ciphered by its index:
     within a replica the near-dup structure is EXACTLY the original
@@ -431,6 +447,11 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _asof_on(ev10, ord10)),
         ("sessionize", lambda: _sessions_on(ev1),
          lambda: _sessions_on(ev10)),
+        # banded interval join: 10x users with constant per-user
+        # density must grow ~linearly (candidates bound by temporal
+        # locality per key, never by corpus row count)
+        ("interval_join", lambda: _interval_on(ev1),
+         lambda: _interval_on(ev10)),
         ("dedup_span_apply", lambda: _span_apply_on(docs1),
          lambda: _span_apply_on(docs10)),
         ("dedup_bloom_batch", lambda: _bloom_on(docs1),
