@@ -8946,17 +8946,327 @@ def metric_lead_lag(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q12_shipping_delay",
+    """
+    SELECT CASE WHEN l.l_shipdate < o.o_orderdate THEN 'early'
+                WHEN l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+                  THEN 'on-time'
+                ELSE 'late' END AS delay_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipping_delay(spark, sf_dir):
+    # TPC-H Q12 shape (this dataset carries no l_shipmode/commitdate,
+    # so the mode dimension becomes a shipdate-vs-orderdate delay
+    # class; the plan shape is the point): one fact-fact equi-join
+    # with the year filter pushed to the lineitem scan, then the
+    # canonical priority CASE-sums.  Exact timestamp interval
+    # arithmetic classifies the delay — no float boundary.
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay_class = (
+        F.when(F.col("l_shipdate") < F.col("o_orderdate"), "early")
+        .when(
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            "on-time",
+        )
+        .otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(delay_class.alias("delay_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape (no p_container column, so the container terms
+    # drop out of each disjunct): revenue through a three-branch
+    # disjunctive predicate spanning both join sides.  The part side
+    # carries its own disjunction (brand x size) down to the scan and
+    # broadcasts; the mixed brand/quantity residual evaluates
+    # map-side after the broadcast hash join — the classic "OR of
+    # ANDs doesn't break the equi-join" plan.
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lo l1 ON l1.l_suppkey = s.s_suppkey AND l1.late
+    WHERE EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    # TPC-H Q21 shape (late := shipped >365 days after the order date,
+    # standing in for the missing receipt/commit columns): suppliers
+    # who were the SOLE late supplier on a finished multi-supplier
+    # order.  The oracle states it canonically (EXISTS + NOT EXISTS
+    # correlated self-joins); this plan is the Spark-first rewrite —
+    # ONE per-order aggregation (distinct suppliers, distinct LATE
+    # suppliers) replaces both correlated subqueries: l1 late with
+    # n_late_supp = 1 <=> "no other supplier was late", n_supp >= 2
+    # <=> "another supplier exists".  The rewrite turns two shuffled
+    # self-joins into one reduce plus an order-keyed equi-join, and
+    # the oracle equality PROVES the rewrite.
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "metric_spearman_matrix",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT metric_id, b,
+             CAST(row_number() OVER (PARTITION BY metric_id
+                                     ORDER BY v, b) AS BIGINT) AS rnk
+      FROM r),
+    p AS (
+      SELECT a.metric_id AS metric_a, bb.metric_id AS metric_b,
+             a.rnk AS x, bb.rnk AS y
+      FROM rk a JOIN rk bb ON a.b = bb.b AND a.metric_id < bb.metric_id),
+    s AS (
+      SELECT metric_a, metric_b, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY 1, 2)
+    SELECT metric_a, metric_b, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE)), 4)
+             AS spearman_r
+    FROM s WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def metric_spearman_matrix(spark, sf_dir):
+    # Spearman rank correlation between hourly metric series — the
+    # robust (monotone-invariant) companion to the Pearson matrix.
+    # Ranks are assigned with a DETERMINISTIC total order (value, then
+    # bucket time), so every moment sum is BIGINT-EXACT until the one
+    # final division: unlike Pearson's double sums, the n*Sxy - SxSy
+    # arithmetic here is integer and therefore bit-identical across
+    # engines — the variance guards compare exact integers, so the
+    # result set can never flip on float noise.  Rank windows ride one
+    # metric-keyed exchange; the pair space is metrics x buckets.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("b"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("metric_id").orderBy("v", "b")
+    rk = r.select(
+        "metric_id", "b", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    a = rk.select(
+        F.col("metric_id").alias("metric_a"),
+        F.col("b"),
+        F.col("rnk").alias("x"),
+    )
+    bb = rk.select(
+        F.col("metric_id").alias("metric_b"),
+        F.col("b").alias("b2"),
+        F.col("rnk").alias("y"),
+    )
+    s = (
+        a.join(bb, (F.col("b") == F.col("b2")) & (F.col("metric_a") < F.col("metric_b")))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.where((n > 1) & (vx > 0) & (vy > 0)).select(
+        "metric_a",
+        "metric_b",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            4,
+        ).alias("spearman_r"),
+    )
+
+
+@query(
+    "tsdb_cusum_profile",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT metric_id, avg(v) AS mu FROM r GROUP BY 1)
+    SELECT r.metric_id, r.bucket_ts, round(r.v, 6) AS v,
+           round(sum(r.v - m.mu)
+                   OVER (PARTITION BY r.metric_id ORDER BY r.bucket_ts),
+                 4) AS cusum
+    FROM r JOIN m USING (metric_id)
+    """,
+)
+def tsdb_cusum_profile(spark, sf_dir):
+    # CUSUM change-point profile: per metric, the running sum of
+    # deviations from the series mean over the hourly rollup — the
+    # classic drift/level-shift detector (a sustained shift shows as a
+    # monotone cusum ramp; the argmax locates the change point, which
+    # downstream consumers take from this profile rather than a
+    # float-argmax inside the engine).  The running window rides the
+    # same metric-keyed exchange as every rollup read; the per-metric
+    # mean is a metadata-scale broadcast.  round(,4) absorbs the
+    # summation-order divergence between engines (running vs
+    # segment-tree accumulation), which stays ~1e-10 over a month of
+    # buckets.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    m = r.groupBy("metric_id").agg(F.avg("v").alias("mu"))
+    w = (
+        Window.partitionBy("metric_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return r.join(F.broadcast(m), "metric_id").select(
+        "metric_id",
+        "bucket_ts",
+        F.round("v", 6).alias("v"),
+        F.round(F.sum(F.col("v") - F.col("mu")).over(w), 4).alias("cusum"),
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
     # union (r01..r04) covers 131 of the 162 queries registered at r04.
     # This window front-loads ALL 31 remaining never-driver-checked
-    # names (completing gate-of-record coverage of the full registry),
-    # then the query added this round (resource_rbac_scoped_aggregates),
-    # then 18 re-checks: the three candidate-generation queries whose
-    # banding/plane schedules changed this round (simhash / embedding
-    # LSH / minhash pinning coherence) and the Sec.2.3-2.5 rollup/ops/
-    # fill core.  Everything else stays covered by ORACLE_FULL_r05.txt.
+    # names (completing gate-of-record coverage of the r04 registry),
+    # then the 14 queries ADDED in r05 (RBAC composition + the new
+    # pipeline/analytics/TPC-H family), then 5 re-checks: the three
+    # candidate-generation queries whose banding/plane schedules
+    # changed this round (simhash / embedding LSH / minhash pinning
+    # coherence) plus the Sec.2.3/2.4 anchors.  Everything else stays
+    # covered by ORACLE_FULL_r05.txt.
     # -- the 31-query backlog: first driver check ever --
     "calendar_extract_profile",
     "sample_domain_mixture",
@@ -8997,16 +9307,11 @@ CHECK_ORDER = [
     "dedup_minhash_lsh",
     # -- re-checks: Sec.2.3-2.5 rollup / ops / fill core --
     "tsdb_rollup_mean_5m",
-    "tsdb_rollup_multi_1h",
-    "tsdb_rollup_pct_1d",
-    "tsdb_rollup_first_last_1h",
-    "tsdb_rate_mean_1h",
     "tsdb_ops_aggregate_mean",
-    "tsdb_ops_arith_fill0",
     # -- new this round (slots swapped in for already-green re-checks;
-    #    tsdb_calendar_week / tsdb_ops_rolling_mean4 / tsdb_fill_ffill /
-    #    tsdb_rollup_std_1h / tsdb_resample_5m_to_1h keep their
-    #    driver-r03 green rows) --
+    #    the rotated-out §2.3-2.5 core — calendar_week, ops_rolling,
+    #    fill_ffill, rollup_std/pct/first_last/multi, rate, resample,
+    #    arith_fill0 — all keep their driver-r03 green rows) --
     "hll_audience_overlap",
     "tsdb_ewma_smooth",
     "corpus_novelty_scores",
@@ -9015,13 +9320,19 @@ CHECK_ORDER = [
     "interval_join_activity",
     "user_journey_transitions",
     "metric_lead_lag",
+    "tpch_q12_shipping_delay",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "metric_spearman_matrix",
+    "tsdb_cusum_profile",
 ]
 
 # r05 closes the rotation: after this window every registered query has
 # at least one driver-checked green row (r01..r04 union = 131/162; the
-# 31 above + the new RBAC query complete it).  From r06 on, windows
-# re-check whatever changed that round plus a rolling sample of the
-# core; full-registry coverage is maintained by ORACLE_FULL_r{N}.txt.
+# 31-query backlog plus the 14 queries new in r05 complete coverage of
+# the 176-query registry).  From r06 on, windows re-check whatever
+# changed that round plus a rolling sample of the core; full-registry
+# coverage is maintained by ORACLE_FULL_r{N}.txt.
 
 
 def ordered_queries() -> dict:

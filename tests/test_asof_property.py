@@ -128,3 +128,50 @@ def test_sessionize_matches_pandas_reference(spark, case):
         for r in sessionize(df, ["k"], gap_seconds=gap, tie_col="eid").collect()
     }
     assert got == _pandas_sessions(rows, gap)
+
+
+@st.composite
+def interval_case(draw):
+    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=3, unique=True))
+    starts, probes = [], []
+    for k in keys:
+        # second-resolution offsets hugging the window bound (60 s) so
+        # boundary buckets and exact-edge pairs are exercised
+        ssecs = draw(st.lists(st.integers(0, 200), min_size=0, max_size=5))
+        psecs = draw(st.lists(st.integers(0, 260), min_size=0, max_size=8))
+        starts += [(k, s) for s in ssecs]
+        probes += [(k, s) for s in psecs]
+    return starts, probes
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=interval_case())
+def test_interval_join_matches_brute_force(spark, case):
+    from gnocchi_spark.operators.asof import interval_join_pairs
+
+    start_rows, probe_rows = case
+    if not start_rows:
+        return
+    starts = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(start_rows)],
+        "k long, ts timestamp, sid long",
+    )
+    probes = spark.createDataFrame(
+        [(k, _ts(s), 100 + i) for i, (k, s) in enumerate(probe_rows)],
+        "k long, ts timestamp, pid long",
+    )
+    got = sorted(
+        (r["sid"], r["p_pid"])
+        for r in interval_join_pairs(starts, probes, ["k"], 60.0).collect()
+    )
+    want = sorted(
+        (i, 100 + j)
+        for i, (k, s) in enumerate(start_rows)
+        for j, (k2, p) in enumerate(probe_rows)
+        if k == k2 and s <= p < s + 60
+    )
+    assert got == want
