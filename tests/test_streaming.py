@@ -548,3 +548,63 @@ def test_stream_static_dim_enrichment_rollup(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    # same data through the batch banded interval join and the
+    # stream-stream time-range join must produce identical pairs,
+    # including the exact window edges (inclusive lower, exclusive
+    # upper) and cross-key isolation
+    from gnocchi_spark.operators.asof import interval_join_pairs
+    from gnocchi_spark.streaming.joins import streaming_interval_join
+
+    schema = "sid long, k long, ts timestamp"
+    pschema = "pid long, k long, ts timestamp"
+    start_rows = [
+        (1, 10, _t(0, 0)),
+        (2, 10, _t(0, 55)),
+        (3, 20, _t(1, 0)),
+        (4, 10, _t(30, 0)),  # empty window
+    ]
+    probe_rows = [
+        (100, 10, _t(0, 0)),       # == start 1 ts: in
+        (101, 10, _t(0, 59)),      # in window of 1 and 2
+        (102, 10, _t(1, 0)),       # exactly W after 1: out for 1, in for 2
+        (103, 10, _t(1, 54)),      # last second of 2's window
+        (104, 10, _t(1, 55)),      # first second past it: out
+        (105, 20, _t(1, 30)),      # other key: start 3 only
+        (106, 30, _t(0, 30)),      # key with no starts
+    ]
+    sdir, pdir = str(tmp_path / "s"), str(tmp_path / "p")
+    spark.createDataFrame(start_rows, schema).coalesce(1).write.parquet(sdir)
+    spark.createDataFrame(probe_rows, pschema).coalesce(1).write.parquet(pdir)
+
+    batch = sorted(
+        (r["sid"], r["p_pid"])
+        for r in interval_join_pairs(
+            spark.read.parquet(sdir),
+            spark.read.parquet(pdir),
+            ["k"],
+            60.0,
+        ).collect()
+    )
+
+    s_stream = spark.readStream.schema(schema).parquet(sdir)
+    p_stream = spark.readStream.schema(pschema).parquet(pdir)
+    joined = streaming_interval_join(s_stream, p_stream, ["k"], 60.0)
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r["sid"], r["p_pid"]) for r in spark.read.parquet(out).collect()
+    )
+    assert streamed == batch
+    assert (1, 100) in streamed and (2, 102) in streamed
+    assert (1, 102) not in streamed and (2, 104) not in streamed
