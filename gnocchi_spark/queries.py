@@ -9255,13 +9255,182 @@ def tsdb_cusum_profile(spark, sf_dir):
     )
 
 
+@query(
+    "label_propagation_communities",
+    f"""
+    WITH occ AS (
+      SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM occ a JOIN occ b ON a.b = b.b AND a.user_id != b.user_id),
+    l0 AS (SELECT DISTINCT src AS uid, src AS lbl FROM e),
+    c1 AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+           FROM e JOIN l0 l ON e.src = l.uid GROUP BY 1, 2),
+    l1 AS (SELECT dst AS uid, lbl FROM (
+             SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+                      ORDER BY cnt DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+           FROM e JOIN l1 l ON e.src = l.uid GROUP BY 1, 2),
+    l2 AS (SELECT dst AS uid, lbl FROM (
+             SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+                      ORDER BY cnt DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+    c3 AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+           FROM e JOIN l2 l ON e.src = l.uid GROUP BY 1, 2),
+    l3 AS (SELECT dst AS uid, lbl FROM (
+             SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+                      ORDER BY cnt DESC, lbl) AS rn FROM c3) WHERE rn = 1),
+    sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+           FROM l3 GROUP BY 1)
+    SELECT l3.uid AS user_id, l3.lbl AS community, sz.community_size
+    FROM l3 JOIN sz USING (lbl)
+    """,
+)
+def label_propagation_communities(spark, sf_dir):
+    # Synchronous label propagation (3 unrolled rounds) over the same
+    # purchase co-occurrence graph PageRank walks — community
+    # detection as the second iterative-join workload.  Determinism is
+    # the design point: each node adopts its neighbors' most frequent
+    # label with ties broken by SMALLEST label, expressed as an exact
+    # integer (max count, min label) argmin — min(struct(-cnt, lbl)) —
+    # so both engines agree bit-for-bit with no float anywhere.  Every
+    # round is one join + one aggregate on the SAME edge partitioning
+    # (the iteration-reuse property that matters at 1000 executors);
+    # lineage is checkpoint-truncated per round like the PageRank
+    # vector.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    occ = (
+        tables.load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", truncate_to_bucket(F.col("ts"), 3600.0).alias("b")
+        )
+        .distinct()
+    )
+    o2 = occ.select(F.col("user_id").alias("uid2"), F.col("b").alias("b2"))
+    e = (
+        occ.join(
+            o2,
+            (F.col("b") == F.col("b2")) & (F.col("user_id") != F.col("uid2")),
+        )
+        .select(F.col("user_id").alias("src"), F.col("uid2").alias("dst"))
+        .distinct()
+    )
+    lbl = e.select(F.col("src").alias("uid"), F.col("src").alias("lbl")).distinct()
+    for _ in range(3):
+        cnt = (
+            e.join(lbl, e.src == lbl.uid)
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        lbl = (
+            cnt.groupBy(F.col("dst").alias("uid"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("negc"), F.col("lbl"))
+                ).alias("best")
+            )
+            .select("uid", F.col("best.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sz = lbl.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return lbl.join(sz, "lbl").select(
+        F.col("uid").alias("user_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+@query(
+    "tsdb_seasonal_decompose",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT metric_id, bucket_ts, v,
+             avg(v) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS trend,
+             CAST(count(*) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS BIGINT) AS wn
+      FROM r),
+    se AS (
+      SELECT metric_id, CAST(hour(bucket_ts) AS INT) AS hod,
+             avg(v - trend) AS seasonal
+      FROM tr WHERE wn = 25 GROUP BY 1, 2)
+    SELECT t.metric_id, t.bucket_ts, round(t.v, 6) AS v,
+           round(t.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(t.v - t.trend - s.seasonal, 6) AS resid
+    FROM tr t JOIN se s
+      ON s.metric_id = t.metric_id
+     AND s.hod = CAST(hour(t.bucket_ts) AS INT)
+    WHERE t.wn = 25
+    """,
+)
+def tsdb_seasonal_decompose(spark, sf_dir):
+    # Additive seasonal decomposition (STL-lite) of the hourly rollup:
+    # trend = centered 25-point moving average, seasonal = hour-of-day
+    # mean of the detrended series, residual = the rest.  Interior
+    # buckets only (wn = 25 drops the edge buckets whose centered
+    # window is truncated — the row set is an exact integer predicate,
+    # never a float threshold).  The moving window rides the
+    # metric-keyed exchange; the seasonal profile is a (metric, hour)
+    # broadcast — the same two-exchange shape as every other rollup
+    # read.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    w = (
+        Window.partitionBy("metric_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(-12, 12)
+    )
+    tr = r.select(
+        "metric_id",
+        "bucket_ts",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count("*").over(w).cast("long").alias("wn"),
+    ).where(F.col("wn") == 25)
+    se = tr.groupBy(
+        "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
+    ).agg(F.avg(F.col("v") - F.col("trend")).alias("seasonal"))
+    return (
+        tr.withColumn("hod", F.hour("bucket_ts").cast("int"))
+        .join(F.broadcast(se), ["metric_id", "hod"])
+        .select(
+            "metric_id",
+            "bucket_ts",
+            F.round("v", 6).alias("v"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
     # union (r01..r04) covers 131 of the 162 queries registered at r04.
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
-    # then the 14 queries ADDED in r05 (RBAC composition + the new
+    # then the 16 queries ADDED in r05 (RBAC composition + the new
     # pipeline/analytics/TPC-H family), then 5 re-checks: the three
     # candidate-generation queries whose banding/plane schedules
     # changed this round (simhash / embedding LSH / minhash pinning
@@ -9306,12 +9475,12 @@ CHECK_ORDER = [
     "ann_lsh_topk",
     "dedup_minhash_lsh",
     # -- re-checks: Sec.2.3-2.5 rollup / ops / fill core --
-    "tsdb_rollup_mean_5m",
-    "tsdb_ops_aggregate_mean",
     # -- new this round (slots swapped in for already-green re-checks;
     #    the rotated-out §2.3-2.5 core — calendar_week, ops_rolling,
-    #    fill_ffill, rollup_std/pct/first_last/multi, rate, resample,
-    #    arith_fill0 — all keep their driver-r03 green rows) --
+    #    fill_ffill, rollup_mean/std/pct/first_last/multi, rate,
+    #    resample, ops_aggregate_mean, arith_fill0 — all keep their
+    #    driver-r03 green rows; their implementations are unchanged
+    #    since) --
     "hll_audience_overlap",
     "tsdb_ewma_smooth",
     "corpus_novelty_scores",
@@ -9325,12 +9494,14 @@ CHECK_ORDER = [
     "tpch_q21_waiting_suppliers",
     "metric_spearman_matrix",
     "tsdb_cusum_profile",
+    "label_propagation_communities",
+    "tsdb_seasonal_decompose",
 ]
 
 # r05 closes the rotation: after this window every registered query has
 # at least one driver-checked green row (r01..r04 union = 131/162; the
-# 31-query backlog plus the 14 queries new in r05 complete coverage of
-# the 176-query registry).  From r06 on, windows re-check whatever
+# 31-query backlog plus the 16 queries new in r05 complete coverage of
+# the 178-query registry).  From r06 on, windows re-check whatever
 # changed that round plus a rolling sample of the core; full-registry
 # coverage is maintained by ORACLE_FULL_r{N}.txt.
 
