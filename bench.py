@@ -150,6 +150,23 @@ def _sessions_on(ev):
     )
 
 
+def _lp_on(ev):
+    # label_propagation_communities shape on an arbitrary events
+    # frame: degree-capped co-occurrence edges (the cap is what this
+    # stress PROVES — uncapped, 10x users measured 40x wall because
+    # the bucket self-join squares with concurrency), 3 unrolled sync
+    # rounds, exact-integer argmin per node
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import cooccurrence_edges, label_propagation
+
+    e = cooccurrence_edges(
+        ev.where(F.col("event_type") == "purchase"),
+        truncate_to_bucket(F.col("ts"), 3600.0),
+        max_per_bucket=32,
+    )
+    return label_propagation(e, 3).groupBy("lbl").agg(F.count("*").alias("sz"))
+
+
 def _interval_on(ev):
     # the interval_join_activity shape: purchases anchor a 15-min
     # same-user window; banded (user, bucket) equi-join + residual
@@ -452,6 +469,10 @@ def scale_stress(spark, sf_dir, factor=10):
         # locality per key, never by corpus row count)
         ("interval_join", lambda: _interval_on(ev1),
          lambda: _interval_on(ev10)),
+        # iterative-join family: 10x users, disjoint key spaces —
+        # edges never cross replicas, so rounds scale with users
+        ("label_propagation", lambda: _lp_on(ev1),
+         lambda: _lp_on(ev10)),
         ("dedup_span_apply", lambda: _span_apply_on(docs1),
          lambda: _span_apply_on(docs10)),
         ("dedup_bloom_batch", lambda: _bloom_on(docs1),

@@ -1,0 +1,120 @@
+"""Co-occurrence graph construction and iterative graph algorithms
+(PageRank, synchronous label propagation).
+
+The reference has no graph operators (its joins are resource<->metric
+equi-joins, gnocchi/rest/api.py); these serve the engine's analytics
+charter over event streams: "who acts together" graphs and the
+iterative-join workload class.
+
+Scale design — the edge generator is the part that decides 100 TB
+viability.  A co-occurrence graph pairs every two users sharing a
+time bucket, so the raw pair space is sum-over-buckets of n_b² where
+n_b is PER-BUCKET CONCURRENCY — a number that grows with fleet size
+at fixed bucket width.  Measured (BENCH scale_stress r05): 10x users
+at constant per-user rate made uncapped label propagation 40x slower,
+because every bucket densified 10x and the bucket self-join squared
+it.  The fix is deterministic degree-capped sparsification: rank each
+bucket's members by md5(user) and pair only the first
+``max_per_bucket`` — pair space <= cap² per bucket, i.e. LINEAR in
+buckets/time regardless of concurrency, while small buckets (below
+the cap) keep the exact graph.  The md5 rank makes the sparsified
+graph a pure function of the data, so a SQL oracle replays it
+bit-for-bit and incremental runs see a stable graph.  (The same
+technique every production similarity/graph pipeline applies when a
+blocking key gets hot; cf. the df-capped shingle blocking in
+operators/dedup.ngram_jaccard_pairs.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    bucket: Column,
+    node_col: str = "user_id",
+    max_per_bucket: int = 32,
+) -> DataFrame:
+    """Symmetric (src, dst) edges between distinct nodes sharing a
+    bucket, with per-bucket membership capped at ``max_per_bucket``
+    by deterministic md5 rank (see module docstring for why the cap
+    is the scale-critical piece)."""
+    occ = events.select(F.col(node_col).alias("node"), bucket.alias("b")).distinct()
+    w = Window.partitionBy("b").orderBy(
+        F.md5(F.col("node").cast("string")), F.col("node")
+    )
+    capped = (
+        occ.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_per_bucket)
+        .drop("__rk")
+    )
+    o2 = capped.select(F.col("node").alias("node2"), F.col("b").alias("b2"))
+    return (
+        capped.join(
+            o2, (F.col("b") == F.col("b2")) & (F.col("node") != F.col("node2"))
+        )
+        .select(F.col("node").alias("src"), F.col("node2").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """Unrolled synchronous PageRank over a (src, dst) edge frame.
+    Returns (uid, degree, p).  Every iteration is one key-partitioned
+    join + aggregate on the SAME edge partitioning; lineage is
+    checkpoint-truncated per iteration so plan cost stays O(1) per
+    round (see queries.user_pagerank history)."""
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    p = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("uid"), (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    ed = edges.join(deg, "src")
+    for _ in range(iterations):
+        p = (
+            ed.join(p, ed.src == p.uid)
+            .groupBy(F.col("dst").alias("nuid"))
+            .agg(F.sum(F.col("p") / F.col("d")).alias("contrib"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("nuid").alias("uid"),
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.col("contrib")
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return p.join(deg, p.uid == deg.src).select(
+        "uid", F.col("d").alias("degree"), "p"
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Unrolled synchronous label propagation over a (src, dst) edge
+    frame: each round every node adopts its neighbors' most frequent
+    label, ties to the SMALLEST label — an exact-integer
+    min(struct(-count, label)) argmin, so the result is
+    bit-deterministic on any engine.  Returns (uid, lbl)."""
+    lbl = edges.select(
+        F.col("src").alias("uid"), F.col("src").alias("lbl")
+    ).distinct()
+    for _ in range(iterations):
+        cnt = (
+            edges.join(lbl, edges.src == lbl.uid)
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        lbl = (
+            cnt.groupBy(F.col("dst").alias("uid"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("negc"), F.col("lbl"))
+                ).alias("best")
+            )
+            .select("uid", F.col("best.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return lbl

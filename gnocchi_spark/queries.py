@@ -8317,9 +8317,15 @@ def metric_user_entropy(spark, sf_dir):
     WITH occ AS (
       SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
       FROM events WHERE event_type = 'purchase'),
+    cap AS (
+      SELECT user_id, b FROM (
+        SELECT user_id, b,
+               row_number() OVER (PARTITION BY b
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rk
+        FROM occ) WHERE rk <= 32),
     e AS (
       SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      FROM occ a JOIN occ b ON a.b = b.b AND a.user_id != b.user_id),
+      FROM cap a JOIN cap b ON a.b = b.b AND a.user_id != b.user_id),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
     p0 AS (SELECT src AS uid, 1.0 / n AS p FROM deg, nn),
@@ -8342,63 +8348,27 @@ def metric_user_entropy(spark, sf_dir):
 def user_pagerank(spark, sf_dir):
     # PageRank (3 unrolled power iterations, damping 0.85) over the
     # purchase co-occurrence graph — the iterative-join workload class
-    # beyond the dedup family's connected components.  Edges are
-    # bucket-bounded (users sharing a purchase hour), so the pair
-    # space is sum-over-buckets of n_b², never users²; every iteration
-    # is one key-partitioned join + aggregate on the SAME edge
-    # partitioning, which is what lets a 1000-executor run reuse one
-    # shuffle layout across iterations.  The iteration count is fixed
-    # and unrolled — no driver loop per convergence check — and the
-    # oracle replays all three iterations.
+    # beyond the dedup family's connected components.  Edge
+    # construction is DEGREE-CAPPED (operators/graph.py: md5-ranked
+    # top-32 members per bucket pair up), because uncapped bucket
+    # self-joins square with per-bucket concurrency — measured 40x
+    # wall at 10x users in BENCH scale_stress before the cap; with it,
+    # pair space is <= 32² per bucket, linear in time.  Buckets below
+    # the cap (all of them at oracle scale) keep the exact graph.
+    # Iterations are fixed, unrolled, lineage-truncated; the oracle
+    # replays the capped construction and all three rounds.
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import cooccurrence_edges, pagerank
 
-    occ = (
-        tables.load(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id", truncate_to_bucket(F.col("ts"), 3600.0).alias("b")
-        )
-        .distinct()
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
     )
-    o2 = occ.select(F.col("user_id").alias("uid2"), F.col("b").alias("b2"))
-    e = (
-        occ.join(
-            o2,
-            (F.col("b") == F.col("b2")) & (F.col("user_id") != F.col("uid2")),
-        )
-        .select(F.col("user_id").alias("src"), F.col("uid2").alias("dst"))
-        .distinct()
+    e = cooccurrence_edges(
+        ev, truncate_to_bucket(F.col("ts"), 3600.0), max_per_bucket=32
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
-    nn = deg.agg(F.count("*").cast("double").alias("n"))
-    p = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("uid"), (F.lit(1.0) / F.col("n")).alias("p")
-    )
-    ed = e.join(deg, "src")
-    for _ in range(3):
-        p = (
-            ed.join(p, ed.src == p.uid)
-            .groupBy(F.col("dst").alias("nuid"))
-            .agg(F.sum(F.col("p") / F.col("d")).alias("contrib"))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                F.col("nuid").alias("uid"),
-                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("contrib")).alias(
-                    "p"
-                ),
-            )
-        )
-        # truncate lineage per power iteration: without this the plan
-        # nests every prior iteration's joins (r03 audit: 50 exchanges
-        # / 24 scans for 3 iterations), and Catalyst + codegen cost
-        # grows multiplicatively with iteration count long before data
-        # does.  Lazy local checkpoint materializes the (n_users)-row
-        # rank vector on first use and replaces the subtree with a
-        # LogicalRDD — values identical, plan O(1) per iteration.
-        p = p.localCheckpoint(eager=False)
-    return p.join(deg, p.uid == deg.src).select(
+    return pagerank(e, iterations=3, damping=0.85).select(
         F.col("uid").alias("user_id"),
-        F.col("d").alias("degree"),
+        "degree",
         F.round("p", 8).alias("pagerank"),
     )
 
@@ -9261,9 +9231,15 @@ def tsdb_cusum_profile(spark, sf_dir):
     WITH occ AS (
       SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
       FROM events WHERE event_type = 'purchase'),
+    cap AS (
+      SELECT user_id, b FROM (
+        SELECT user_id, b,
+               row_number() OVER (PARTITION BY b
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rk
+        FROM occ) WHERE rk <= 32),
     e AS (
       SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      FROM occ a JOIN occ b ON a.b = b.b AND a.user_id != b.user_id),
+      FROM cap a JOIN cap b ON a.b = b.b AND a.user_id != b.user_id),
     l0 AS (SELECT DISTINCT src AS uid, src AS lbl FROM e),
     c1 AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
            FROM e JOIN l0 l ON e.src = l.uid GROUP BY 1, 2),
@@ -9288,9 +9264,11 @@ def tsdb_cusum_profile(spark, sf_dir):
 )
 def label_propagation_communities(spark, sf_dir):
     # Synchronous label propagation (3 unrolled rounds) over the same
-    # purchase co-occurrence graph PageRank walks — community
-    # detection as the second iterative-join workload.  Determinism is
-    # the design point: each node adopts its neighbors' most frequent
+    # DEGREE-CAPPED purchase co-occurrence graph PageRank walks
+    # (operators/graph.py — the uncapped bucket self-join measured 40x
+    # wall at 10x users; the md5-ranked cap makes the pair space
+    # linear in time and oracle-replayable).  Determinism is the
+    # design point: each node adopts its neighbors' most frequent
     # label with ties broken by SMALLEST label, expressed as an exact
     # integer (max count, min label) argmin — min(struct(-cnt, lbl)) —
     # so both engines agree bit-for-bit with no float anywhere.  Every
@@ -9299,41 +9277,18 @@ def label_propagation_communities(spark, sf_dir):
     # lineage is checkpoint-truncated per round like the PageRank
     # vector.
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
 
-    occ = (
-        tables.load(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id", truncate_to_bucket(F.col("ts"), 3600.0).alias("b")
-        )
-        .distinct()
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
     )
-    o2 = occ.select(F.col("user_id").alias("uid2"), F.col("b").alias("b2"))
-    e = (
-        occ.join(
-            o2,
-            (F.col("b") == F.col("b2")) & (F.col("user_id") != F.col("uid2")),
-        )
-        .select(F.col("user_id").alias("src"), F.col("uid2").alias("dst"))
-        .distinct()
+    e = cooccurrence_edges(
+        ev, truncate_to_bucket(F.col("ts"), 3600.0), max_per_bucket=32
     )
-    lbl = e.select(F.col("src").alias("uid"), F.col("src").alias("lbl")).distinct()
-    for _ in range(3):
-        cnt = (
-            e.join(lbl, e.src == lbl.uid)
-            .groupBy("dst", "lbl")
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        lbl = (
-            cnt.groupBy(F.col("dst").alias("uid"))
-            .agg(
-                F.min(
-                    F.struct((-F.col("cnt")).alias("negc"), F.col("lbl"))
-                ).alias("best")
-            )
-            .select("uid", F.col("best.lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
+    lbl = label_propagation(e, iterations=3)
     sz = lbl.groupBy("lbl").agg(
         F.count("*").cast("long").alias("community_size")
     )

@@ -1,0 +1,85 @@
+"""Unit tests for the co-occurrence graph operators
+(operators/graph.py): degree-capped edge construction (determinism,
+cap binding, symmetry) and label-propagation convergence on a known
+two-community graph."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnocchi_spark.operators.graph import (
+    cooccurrence_edges,
+    label_propagation,
+    pagerank,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+class TestCooccurrenceEdges:
+    def test_small_buckets_exact_and_symmetric(self, spark):
+        # two buckets below the cap: the exact co-occurrence graph
+        ev = _ev(
+            spark,
+            [(1, ts(0)), (2, ts(0)), (3, ts(0)), (1, ts(30)), (4, ts(30))],
+        )
+        e = cooccurrence_edges(
+            ev, F.date_trunc("minute", F.col("ts")), max_per_bucket=32
+        )
+        got = {(r["src"], r["dst"]) for r in e.collect()}
+        want = {(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (1, 4), (4, 1)}
+        assert got == want
+
+    def test_cap_bounds_pairs_and_is_deterministic(self, spark):
+        # one hot bucket with 20 members, cap 5: exactly 5*4 ordered
+        # pairs survive, and the SAME 5 members survive on every run
+        # (md5 rank is a pure function of the data)
+        ev = _ev(spark, [(u, ts(0)) for u in range(20)])
+        bucket = F.date_trunc("minute", F.col("ts"))
+        e1 = cooccurrence_edges(ev, bucket, max_per_bucket=5)
+        pairs1 = {(r["src"], r["dst"]) for r in e1.collect()}
+        assert len(pairs1) == 5 * 4
+        pairs2 = {
+            (r["src"], r["dst"])
+            for r in cooccurrence_edges(ev, bucket, max_per_bucket=5).collect()
+        }
+        assert pairs1 == pairs2
+
+    def test_cap_keeps_pairspace_linear_in_buckets(self, spark):
+        # 3 hot buckets x 50 members, cap 4 -> 3 * 4*3 pairs, not 3 * 50*49
+        rows = [(b * 100 + u, ts(b)) for b in range(3) for u in range(50)]
+        e = cooccurrence_edges(
+            _ev(spark, rows), F.date_trunc("minute", F.col("ts")), max_per_bucket=4
+        )
+        assert e.count() == 3 * 4 * 3
+
+
+class TestLabelPropagation:
+    def test_two_cliques_converge_to_two_communities(self, spark):
+        # two disjoint cliques (shared buckets) -> each collapses to
+        # its own min-label community
+        rows = [(u, ts(0)) for u in (1, 2, 3)] + [(u, ts(30)) for u in (7, 8, 9)]
+        e = cooccurrence_edges(
+            _ev(spark, rows), F.date_trunc("minute", F.col("ts")), max_per_bucket=32
+        )
+        lbl = {r["uid"]: r["lbl"] for r in label_propagation(e, 3).collect()}
+        assert lbl[1] == lbl[2] == lbl[3] == 1
+        assert lbl[7] == lbl[8] == lbl[9] == 7
+
+    def test_pagerank_mass_conserves(self, spark):
+        rows = [(u, ts(0)) for u in (1, 2, 3, 4)]
+        e = cooccurrence_edges(
+            _ev(spark, rows), F.date_trunc("minute", F.col("ts")), max_per_bucket=32
+        )
+        pr = pagerank(e, iterations=3).collect()
+        total = sum(r["p"] for r in pr)
+        assert total == pytest.approx(1.0, abs=1e-9)
+        # symmetric 4-clique: uniform rank
+        assert all(r["p"] == pytest.approx(0.25, abs=1e-12) for r in pr)

@@ -608,3 +608,53 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert (1, 100) in streamed and (2, 102) in streamed
     assert (1, 102) not in streamed and (2, 104) not in streamed
+
+
+def test_streaming_interval_join_drops_late_probes(spark, tmp_path):
+    # state-bound proof: a probe arriving in a LATER micro-batch, with
+    # event time older than the watermark horizon left by batch 1,
+    # must not produce a pair — the start's join state was evicted.
+    # (Batch parity above proves the in-horizon semantics; this pins
+    # the eviction side.)
+    from gnocchi_spark.streaming.joins import streaming_interval_join
+
+    schema = "sid long, k long, ts timestamp"
+    pschema = "pid long, k long, ts timestamp"
+    sdir, pdir = str(tmp_path / "s"), str(tmp_path / "p")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # batch 1: one start at t0 plus far-future watermark pushers on
+    # BOTH inputs (the global watermark is the MIN across them) that
+    # advance it way past t0 + window, so start 1's join state is
+    # evicted after this batch
+    spark.createDataFrame(
+        [(1, 10, _t(0, 0)), (99, 30, _t(50, 0))], schema
+    ).coalesce(1).write.parquet(sdir)
+    spark.createDataFrame([(900, 40, _t(50, 0))], pschema).coalesce(1).write.parquet(pdir)
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(sdir)
+        p = spark.readStream.schema(pschema).parquet(pdir)
+        q = (
+            streaming_interval_join(s, p, ["k"], 60.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: an in-window probe for start 1, but its event time is
+    # now far behind the watermark -> dropped, no pair emitted
+    spark.createDataFrame(
+        [(901, 10, _t(0, 30))], pschema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    run_once()
+    got = spark.read.schema(
+        "sid long, ts timestamp, p_pid long, p_ts timestamp"
+    ).parquet(out)
+    pids = {r["p_pid"] for r in got.collect()}
+    assert 901 not in pids and 900 not in pids
