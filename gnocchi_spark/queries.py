@@ -9087,6 +9087,467 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ranked AS (
+      SELECT ps.l_partkey, ps.unit_cost, eu.s_suppkey, eu.s_name,
+             eu.s_acctbal, eu.n_name,
+             row_number() OVER (PARTITION BY ps.l_partkey
+                                ORDER BY ps.unit_cost, ps.l_suppkey) AS rk
+      FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey)
+    SELECT p.p_partkey, p.p_name, r.s_name, r.n_name,
+           round(r.s_acctbal, 2) AS s_acctbal,
+           round(r.unit_cost, 4) AS unit_cost
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rk = 1 AND p.p_size BETWEEN 10 AND 15
+      AND p.p_type = 'STANDARD'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape (no partsupp table in this dataset, so the
+    # part-supplier relation and its supplycost are REBUILT from
+    # lineitem: unit_cost := min observed l_extendedprice/l_quantity
+    # per (part, supplier)): for every STANDARD mid-size part, the
+    # cheapest EUROPE supplier.  The correlated min-cost subquery is
+    # rewritten as a per-part row_number over (unit_cost, suppkey) —
+    # deterministic total order, no float-equality join — and the
+    # region-bounded supplier dimension broadcasts into the ranked
+    # part-supplier frame.  Reference parity: gnocchi has no
+    # relational engine; this anchors the min-per-group join family.
+    li = tables.load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    ranked = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    p = tables.load(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
+    )
+    return ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "n_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round("unit_cost", 4).alias("unit_cost"),
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    # TPC-H Q9 shape (no partsupp, so ps_supplycost becomes the fixed
+    # margin 0.5 * p_retailprice — the arithmetic and plan shape are
+    # the point): per-nation per-year profit on parts matching a name
+    # pattern.  Five-way join where all three dimensions (part-with-
+    # LIKE-pushdown, supplier, nation) broadcast and only the
+    # lineitem->orders fact-fact join shuffles; at 100 TB that one
+    # equi-join is the only exchange.
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * l.l_quantity) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1),
+    tot AS (SELECT sum(v) AS t FROM val)
+    SELECT l_partkey AS p_partkey, round(v, 2) AS part_value
+    FROM val, tot
+    WHERE v > 0.0015 * t
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 shape (no partsupp: "stock value" becomes the shipped
+    # value sum(l_extendedprice * l_quantity) through suppliers of two
+    # nations): parts whose value exceeds a fixed fraction of the
+    # national total.  The plan point is the scalar aggregate
+    # broadcast — one reduce produces the 1-row total, crossJoin
+    # broadcasts it, the threshold evaluates map-side; no second scan
+    # of the fact.  Threshold margin note: v and t are double sums,
+    # but the nearest part sits 2.9e-4 RELATIVE from the 0.15% cut
+    # (measured at sf0.01) — ~1e12 ulp of reorder noise headroom.
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tables.load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("v") > 0.0015 * F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("v", 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    # TPC-H Q16 shape (the "customer complaints" exclusion becomes
+    # suppliers with negative account balance — same NOT IN
+    # anti-join): distinct supplier counts per (brand, type, size)
+    # over an IN-list size filter.  The excluded-supplier set is a
+    # broadcast anti-join (null-safe NOT IN semantics trivially hold:
+    # s_suppkey is non-null), the part dimension broadcasts with
+    # brand/type/size pushed to its scan, and count(DISTINCT) rides
+    # the single fact shuffle.
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = tables.load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_part_promotion_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'blue%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    pavg AS (
+      SELECT l_partkey, avg(qty) AS aq FROM shipped GROUP BY 1)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN
+          (SELECT sh.l_suppkey FROM shipped sh
+           JOIN pavg ON pavg.l_partkey = sh.l_partkey
+           WHERE sh.qty > 1.5 * pavg.aq)
+    """,
+)
+def tpch_q20_part_promotion_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape (no partsupp availqty: "holds excess stock"
+    # becomes "shipped more than 1.5x the per-part average across
+    # suppliers in the window" — the nested aggregation + IN semi-join
+    # pipeline is intact): suppliers who moved outsized volume of
+    # 'blue%' parts in 1997.  Two stacked aggregations on the SAME
+    # (l_partkey) key reuse one shuffle layout; the qualifying-
+    # supplier set then semi-joins into the supplier dimension.
+    # l_quantity is integer-valued, so qty sums and their comparison
+    # against the per-part mean are exact in both engines.
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = tables.load(spark, sf_dir, "part").where(F.col("p_name").like("blue%"))
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pavg = shipped.groupBy("l_partkey").agg(F.avg("qty").alias("aq"))
+    heavy = (
+        shipped.join(pavg, "l_partkey")
+        .where(F.col("qty") > 1.5 * F.col("aq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "slo_burn_rate_alerts",
+    f"""
+    WITH fast AS (
+      SELECT {_sql_bucket(300)} AS b5,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS err,
+             CAST(count(*) AS BIGINT) AS total
+      FROM events GROUP BY 1),
+    slow AS (
+      SELECT make_timestamp(CAST(floor(epoch(b5) / 3600) AS BIGINT)
+                            * 3600 * 1000000) AS b1h,
+             sum(err) AS err, sum(total) AS total
+      FROM fast GROUP BY 1)
+    SELECT f.b5 AS bucket_ts,
+           round((1.0 * f.err / f.total) / 0.25, 6) AS burn_fast,
+           round((1.0 * s.err / s.total) / 0.25, 6) AS burn_slow
+    FROM fast f
+    JOIN slow s
+      ON s.b1h = make_timestamp(CAST(floor(epoch(f.b5) / 3600) AS BIGINT)
+                                * 3600 * 1000000)
+    WHERE f.total > 0 AND (1.0 * f.err / f.total) / 0.25 > 1.3
+      AND (1.0 * s.err / s.total) / 0.25 > 1.3
+    """,
+)
+def slo_burn_rate_alerts(spark, sf_dir):
+    # Multi-window multi-burn-rate SLO alerting (the SRE-workbook
+    # pattern the reference's dashboards leave to the operator): with
+    # an error budget of 25%, page only when BOTH the 5m fast window
+    # and its enclosing 1h slow window burn > 1.3x budget — fast
+    # catches onset, slow suppresses blips.  Spark-first shape: ONE
+    # raw scan produces the 5m integer partials; the 1h window is a
+    # re-aggregation of those partials (the same mergeable-partials
+    # algebra as the rollup cascade, operators/rollup.py), and the
+    # fast-vs-slow join keys on the hour the 5m bucket already
+    # carries.  Counts are exact integers and each burn rate is one
+    # division of identical operands, so the alert SET is
+    # bit-deterministic across engines.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    fast = ev.groupBy(truncate_to_bucket(F.col("ts"), 300.0).alias("b5")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
+        F.count("*").alias("total"),
+    )
+    fast = fast.withColumn("b1h", truncate_to_bucket(F.col("b5"), 3600.0))
+    slow = fast.groupBy("b1h").agg(
+        F.sum("err").alias("s_err"), F.sum("total").alias("s_total")
+    )
+    budget = F.lit(0.25)
+    burn_fast = (F.col("err") / F.col("total")) / budget
+    burn_slow = (F.col("s_err") / F.col("s_total")) / budget
+    return (
+        fast.join(slow, "b1h")
+        .where((F.col("total") > 0) & (burn_fast > 1.3) & (burn_slow > 1.3))
+        .select(
+            F.col("b5").alias("bucket_ts"),
+            F.round(burn_fast, 6).alias("burn_fast"),
+            F.round(burn_slow, 6).alias("burn_slow"),
+        )
+    )
+
+
+@query(
+    "tsdb_lttb_downsample",
+    f"""
+    WITH pts AS (
+      SELECT event_type AS metric_id, 1.0 * epoch(ts) AS x, value AS y,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, ts, value
+      FROM events),
+    anchors AS (
+      SELECT metric_id, b, x AS ax, y AS ay FROM (
+        SELECT metric_id, b, x, y,
+               row_number() OVER (PARTITION BY metric_id, b
+                                  ORDER BY ts, value) AS rk
+        FROM pts) WHERE rk = 1),
+    bounds AS (
+      SELECT metric_id, min(b) AS b_lo, max(b) AS b_hi
+      FROM pts GROUP BY 1),
+    tri AS (
+      SELECT p.metric_id, p.b, p.ts, p.y,
+             abs((pa.ax - na.ax) * (p.y - pa.ay)
+                 - (pa.ax - p.x) * (na.ay - pa.ay)) AS area
+      FROM pts p
+      JOIN anchors pa ON pa.metric_id = p.metric_id AND pa.b = p.b - 1
+      JOIN anchors na ON na.metric_id = p.metric_id AND na.b = p.b + 1),
+    interior AS (
+      SELECT metric_id, ts, y FROM (
+        SELECT metric_id, ts, y,
+               row_number() OVER (PARTITION BY metric_id, b
+                                  ORDER BY area DESC, ts DESC) AS rk
+        FROM tri) WHERE rk = 1),
+    e_lo AS (
+      SELECT metric_id, ts, y FROM (
+        SELECT p.metric_id, p.ts, p.y,
+               row_number() OVER (PARTITION BY p.metric_id
+                                  ORDER BY p.ts, p.value) AS rk
+        FROM pts p JOIN bounds bo
+          ON bo.metric_id = p.metric_id AND p.b = bo.b_lo) WHERE rk = 1),
+    e_hi AS (
+      SELECT metric_id, ts, y FROM (
+        SELECT p.metric_id, p.ts, p.y,
+               row_number() OVER (PARTITION BY p.metric_id
+                                  ORDER BY p.ts DESC, p.value DESC) AS rk
+        FROM pts p JOIN bounds bo
+          ON bo.metric_id = p.metric_id AND p.b = bo.b_hi) WHERE rk = 1)
+    SELECT metric_id, ts, round(y, 6) AS value FROM interior
+    UNION ALL SELECT metric_id, ts, round(y, 6) AS value FROM e_lo
+    UNION ALL SELECT metric_id, ts, round(y, 6) AS value FROM e_hi
+    """,
+)
+def tsdb_lttb_downsample(spark, sf_dir):
+    # LTTB-style visualization downsampling (Steinarsson's
+    # largest-triangle-three-buckets), parallelized: true LTTB anchors
+    # each bucket's triangle on the PREVIOUSLY SELECTED point — an
+    # inherently sequential chain — so this uses the standard
+    # parallel variant that anchors on fixed per-bucket points
+    # instead, keeping the "most visually significant point per
+    # bucket" selection embarrassingly parallel (one point per metric
+    # per hour, first/last point at the series edges).  Anchor choice
+    # is the bucket's FIRST point (exact min_by on (ts, value) — NOT
+    # the bucket mean, whose order-dependent float sum would smear
+    # last-ulp noise into every area comparison and make the argmax
+    # engine-dependent).  Areas are products/differences of raw
+    # doubles evaluated in the same expression order in both engines,
+    # and the argmax tiebreaks on ts, so the selected row set is
+    # bit-deterministic.  Complements tsdb_m4_downsample: M4 is
+    # pixel-exact for line rendering, LTTB preserves visual shape at
+    # harsher ratios.
+    ev = tables.load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("metric_id"),
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("b"),
+        "ts",
+        "value",
+    )
+    first_pt = F.min_by(F.struct("x", "y"), F.struct("ts", "value"))
+    anchors = pts.groupBy("metric_id", "b").agg(
+        first_pt.getField("x").alias("ax"), first_pt.getField("y").alias("ay")
+    )
+    bounds = pts.groupBy("metric_id").agg(
+        F.min("b").alias("b_lo"), F.max("b").alias("b_hi")
+    )
+    pa = anchors.select(
+        F.col("metric_id").alias("m1"),
+        (F.col("b") + 1).alias("bp"),
+        F.col("ax").alias("pax"),
+        F.col("ay").alias("pay"),
+    )
+    na = anchors.select(
+        F.col("metric_id").alias("m2"),
+        (F.col("b") - 1).alias("bn"),
+        F.col("ax").alias("nax"),
+        F.col("ay").alias("nay"),
+    )
+    tri = (
+        pts.join(pa, (pts.metric_id == pa.m1) & (pts.b == pa.bp))
+        .join(na, (pts.metric_id == na.m2) & (pts.b == na.bn))
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("pax") - F.col("nax")) * (F.col("y") - F.col("pay"))
+                - (F.col("pax") - F.col("x")) * (F.col("nay") - F.col("pay"))
+            ),
+        )
+    )
+    interior = (
+        tri.groupBy("metric_id", "b")
+        .agg(F.max_by(F.struct("ts", "y"), F.struct("area", "ts")).alias("pick"))
+        .select(
+            "metric_id",
+            F.col("pick.ts").alias("ts"),
+            F.round("pick.y", 6).alias("value"),
+        )
+    )
+    eb = pts.join(F.broadcast(bounds), "metric_id")
+    e_lo = (
+        eb.where(F.col("b") == F.col("b_lo"))
+        .groupBy("metric_id")
+        .agg(F.min_by(F.struct("ts", "y"), F.struct("ts", "value")).alias("pick"))
+    )
+    e_hi = (
+        eb.where(F.col("b") == F.col("b_hi"))
+        .groupBy("metric_id")
+        .agg(F.max_by(F.struct("ts", "y"), F.struct("ts", "value")).alias("pick"))
+    )
+    edges = e_lo.unionAll(e_hi).select(
+        "metric_id",
+        F.col("pick.ts").alias("ts"),
+        F.round("pick.y", 6).alias("value"),
+    )
+    return interior.unionAll(edges)
+
+
+@query(
     "metric_spearman_matrix",
     f"""
     WITH r AS (
