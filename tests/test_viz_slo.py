@@ -43,6 +43,32 @@ def test_lttb_selects_spike_point(spark, tmp_path, monkeypatch):
     assert len(got) == 3
 
 
+def test_mad_score_resists_its_own_outlier(spark, monkeypatch):
+    # the point of MAD over mean/std: a single extreme spike inflates
+    # the classic std (shrinking its own z) but cannot move the
+    # median-of-deviations.  One event per hourly bucket, values
+    # cycling 1..5 plus one 100.0 spike: the spike's robust z must
+    # exceed the classic z computed over the same series.
+    import statistics
+
+    from gnocchi_spark import queries, tables
+
+    vals = [float(i % 5 + 1) for i in range(24)]
+    vals[12] = 100.0
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + h // 24, h % 24), 1, "m", v, "{}")
+        for i, (h, v) in enumerate(zip(range(24), vals))
+    ]
+    df = _ev(spark, rows)
+    monkeypatch.setattr(tables, "load", lambda spark_, sf, name: df)
+    out = {r["v"]: r["robust_z"] for r in
+           queries.tsdb_mad_anomalies(spark, "ignored").collect()}
+    classic_z = (100.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert out[100.0] > 3.5          # the spike pages under the MAD rule
+    assert out[100.0] > classic_z    # ...and scores higher than mean/std z
+    assert abs(out[2.0]) < 3.5       # inliers stay quiet
+
+
 def test_slo_alert_requires_both_windows(spark, monkeypatch):
     # hour 0: one terrible 5m bucket inside an otherwise healthy hour
     # -> slow window stays under threshold -> NO alert (blip
