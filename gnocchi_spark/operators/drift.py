@@ -1,0 +1,215 @@
+"""Distribution-drift diagnostics between two time windows of a
+measure stream: Population Stability Index over a fixed bin grid and
+the exact two-sample Kolmogorov-Smirnov statistic.
+
+The reference has no drift operators (its closest concept is the
+resource lifespan filter, gnocchi/rest/api.py); these serve the
+training-data charter: "did this metric / feature distribution move
+between the reference window and today" is the canonical data-quality
+question a 100 TB ingest pipeline asks before a model refresh.
+
+Scale design — both diagnostics are one hash shuffle on
+(metric, bin|value) plus a per-metric window over a BOUNDED frame:
+
+* PSI buckets every value into 10 fixed-width bins derived from the
+  reference window's [min, max], so state per metric is 10 rows no
+  matter how many raw measures flow in — partial aggregation does all
+  the heavy lifting map-side.
+* KS needs per-distinct-value cumulative counts; the cumulative window
+  partitions by metric, so skew is bounded by one metric's distinct
+  values.  The supremum is computed in EXACT INTEGER arithmetic
+  (max |cum_ref * n_cur - cum_cur * n_ref|) and divided once at the
+  end — bit-identical across engines, no float-accumulation ordering
+  anywhere.
+
+The window split point is the integer-microsecond midpoint of the
+observed time range, so both engines (and successive runs over the
+same data) derive the same partition of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sided(measures: DataFrame, metric_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """Tag each measure ref/cur by the integer-µs midpoint of the
+    global time range (broadcast 1-row aggregate)."""
+    span = measures.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("__tmin"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("__tmax"),
+    )
+    return (
+        measures.select(
+            F.col(metric_col).alias("metric_id"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col(value_col).alias("v"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "metric_id",
+            "v",
+            (F.col("__us") <= F.expr("(__tmin + __tmax) div 2")).alias("is_ref"),
+        )
+    )
+
+
+def psi_report(
+    measures: DataFrame,
+    metric_col: str = "metric_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 10,
+) -> DataFrame:
+    """Per-metric Population Stability Index between the first and
+    second half of the time range.
+
+    Bin edges are ``bins`` fixed-width intervals over the REFERENCE
+    window's [min, max] (the standard PSI convention: the monitoring
+    grid is frozen from the baseline); current-window values outside
+    the grid clamp into the edge bins.  Proportions are Laplace-
+    smoothed ((c + 0.5) / (n + bins/2)) so empty bins contribute a
+    finite, engine-identical term.  Returns
+    (metric_id, n_ref, n_cur, psi).
+    """
+    sided = _sided(measures, metric_col, ts_col, value_col)
+    ref_rng = (
+        sided.where("is_ref")
+        .groupBy("metric_id")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    binned = (
+        sided.join(F.broadcast(ref_rng), "metric_id")
+        .select(
+            "metric_id",
+            "is_ref",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("v") - F.col("lo"))
+                            / ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy("metric_id", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    # full bins x metrics grid so empty bins still contribute their
+    # smoothed term (10 rows per metric — a broadcast-sized frame)
+    grid = (
+        sided.select("metric_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                sided.sparkSession.range(bins).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+    )
+    full = grid.join(binned, ["metric_id", "bin"], "left").select(
+        "metric_id",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    tot = full.groupBy("metric_id").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    smooth = F.lit(0.5)
+    denom = F.lit(bins * 0.5)
+    p = (F.col("c_ref") + smooth) / (F.col("n_ref") + denom)
+    q = (F.col("c_cur") + smooth) / (F.col("n_cur") + denom)
+    return (
+        full.join(F.broadcast(tot), "metric_id")
+        .groupBy("metric_id")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .select("metric_id", "n_ref", "n_cur", "psi")
+    )
+
+
+def ks_two_sample(
+    measures: DataFrame,
+    metric_col: str = "metric_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-metric exact two-sample KS statistic between the first and
+    second half of the time range.
+
+    sup_x |F_ref(x) - F_cur(x)| evaluated at every distinct observed
+    value; the supremum's argmax is selected on the exact BIGINT
+    cross-multiplied numerator, so no float comparison decides the
+    result.  Returns (metric_id, n_ref, n_cur, ks_stat).
+    """
+    sided = _sided(measures, metric_col, ts_col, value_col)
+    per_val = sided.groupBy("metric_id", "v").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("c_cur"),
+    )
+    w = (
+        Window.partitionBy("metric_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.select(
+        "metric_id",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+    )
+    tot = per_val.groupBy("metric_id").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "metric_id")
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("metric_id")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            # exact integer numerator; decimal(38,0) so the cross-
+            # multiplication cannot overflow BIGINT at 100 TB counts
+            F.max(
+                F.abs(
+                    F.col("cum_ref").cast("decimal(38,0)")
+                    * F.col("n_cur").cast("decimal(38,0)")
+                    - F.col("cum_cur").cast("decimal(38,0)")
+                    * F.col("n_ref").cast("decimal(38,0)")
+                )
+            ).alias("__dnum"),
+        )
+        .select(
+            "metric_id",
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("__dnum").cast("double")
+                / (
+                    F.col("n_ref").cast("decimal(38,0)")
+                    * F.col("n_cur").cast("decimal(38,0)")
+                ).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

@@ -10016,6 +10016,278 @@ def tsdb_seasonal_decompose(spark, sf_dir):
     )
 
 
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH occ AS (
+      SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
+      FROM events WHERE event_type = 'purchase'),
+    cap AS (
+      SELECT user_id, b FROM (
+        SELECT user_id, b,
+               row_number() OVER (PARTITION BY b
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rk
+        FROM occ) WHERE rk <= 32),
+    e AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM cap a JOIN cap b ON a.b = b.b AND a.user_id != b.user_id),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    fwd AS (
+      SELECT e.src AS a, e.dst AS b, db.d AS ddb
+      FROM e JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src
+      WHERE da.d < db.d OR (da.d = db.d AND e.src < e.dst)),
+    tri AS (
+      SELECT f1.a AS a, f1.b AS b, f2.b AS c
+      FROM fwd f1 JOIN fwd f2 ON f1.a = f2.a
+        AND (f1.ddb < f2.ddb OR (f1.ddb = f2.ddb AND f1.b < f2.b))
+      JOIN fwd f3 ON f3.a = f1.b AND f3.b = f2.b),
+    pn AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS uid FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT deg.src AS uid, deg.d AS degree,
+           coalesce(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN 2.0 * CAST(coalesce(pn.n_triangles, 0) AS DOUBLE)
+                           / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN pn ON deg.src = pn.uid
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    # Per-user triangle participation + local clustering coefficient
+    # over the SAME degree-capped purchase co-occurrence graph PageRank
+    # and label propagation walk.  Degree-ordered orientation (Suri &
+    # Vassilvitskii WWW'11) bounds every node's wedge fanout by
+    # O(sqrt(m)) — with the md5 bucket cap on top, the three joins are
+    # all hash-partitioned and skew-proof; counts are pure integers, so
+    # both engines agree bit-for-bit.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import cooccurrence_edges, triangle_count
+
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    e = cooccurrence_edges(
+        ev, truncate_to_bucket(F.col("ts"), 3600.0), max_per_bucket=32
+    )
+    return triangle_count(e)
+
+
+@query(
+    "drift_psi_report",
+    """
+    WITH m AS (
+      SELECT event_type AS metric_id, epoch_us(ts) AS us, value AS v
+      FROM events),
+    sp AS (SELECT min(us) AS tmin, max(us) AS tmax FROM m),
+    s AS (SELECT metric_id, v, us <= ((tmin + tmax) // 2) AS is_ref
+          FROM m, sp),
+    rng AS (SELECT metric_id, min(v) AS lo, max(v) AS hi
+            FROM s WHERE is_ref GROUP BY 1),
+    b AS (
+      SELECT s.metric_id, is_ref,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(9, greatest(0,
+                       CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS INT)))
+             END AS bin
+      FROM s JOIN rng ON s.metric_id = rng.metric_id),
+    c AS (
+      SELECT metric_id, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      FROM b GROUP BY 1, 2),
+    g AS (
+      SELECT metric_id, CAST(i AS INT) AS bin
+      FROM (SELECT DISTINCT metric_id FROM s),
+           unnest(generate_series(0, 9)) AS t(i)),
+    f AS (
+      SELECT g.metric_id, g.bin,
+             CAST(coalesce(c_ref, 0) AS BIGINT) AS c_ref,
+             CAST(coalesce(c_cur, 0) AS BIGINT) AS c_cur
+      FROM g LEFT JOIN c ON g.metric_id = c.metric_id AND g.bin = c.bin),
+    tot AS (
+      SELECT metric_id, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM f GROUP BY 1)
+    SELECT f.metric_id, max(tot.n_ref) AS n_ref, max(tot.n_cur) AS n_cur,
+           round(sum(
+             ((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0)
+              - (CAST(c_cur AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0))
+             * ln(((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0))
+                  / ((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0)))
+           ), 6) AS psi
+    FROM f JOIN tot ON f.metric_id = tot.metric_id
+    GROUP BY 1
+    """,
+)
+def drift_psi_report(spark, sf_dir):
+    # Population Stability Index per metric between the first and
+    # second half of the time range: the pre-refresh "did this feature
+    # move" check of a training pipeline.  10 fixed-width bins frozen
+    # from the reference window, Laplace-smoothed proportions; state is
+    # 10 rows per metric regardless of traffic (operators/drift.py).
+    from gnocchi_spark.operators.drift import psi_report
+
+    return psi_report(_measures(spark, sf_dir))
+
+
+@query(
+    "drift_ks_test",
+    """
+    WITH m AS (
+      SELECT event_type AS metric_id, epoch_us(ts) AS us, value AS v
+      FROM events),
+    sp AS (SELECT min(us) AS tmin, max(us) AS tmax FROM m),
+    s AS (SELECT metric_id, v, us <= ((tmin + tmax) // 2) AS is_ref
+          FROM m, sp),
+    pv AS (
+      SELECT metric_id, v,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      FROM s GROUP BY 1, 2),
+    cm AS (
+      SELECT metric_id,
+             sum(c_ref) OVER (PARTITION BY metric_id ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum_ref,
+             sum(c_cur) OVER (PARTITION BY metric_id ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum_cur
+      FROM pv),
+    tot AS (
+      SELECT metric_id, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM pv GROUP BY 1)
+    SELECT cm.metric_id, max(tot.n_ref) AS n_ref, max(tot.n_cur) AS n_cur,
+           round(CAST(max(abs(cum_ref * tot.n_cur - cum_cur * tot.n_ref)) AS DOUBLE)
+                 / (CAST(max(tot.n_ref) AS DOUBLE) * CAST(max(tot.n_cur) AS DOUBLE)),
+                 6) AS ks_stat
+    FROM cm JOIN tot ON cm.metric_id = tot.metric_id
+    WHERE tot.n_ref > 0 AND tot.n_cur > 0
+    GROUP BY 1
+    """,
+)
+def drift_ks_test(spark, sf_dir):
+    # Exact two-sample Kolmogorov-Smirnov statistic per metric between
+    # the two halves of the time range.  The supremum is selected on
+    # the exact cross-multiplied integer numerator (decimal(38,0) on
+    # the Spark side, HUGEINT in the oracle) — no float comparison
+    # decides the answer (operators/drift.py).
+    from gnocchi_spark.operators.drift import ks_two_sample
+
+    return ks_two_sample(_measures(spark, sf_dir))
+
+
+@query(
+    "perplexity_bigram",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM norm),
+    bg AS (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS nxt
+      FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    c2 AS (SELECT prev, nxt, CAST(count(*) AS DOUBLE) AS c2
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+    vv AS (
+      SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM (
+        SELECT unnest(string_split(nt, ' ')) AS term FROM norm)),
+    per AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v))) AS nll
+      FROM bg b
+      JOIN c2 ON b.prev = c2.prev AND b.nxt = c2.nxt
+      JOIN c1 ON b.prev = c1.prev, vv
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, round(nll, 6) AS nll, round(exp(nll), 4) AS ppl
+    FROM per
+    """,
+)
+def perplexity_bigram(spark, sf_dir):
+    # add-0.5-smoothed bigram LM perplexity per document — the sharper
+    # CCNet-style quality gate (word salad scores badly even when each
+    # word is common).  The bigram table is NOT broadcastable at 100 TB:
+    # the context counts attach to the bigram table first so the token
+    # stream shuffles once (operators/retrieval.py:bigram_lm_score).
+    from gnocchi_spark.operators.retrieval import bigram_lm_score
+
+    return bigram_lm_score(tables.load(spark, sf_dir, "documents"))
+
+
+@query(
+    "tsdb_theil_sen",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    h0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM r GROUP BY 1),
+    x AS (
+      SELECT r.metric_id,
+             (epoch(bucket_ts) - epoch(t0)) / 3600.0 AS x, v
+      FROM r JOIN h0 ON r.metric_id = h0.metric_id),
+    p AS (
+      SELECT a.metric_id, (b.v - a.v) / (b.x - a.x) AS slope
+      FROM x a JOIN x b ON a.metric_id = b.metric_id AND a.x < b.x),
+    s AS (SELECT metric_id, median(slope) AS slope FROM p GROUP BY 1),
+    n AS (SELECT metric_id, CAST(count(*) AS BIGINT) AS n_points
+          FROM x GROUP BY 1)
+    SELECT x.metric_id, max(n.n_points) AS n_points,
+           round(max(s.slope), 6) AS slope_per_hour,
+           round(median(x.v - s.slope * x.x), 6) AS intercept
+    FROM x JOIN s ON x.metric_id = s.metric_id
+           JOIN n ON x.metric_id = n.metric_id
+    GROUP BY 1
+    """,
+)
+def tsdb_theil_sen(spark, sf_dir):
+    # Theil-Sen robust trend per metric over the hourly rollup: median
+    # of all pairwise slopes (breakdown point 29%, immune to the
+    # outliers that wreck the least-squares slope in
+    # tsdb_trend_forecast), intercept = median residual at the median
+    # slope.  Scale: the pairwise join runs WITHIN a metric's rollup
+    # series, whose length is bounded by retention/granularity, not by
+    # traffic — so the O(n^2) pair space is a per-series constant and
+    # the join partitions by metric_id.  x is centered per series
+    # (exact integer bucket arithmetic) so slope*x stays small and the
+    # median comparisons are well-conditioned.
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    h0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
+    x = r.join(F.broadcast(h0), "metric_id").select(
+        "metric_id",
+        (
+            (F.unix_micros("bucket_ts") - F.unix_micros("t0"))
+            / F.lit(3600_000_000.0)
+        ).alias("x"),
+        F.col("mean").alias("v"),
+    )
+    b = x.select(
+        F.col("metric_id").alias("m2"), F.col("x").alias("x2"), F.col("v").alias("v2")
+    )
+    p = x.join(b, (x.metric_id == b.m2) & (x.x < b.x2)).select(
+        "metric_id",
+        ((F.col("v2") - F.col("v")) / (F.col("x2") - F.col("x"))).alias("slope"),
+    )
+    s = p.groupBy("metric_id").agg(
+        F.expr("percentile(slope, 0.5)").alias("slope")
+    )
+    n = x.groupBy("metric_id").agg(F.count("*").cast("long").alias("n_points"))
+    return (
+        x.join(F.broadcast(s), "metric_id")
+        .join(F.broadcast(n), "metric_id")
+        .groupBy("metric_id")
+        .agg(
+            F.max("n_points").alias("n_points"),
+            F.round(F.max("slope"), 6).alias("slope_per_hour"),
+            F.round(
+                F.expr("percentile(v - slope * x, 0.5)"), 6
+            ).alias("intercept"),
+        )
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green

@@ -83,3 +83,51 @@ class TestLabelPropagation:
         assert total == pytest.approx(1.0, abs=1e-9)
         # symmetric 4-clique: uniform rank
         assert all(r["p"] == pytest.approx(0.25, abs=1e-12) for r in pr)
+
+
+class TestTriangleCount:
+    def _edges(self, spark, pairs):
+        # symmetric closure of an undirected pair list
+        sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+        return spark.createDataFrame(sym, "src long, dst long")
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        from gnocchi_spark.operators.graph import triangle_count
+
+        e = self._edges(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        )
+        out = {r["uid"]: r for r in triangle_count(e).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        for r in out.values():
+            assert r["degree"] == 3
+            assert r["n_triangles"] == 3
+            assert r["clustering"] == 1.0
+
+    def test_path_graph_has_no_triangles(self, spark):
+        from gnocchi_spark.operators.graph import triangle_count
+
+        out = {
+            r["uid"]: r
+            for r in triangle_count(
+                self._edges(spark, [(1, 2), (2, 3), (3, 4)])
+            ).collect()
+        }
+        assert all(r["n_triangles"] == 0 for r in out.values())
+        assert all(r["clustering"] == 0.0 for r in out.values())
+
+    def test_triangle_plus_pendant(self, spark):
+        from gnocchi_spark.operators.graph import triangle_count
+
+        # triangle 1-2-3 with pendant 4 hanging off 3
+        out = {
+            r["uid"]: r
+            for r in triangle_count(
+                self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+            ).collect()
+        }
+        assert out[1]["n_triangles"] == out[2]["n_triangles"] == 1
+        assert out[3]["n_triangles"] == 1 and out[3]["degree"] == 3
+        assert out[4]["n_triangles"] == 0 and out[4]["degree"] == 1
+        # node 3: 1 triangle over C(3,2)=3 possible wedges
+        assert out[3]["clustering"] == round(2 * 1 / (3 * 2), 6)

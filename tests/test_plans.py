@@ -38,6 +38,9 @@ BNL_ALLOWED = {
     "hll_audience_overlap",  # broadcast 5-row event-type table, < self-pair
     "metric_lead_lag",  # broadcast 3-row lag table (cross) onto the rollup
     "dsir_importance_weights",  # broadcast 1-row token-total scalar (cross)
+    "drift_psi_report",  # broadcast 1-row time-span scalar + 10-row bin grid (cross)
+    "drift_ks_test",  # broadcast 1-row time-span scalar (cross)
+    "perplexity_bigram",  # broadcast 1-row vocab-size scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
