@@ -262,6 +262,75 @@ def bigram_lm_score(
     )
 
 
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """Sparse all-pairs document similarity: cosine over TF-IDF vectors
+    restricted to informative terms (document frequency <= ``df_cap``),
+    top-``k`` partners per document.
+
+    The dot product is an inverted-index self-join on the term key —
+    only documents SHARING a term ever meet, the sparse-similarity
+    trick every all-pairs system uses (cf. prefix filtering in
+    Bayardo et al. WWW'07).  The df cap is the scale contract: a term
+    seen in at most ``df_cap`` documents fans out to at most
+    ``df_cap``² pairs, so no stop-word key can square the corpus, and
+    dropping ubiquitous terms barely moves cosine because idf ~ 0
+    there anyway.  Norms use the SAME capped vocabulary, so the score
+    is a true cosine of the pruned vectors (exactly reproducible in
+    SQL).  Ranking ties break on (round(cosine, 6), partner id) so
+    both engines select identical top-k sets.
+    """
+    t = F.col(text_col)
+    tok = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nn = docs.where(F.length(t) > 0).agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    w = (
+        tf.join(F.broadcast(df.where(F.col("df") <= df_cap)), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double"))).alias(
+                "w"
+            ),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("term").alias("t2"), F.col("w").alias("wb")
+    )
+    dot = (
+        w.join(wb, (w.term == wb.t2) & (w.doc_id != wb.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.sum(F.col("w") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = dot.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a", "doc_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine")
+    )
+    rk = Window.partitionBy("doc_a").orderBy(
+        F.round("cosine", 6).desc(), F.col("doc_b")
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def rrf_hybrid_topk(
     docs: DataFrame,
     embeddings: DataFrame,

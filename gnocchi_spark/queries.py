@@ -10288,6 +10288,216 @@ def tsdb_theil_sen(spark, sf_dir):
     )
 
 
+# 12-lag geometric kernel weights for alpha=0.3, shared by the EWMA
+# family; repr'd doubles so both engines consume bit-identical literals
+_EWMA_W = [0.7 ** j for j in range(12)]
+
+
+def _ewma_kernel_sql(col: str) -> str:
+    """SQL truncated-EWMA kernel over window ``p`` (same renormalized
+    form as tsdb_ewma_smooth, applied to any column)."""
+    num = " + ".join(
+        f"COALESCE({w!r} * lag({col}, {j}) OVER p, 0.0)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag({col}, {j}) OVER p IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"({num}) / ({den})"
+
+
+def _ewma_kernel_col(col: str, w) -> "F.Column":
+    num = sum(
+        (
+            F.coalesce(F.lit(wj) * F.lag(col, j).over(w), F.lit(0.0))
+            for j, wj in enumerate(_EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag(col, j).over(w).isNotNull(), F.lit(wj)).otherwise(
+                F.lit(0.0)
+            )
+            for j, wj in enumerate(_EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    return num / den
+
+
+@query(
+    "tsdb_brown_forecast",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    e1 AS (
+      SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
+      FROM r WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)),
+    e2 AS (
+      SELECT metric_id, bucket_ts, v, s1, {_ewma_kernel_sql('s1')} AS s2
+      FROM e1 WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts))
+    SELECT metric_id, bucket_ts, round(v, 6) AS v,
+           round(2.0 * s1 - s2, 6) AS level,
+           round({0.3 / 0.7!r} * (s1 - s2), 6) AS trend,
+           round((2.0 * s1 - s2) + {0.3 / 0.7!r} * (s1 - s2), 6)
+             AS forecast_next
+    FROM e2
+    """,
+)
+def tsdb_brown_forecast(spark, sf_dir):
+    # Brown's double exponential smoothing over the 5-min rollup:
+    # level = 2*S1 - S2, trend = alpha/(1-alpha) * (S1 - S2),
+    # one-step forecast = level + trend — the short-horizon capacity
+    # read that tracks a RAMP, which single EWMA lags behind.  Both
+    # smoothing passes are the SAME truncated 12-lag kernel as
+    # tsdb_ewma_smooth (a sequential recurrence would be driver-hostile
+    # at 100 TB; two stacked window expressions run inside one
+    # metric-keyed exchange, no extra shuffle).
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    e1 = r.select(
+        "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
+    )
+    e2 = e1.select(
+        "metric_id", "bucket_ts", "v", "s1",
+        _ewma_kernel_col("s1", w).alias("s2"),
+    )
+    ratio = F.lit(0.3 / 0.7)
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = ratio * (F.col("s1") - F.col("s2"))
+    return e2.select(
+        "metric_id",
+        "bucket_ts",
+        F.round("v", 6).alias("v"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + trend, 6).alias("forecast_next"),
+    )
+
+
+@query(
+    "doc_similarity_tfidf_topk",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE length(text) > 0),
+    tok AS (
+      SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM norm),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / CAST(df.df AS DOUBLE)) AS w
+      FROM tf JOIN df USING (term), nn
+      WHERE df.df <= 100),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id != b.doc_id
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
+      FROM dot JOIN nrm na ON dot.doc_a = na.doc_id
+               JOIN nrm nb ON dot.doc_b = nb.doc_id),
+    rk AS (
+      SELECT doc_a, doc_b, cosine,
+             row_number() OVER (PARTITION BY doc_a
+               ORDER BY round(cosine, 6) DESC, doc_b) AS rn
+      FROM cos)
+    SELECT doc_a, doc_b, round(cosine, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM rk WHERE rn <= 5
+    """,
+)
+def doc_similarity_tfidf_topk(spark, sf_dir):
+    # Sparse all-pairs document similarity: TF-IDF vectors restricted
+    # to informative terms (df <= 100 — the standard prefix/stop-term
+    # pruning), cosine via an inverted-index self-join on term, top-5
+    # partners per document.  Scale: the pair fanout per term is
+    # bounded by df_cap^2 and the join partitions on term, so no hot
+    # vocabulary key can square the corpus; rank ties break on
+    # (round(cosine, 6), doc_b) exactly as the oracle does.
+    from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
+
+    return tfidf_cosine_topk(
+        tables.load(spark, sf_dir, "documents"), df_cap=100, k=5
+    )
+
+
+@query(
+    "metric_user_gini",
+    """
+    WITH c AS (
+      SELECT event_type AS metric_id, user_id,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT metric_id, x,
+             row_number() OVER (PARTITION BY metric_id
+                                ORDER BY x, user_id) AS i
+      FROM c),
+    s AS (
+      SELECT metric_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS tot,
+             CAST(sum(i * x) AS BIGINT) AS ix
+      FROM r GROUP BY 1)
+    SELECT metric_id, n AS n_users, tot AS n_events,
+           round((2.0 * CAST(ix AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                 6) AS gini
+    FROM s
+    """,
+)
+def metric_user_gini(spark, sf_dir):
+    # Gini coefficient of per-user event concentration for each metric
+    # (companion to metric_user_entropy): every moment is an exact
+    # integer (rank-weighted sum of counts), so both engines agree
+    # bit-for-bit before the single final division.  One shuffle to
+    # count, one metric-partitioned window to rank.
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("metric_id"), "user_id"
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("metric_id").orderBy("x", "user_id")
+    r = c.select(
+        "metric_id", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = r.groupBy("metric_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+        # decimal(38,0): rank*count products can pass 2^63 at 100 TB
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("ix"),
+    )
+    return s.select(
+        "metric_id",
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("n_events"),
+        F.round(
+            (F.lit(2.0) * F.col("ix").cast("double"))
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green

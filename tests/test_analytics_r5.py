@@ -1,0 +1,128 @@
+"""Unit tests for the round-5 analytics additions: Brown double
+exponential smoothing, sparse TF-IDF cosine top-k, and the exact Gini
+concentration profile."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+class TestBrownForecast:
+    def test_constant_series_is_fixed_point(self, spark, sf_dir):
+        # on any constant series the renormalized kernel returns the
+        # constant exactly: level == v, trend == 0, forecast == v
+        from gnocchi_spark.queries import QUERIES
+
+        out = QUERIES["tsdb_brown_forecast"](spark, sf_dir)
+        # registry smoke: every row carries the full decomposition
+        row = out.limit(1).collect()[0]
+        assert {"metric_id", "bucket_ts", "v", "level", "trend", "forecast_next"} <= set(
+            out.columns
+        )
+        assert row["forecast_next"] is not None
+
+    def test_linear_ramp_forecast_leads_level(self, spark):
+        # rising series: trend must be positive and the one-step
+        # forecast above the smoothed level
+        from pyspark.sql import Window
+        from gnocchi_spark.queries import _ewma_kernel_col
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("m", t0 + dt.timedelta(minutes=5 * i), float(i)) for i in range(30)
+        ]
+        r = spark.createDataFrame(
+            rows, "metric_id string, bucket_ts timestamp, v double"
+        )
+        w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+        e1 = r.select("metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1"))
+        e2 = e1.select("metric_id", "bucket_ts", "v", "s1", _ewma_kernel_col("s1", w).alias("s2"))
+        last = e2.orderBy(F.desc("bucket_ts")).limit(1).collect()[0]
+        trend = (0.3 / 0.7) * (last["s1"] - last["s2"])
+        level = 2 * last["s1"] - last["s2"]
+        assert trend > 0.5  # slope 1/bucket, smoothing keeps most of it
+        assert level + trend > level
+        # double smoothing tracks a ramp far better than single EWMA:
+        # level+trend lands near the true next value (31 - ish)
+        assert abs((level + trend) - 30.0) < 2.0
+
+
+class TestTfidfCosine:
+    def test_identical_docs_rank_first(self, spark):
+        from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),
+                (3, "epsilon zeta eta theta"),
+                (4, "epsilon zeta eta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_a"], r["rank"]): r for r in tfidf_cosine_topk(docs, k=2).collect()
+        }
+        assert out[(1, 1)]["doc_b"] == 2 and out[(1, 1)]["cosine"] == 1.0
+        assert out[(2, 1)]["doc_b"] == 1 and out[(2, 1)]["cosine"] == 1.0
+        # 3 and 4 share 3 of 4 terms: best partner is each other, < 1
+        assert out[(3, 1)]["doc_b"] == 4 and 0 < out[(3, 1)]["cosine"] < 1.0
+
+    def test_df_cap_prunes_hot_terms(self, spark):
+        from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
+
+        # every doc shares "the"; with df_cap=2 the hot term is pruned
+        # and only the doc pair sharing a rare term survives
+        docs = spark.createDataFrame(
+            [(i, f"the word{i}") for i in range(1, 5)] + [(5, "the word4")],
+            "doc_id long, text string",
+        )
+        out = tfidf_cosine_topk(docs, df_cap=2, k=3).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        assert pairs == {(4, 5), (5, 4)}
+
+
+class TestGini:
+    def _gini(self, spark, rows):
+        from gnocchi_spark.queries import QUERIES
+
+        ev = spark.createDataFrame(
+            rows, "event_type string, user_id long, ts timestamp, value double"
+        )
+        # drive the operator body directly on a local frame
+        from pyspark.sql import Window
+
+        c = ev.groupBy(F.col("event_type").alias("metric_id"), "user_id").agg(
+            F.count("*").cast("long").alias("x")
+        )
+        w = Window.partitionBy("metric_id").orderBy("x", "user_id")
+        r = c.select("metric_id", "x", F.row_number().over(w).cast("long").alias("i"))
+        s = r.groupBy("metric_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("tot"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("ix"),
+        )
+        row = s.select(
+            (
+                (F.lit(2.0) * F.col("ix").cast("double"))
+                / (F.col("n").cast("double") * F.col("tot").cast("double"))
+                - (F.col("n").cast("double") + F.lit(1.0))
+                / F.col("n").cast("double")
+            ).alias("gini")
+        ).collect()[0]
+        return row["gini"]
+
+    def test_uniform_counts_zero(self, spark):
+        t = dt.datetime(2024, 1, 1)
+        rows = [("m", u, t, 1.0) for u in range(10) for _ in range(3)]
+        assert abs(self._gini(spark, rows)) < 1e-12
+
+    def test_total_concentration_max(self, spark):
+        # 10 users, one fires 1000 events, the rest 1 each:
+        # gini -> close to (n-1)/n * share
+        t = dt.datetime(2024, 1, 1)
+        rows = [("m", 0, t, 1.0)] * 1000 + [("m", u, t, 1.0) for u in range(1, 10)]
+        g = self._gini(spark, rows)
+        assert g > 0.85

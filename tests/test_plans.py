@@ -41,6 +41,9 @@ BNL_ALLOWED = {
     "drift_psi_report",  # broadcast 1-row time-span scalar + 10-row bin grid (cross)
     "drift_ks_test",  # broadcast 1-row time-span scalar (cross)
     "perplexity_bigram",  # broadcast 1-row vocab-size scalar (cross)
+    "doc_similarity_tfidf_topk",  # broadcast 1-row doc-count scalar (cross)
+    "tpch_q11_important_stock",  # broadcast 1-row total-value threshold (cross)
+    "event_association_lift",  # broadcast 1-row basket-total scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
