@@ -167,6 +167,27 @@ def _lp_on(ev):
     return label_propagation(e, 3).groupBy("lbl").agg(F.count("*").alias("sz"))
 
 
+def _tri_on(ev):
+    # graph_triangle_count shape: degree-capped edges + degree-ordered
+    # orientation; wedge fanout is bounded by orientation, so 10x
+    # disjoint users must grow ~linearly
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import cooccurrence_edges, triangle_count
+
+    e = cooccurrence_edges(
+        ev.where(F.col("event_type") == "purchase"),
+        truncate_to_bucket(F.col("ts"), 3600.0),
+        max_per_bucket=32,
+    )
+    return triangle_count(e)
+
+
+def _tfidf_on(docs):
+    from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
+
+    return tfidf_cosine_topk(docs, df_cap=100, k=5)
+
+
 def _interval_on(ev):
     # the interval_join_activity shape: purchases anchor a 15-min
     # same-user window; banded (user, bucket) equi-join + residual
@@ -485,6 +506,12 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _ppl_on(docs10)),
         # sketch cascades: shuffle rows = metrics x buckets x sketch
         # size — 10x metrics should grow ~linearly, never with traffic
+        # inverted-index all-pairs similarity: the Caesar-cipher
+        # replicas keep vocabularies disjoint, so with the fixed df
+        # cap the pair volume must grow ~linearly (per-replica), never
+        # with the squared corpus
+        ("tfidf_cosine", lambda: _tfidf_on(docs1), lambda: _tfidf_on(docs10)),
+        ("triangle_count", lambda: _tri_on(ev1), lambda: _tri_on(ev10)),
         ("hll_cascade", lambda: _hll_cascade_on(_replicated_measures(spark, sf_dir, 1)),
          lambda: _hll_cascade_on(_replicated_measures(spark, sf_dir, factor))),
         ("histogram_cascade", lambda: _hist_cascade_on(_replicated_measures(spark, sf_dir, 1)),
@@ -545,10 +572,18 @@ def scale_stress(spark, sf_dir, factor=10):
         spark.catalog.clearCache()
         return n
 
+    def tfidf_cands(docs):
+        from gnocchi_spark.operators.retrieval import tfidf_pair_candidates
+
+        n = tfidf_pair_candidates(docs, df_cap=100).count()
+        spark.catalog.clearCache()
+        return n
+
     n_docs1, n_docs10 = docs1.count(), docs10.count()
     candidates = {}
     for name, fn, in1, in10, n1, n10 in [
         ("minhash", minhash_cands, docs1, docs10, n_docs1, n_docs10),
+        ("tfidf_pairs", tfidf_cands, docs1, docs10, n_docs1, n_docs10),
         ("simhash", simhash_cands, docs1, docs10, n_docs1, n_docs10),
         ("embedding_lsh", emb_cands, emb1, emb10, n_emb1, n_emb10),
     ]:

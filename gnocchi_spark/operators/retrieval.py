@@ -262,6 +262,60 @@ def bigram_lm_score(
     )
 
 
+def _tfidf_weights(
+    docs: DataFrame, id_col: str, text_col: str, df_cap: int
+) -> DataFrame:
+    """(doc_id, term, w) TF-IDF weights over the df-capped vocabulary."""
+    t = F.col(text_col)
+    tok = docs.where(F.length(t) > 0).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nn = docs.where(F.length(t) > 0).agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    return (
+        tf.join(F.broadcast(df.where(F.col("df") <= df_cap)), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double"))).alias(
+                "w"
+            ),
+        )
+    )
+
+
+def tfidf_pair_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 100,
+    _weights: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, dot) candidate pairs from the inverted-index
+    self-join — the stage whose volume decides 100 TB viability (each
+    term fans out to <= df_cap² ordered pairs); bench.scale_stress
+    measures its growth directly."""
+    w = (
+        _weights
+        if _weights is not None
+        else _tfidf_weights(docs, id_col, text_col, df_cap)
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("term").alias("t2"), F.col("w").alias("wb")
+    )
+    return (
+        w.join(wb, (w.term == wb.t2) & (w.doc_id != wb.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.sum(F.col("w") * F.col("wb")).alias("dot"))
+    )
+
+
 def tfidf_cosine_topk(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -285,37 +339,9 @@ def tfidf_cosine_topk(
     SQL).  Ranking ties break on (round(cosine, 6), partner id) so
     both engines select identical top-k sets.
     """
-    t = F.col(text_col)
-    tok = docs.where(F.length(t) > 0).select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf")
-    )
-    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    nn = docs.where(F.length(t) > 0).agg(
-        F.count("*").cast("double").alias("__n")
-    )
-    w = (
-        tf.join(F.broadcast(df.where(F.col("df") <= df_cap)), "term")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double"))).alias(
-                "w"
-            ),
-        )
-    )
+    w = _tfidf_weights(docs, id_col, text_col, df_cap)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    wb = w.select(
-        F.col("doc_id").alias("doc_b"), F.col("term").alias("t2"), F.col("w").alias("wb")
-    )
-    dot = (
-        w.join(wb, (w.term == wb.t2) & (w.doc_id != wb.doc_b))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.sum(F.col("w") * F.col("wb")).alias("dot"))
-    )
+    dot = tfidf_pair_candidates(docs, id_col, text_col, df_cap, _weights=w)
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     cos = dot.join(na, "doc_a").join(nb, "doc_b").select(

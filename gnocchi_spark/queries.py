@@ -10498,6 +10498,168 @@ def metric_user_gini(spark, sf_dir):
     )
 
 
+@query(
+    "tsdb_holt_winters",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    e1 AS (
+      SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
+      FROM r WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)),
+    e2 AS (
+      SELECT metric_id, bucket_ts, v, s1, {_ewma_kernel_sql('s1')} AS s2
+      FROM e1 WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)),
+    lt AS (
+      SELECT metric_id, bucket_ts, v,
+             2.0 * s1 - s2 AS level,
+             {0.3 / 0.7!r} * (s1 - s2) AS trend
+      FROM e2),
+    se AS (
+      SELECT metric_id, CAST(EXTRACT(hour FROM bucket_ts) AS INT) AS hod,
+             avg(v - level) AS seasonal
+      FROM lt GROUP BY 1, 2)
+    SELECT lt.metric_id, lt.bucket_ts, round(lt.v, 6) AS v,
+           round(lt.level, 6) AS level,
+           round(lt.trend, 6) AS trend,
+           round(se.seasonal, 6) AS seasonal_next,
+           round(lt.level + lt.trend + se.seasonal, 6) AS forecast_next
+    FROM lt JOIN se
+      ON lt.metric_id = se.metric_id
+     AND CAST(EXTRACT(hour FROM lt.bucket_ts + INTERVAL 5 MINUTE) AS INT)
+           = se.hod
+    """,
+)
+def tsdb_holt_winters(spark, sf_dir):
+    # Holt-Winters-style composite forecast: Brown level+trend (two
+    # stacked truncated-EWMA kernels, one metric-keyed exchange) plus
+    # an additive hour-of-day seasonal estimated from the level
+    # residuals, applied at the NEXT bucket's hour.  The seasonal table
+    # is metrics x 24 rows — broadcast onto the rollup, so the
+    # composite costs one small join over the Brown plan.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    e1 = r.select(
+        "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
+    )
+    e2 = e1.select(
+        "metric_id", "bucket_ts", "v", "s1",
+        _ewma_kernel_col("s1", w).alias("s2"),
+    )
+    lt = e2.select(
+        "metric_id",
+        "bucket_ts",
+        "v",
+        (F.lit(2.0) * F.col("s1") - F.col("s2")).alias("level"),
+        (F.lit(0.3 / 0.7) * (F.col("s1") - F.col("s2"))).alias("trend"),
+    )
+    se = lt.groupBy(
+        "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
+    ).agg(F.avg(F.col("v") - F.col("level")).alias("seasonal"))
+    nxt = F.hour(
+        F.col("bucket_ts") + F.expr("INTERVAL 5 MINUTES")
+    ).cast("int")
+    return (
+        lt.withColumn("hod", nxt)
+        .join(F.broadcast(se), ["metric_id", "hod"])
+        .select(
+            "metric_id",
+            "bucket_ts",
+            F.round("v", 6).alias("v"),
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal_next"),
+            F.round(
+                F.col("level") + F.col("trend") + F.col("seasonal"), 6
+            ).alias("forecast_next"),
+        )
+    )
+
+
+@query(
+    "training_set_asof_features",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, ts, event_type, event_id, value
+      FROM events),
+    f AS (
+      SELECT user_id, us, ts, event_type, event_id, value,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           OVER w24, 0) AS BIGINT) AS n_views_24h,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           OVER w1, 0) AS BIGINT) AS n_clicks_1h,
+             CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                           OVER w24, 0) AS BIGINT) AS n_errors_24h
+      FROM ev
+      WINDOW
+        w24 AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING),
+        w1 AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS label_event_id, user_id, ts AS label_ts,
+           value AS label_value, n_views_24h, n_clicks_1h, n_errors_24h
+    FROM f WHERE event_type = 'purchase'
+    """,
+)
+def training_set_asof_features(spark, sf_dir):
+    # Point-in-time-correct training matrix: each purchase label picks
+    # up the user's STRICTLY-PRIOR activity counts (views/errors 24 h,
+    # clicks 1 h) — the feature-store read that prevents train/serve
+    # leakage.  One user-keyed shuffle; all features come from range
+    # windows over the same ordered pass (exact integer counts, upper
+    # bound -1 µs so same-instant events never leak into their own
+    # features).  At 100 TB this is the design you want: no per-feature
+    # join, state bounded by the window span per user.
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "ts",
+        "event_type",
+        "event_id",
+        "value",
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    w1 = (
+        Window.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, -1)
+    )
+
+    def cnt(kind, w):
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == kind, 1).otherwise(0)).over(w),
+            F.lit(0),
+        ).cast("long")
+
+    return (
+        ev.select(
+            "event_type",
+            F.col("event_id").alias("label_event_id"),
+            "user_id",
+            F.col("ts").alias("label_ts"),
+            F.col("value").alias("label_value"),
+            cnt("view", w24).alias("n_views_24h"),
+            cnt("click", w1).alias("n_clicks_1h"),
+            cnt("error", w24).alias("n_errors_24h"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
 CHECK_ORDER = [
     # --- r05 rotation -----------------------------------------------------
     # CORRECTNESS_r04 recorded 50/50 green; the cumulative driver-green
