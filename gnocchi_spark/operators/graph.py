@@ -160,6 +160,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling over a symmetric (src, dst) edge
+    frame: each round removes every node whose CURRENT degree is < k,
+    along with its edges; survivors of ``rounds`` peels approximate the
+    k-core from above (they equal it once a round removes nothing).
+
+    Fixed unrolling instead of a convergence loop keeps the plan a
+    static chain — every round is one degree aggregate + two
+    semi-joins, all hash-partitioned on the node id, with lineage
+    truncated per round like the other iterative operators.  Returns
+    (uid, degree) for surviving nodes with their within-subgraph
+    degree.
+    """
+    e = edges
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("src").alias("uid")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+
+
 def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Unrolled synchronous label propagation over a (src, dst) edge
     frame: each round every node adopts its neighbors' most frequent

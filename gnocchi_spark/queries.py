@@ -10499,6 +10499,53 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "graph_kcore_membership",
+    f"""
+    WITH occ AS (
+      SELECT DISTINCT user_id, {_sql_bucket(3600)} AS b
+      FROM events WHERE event_type = 'purchase'),
+    cap AS (
+      SELECT user_id, b FROM (
+        SELECT user_id, b,
+               row_number() OVER (PARTITION BY b
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rk
+        FROM occ) WHERE rk <= 32),
+    e0 AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM cap a JOIN cap b ON a.b = b.b AND a.user_id != b.user_id),
+    k0 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 24),
+    e1 AS (SELECT e0.src, e0.dst FROM e0
+           JOIN k0 a ON e0.src = a.src JOIN k0 b ON e0.dst = b.src),
+    k1 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 24),
+    e2 AS (SELECT e1.src, e1.dst FROM e1
+           JOIN k1 a ON e1.src = a.src JOIN k1 b ON e1.dst = b.src),
+    k2 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 24),
+    e3 AS (SELECT e2.src, e2.dst FROM e2
+           JOIN k2 a ON e2.src = a.src JOIN k2 b ON e2.dst = b.src)
+    SELECT src AS uid, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY 1
+    """,
+)
+def graph_kcore_membership(spark, sf_dir):
+    # 24-core of the degree-capped purchase co-occurrence graph via 3
+    # unrolled peeling rounds (each: degree aggregate + two semi-joins
+    # on the node key) — the dense-cohort extraction that complements
+    # PageRank/label-propagation/triangles.  Fixed unrolling keeps the
+    # plan static and SQL-replayable; at 1000 executors every round
+    # reuses the same hash partitioning, lineage truncated per round.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from gnocchi_spark.operators.graph import cooccurrence_edges, kcore_peel
+
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    e = cooccurrence_edges(
+        ev, truncate_to_bucket(F.col("ts"), 3600.0), max_per_bucket=32
+    )
+    return kcore_peel(e, k=24, rounds=3)
+
+
+@query(
     "tsdb_holt_winters",
     f"""
     WITH r AS (

@@ -131,3 +131,33 @@ class TestTriangleCount:
         assert out[4]["n_triangles"] == 0 and out[4]["degree"] == 1
         # node 3: 1 triangle over C(3,2)=3 possible wedges
         assert out[3]["clustering"] == round(2 * 1 / (3 * 2), 6)
+
+
+class TestKcorePeel:
+    def _edges(self, spark, pairs):
+        sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+        return spark.createDataFrame(sym, "src long, dst long")
+
+    def test_pendant_chain_peels_into_core(self, spark):
+        from gnocchi_spark.operators.graph import kcore_peel
+
+        # K4 core with a chain 4-5-6 hanging off: 2-core peeling must
+        # remove 6 (deg 1), then 5 (deg 1 after), leaving exactly K4
+        e = self._edges(
+            spark,
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        )
+        out = {r["uid"]: r["degree"] for r in kcore_peel(e, k=2, rounds=3).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1] == out[2] == out[3] == 3
+        # node 4 lost its pendant edge: degree inside the core is 3
+        assert out[4] == 3
+
+    def test_rounds_matter_for_cascades(self, spark):
+        from gnocchi_spark.operators.graph import kcore_peel
+
+        # a path 1-2-3-4-5: one 2-core peel removes only the endpoints;
+        # the cascade needs more rounds to empty the graph
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert kcore_peel(e, k=2, rounds=1).count() == 3
+        assert kcore_peel(e, k=2, rounds=3).count() == 0
