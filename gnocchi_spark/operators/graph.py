@@ -124,6 +124,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b", "db")
+        # referenced three times below (wedge left, wedge right,
+        # closure probe): truncate lineage so the edge pipeline is
+        # computed once, not re-derived per reference
+        .localCheckpoint(eager=False)
     )
     f2 = fwd.select(
         F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
@@ -133,7 +137,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closer = fwd.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    # referenced three times by the per-corner union: truncate so the
+    # wedge join runs once
+    tri = (
+        wedges.join(closer, ["b", "c"])
+        .select("a", "b", "c")
+        .localCheckpoint(eager=False)
+    )
     per_node = (
         tri.select(F.col("a").alias("uid"))
         .union(tri.select(F.col("b").alias("uid")))

@@ -287,6 +287,9 @@ def _tfidf_weights(
                 "w"
             ),
         )
+        # referenced by norms + both sides of the pair join: truncate
+        # lineage so tokenization runs once
+        .localCheckpoint(eager=False)
     )
 
 
