@@ -185,7 +185,7 @@ def _tri_on(ev):
 def _tfidf_on(docs):
     from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
 
-    return tfidf_cosine_topk(docs, df_cap=100, k=5)
+    return tfidf_cosine_topk(docs, rare_terms=4, bucket_cap=50, k=5)
 
 
 def _interval_on(ev):
@@ -506,10 +506,10 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: _ppl_on(docs10)),
         # sketch cascades: shuffle rows = metrics x buckets x sketch
         # size — 10x metrics should grow ~linearly, never with traffic
-        # inverted-index all-pairs similarity: the Caesar-cipher
-        # replicas keep vocabularies disjoint, so with the fixed df
-        # cap the pair volume must grow ~linearly (per-replica), never
-        # with the squared corpus
+        # inverted-index all-pairs similarity: rarest-term blocking
+        # bounds candidates at N * rare_terms * bucket_cap by
+        # construction, so 10x corpus (cipher replicas, disjoint
+        # vocabularies) must grow the pair volume ~linearly
         ("tfidf_cosine", lambda: _tfidf_on(docs1), lambda: _tfidf_on(docs10)),
         ("triangle_count", lambda: _tri_on(ev1), lambda: _tri_on(ev10)),
         ("hll_cascade", lambda: _hll_cascade_on(_replicated_measures(spark, sf_dir, 1)),
@@ -575,7 +575,7 @@ def scale_stress(spark, sf_dir, factor=10):
     def tfidf_cands(docs):
         from gnocchi_spark.operators.retrieval import tfidf_pair_candidates
 
-        n = tfidf_pair_candidates(docs, df_cap=100).count()
+        n = tfidf_pair_candidates(docs, rare_terms=4, bucket_cap=50).count()
         spark.catalog.clearCache()
         return n
 

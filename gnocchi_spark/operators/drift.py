@@ -73,11 +73,18 @@ def psi_report(
     finite, engine-identical term.  Returns
     (metric_id, n_ref, n_cur, psi).
     """
-    sided = _sided(measures, metric_col, ts_col, value_col)
+    # referenced by the range, binning and grid branches: truncate so
+    # the measure stream is read once, not per branch
+    sided = _sided(measures, metric_col, ts_col, value_col).localCheckpoint(
+        eager=False
+    )
+    # metric-count rows, referenced by binning and the grid: truncate
+    # so the reference-window reduction runs once
     ref_rng = (
         sided.where("is_ref")
         .groupBy("metric_id")
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .localCheckpoint(eager=False)
     )
     binned = (
         sided.join(F.broadcast(ref_rng), "metric_id")
@@ -110,15 +117,14 @@ def psi_report(
         )
     )
     # full bins x metrics grid so empty bins still contribute their
-    # smoothed term (10 rows per metric — a broadcast-sized frame)
-    grid = (
-        sided.select("metric_id")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                sided.sparkSession.range(bins).select(
-                    F.col("id").cast("int").alias("bin")
-                )
+    # smoothed term (10 rows per metric).  Metrics come from the
+    # 1-row-per-metric reference-range aggregate, NOT a second pass
+    # over the measure stream — PSI is undefined without a baseline,
+    # and this keeps the grid branch off the big scan entirely.
+    grid = ref_rng.select("metric_id").crossJoin(
+        F.broadcast(
+            sided.sparkSession.range(bins).select(
+                F.col("id").cast("int").alias("bin")
             )
         )
     )
@@ -163,9 +169,19 @@ def ks_two_sample(
     result.  Returns (metric_id, n_ref, n_cur, ks_stat).
     """
     sided = _sided(measures, metric_col, ts_col, value_col)
-    per_val = sided.groupBy("metric_id", "v").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("c_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("c_cur"),
+    # referenced by the cumulative window and the totals: truncate so
+    # the per-value reduction runs once
+    per_val = (
+        sided.groupBy("metric_id", "v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("metric_id")

@@ -263,9 +263,11 @@ def bigram_lm_score(
 
 
 def _tfidf_weights(
-    docs: DataFrame, id_col: str, text_col: str, df_cap: int
+    docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(doc_id, term, w) TF-IDF weights over the df-capped vocabulary."""
+    """(doc_id, term, w, df) TF-IDF weights over the FULL vocabulary
+    (idf = ln(N/df); ubiquitous terms keep ~0 weight instead of being
+    dropped, so cosine stays a true full-vector cosine)."""
     t = F.col(text_col)
     tok = docs.where(F.length(t) > 0).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(t)).alias("term")
@@ -278,7 +280,7 @@ def _tfidf_weights(
         F.count("*").cast("double").alias("__n")
     )
     return (
-        tf.join(F.broadcast(df.where(F.col("df") <= df_cap)), "term")
+        tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(nn))
         .select(
             "doc_id",
@@ -286,9 +288,10 @@ def _tfidf_weights(
             (F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double"))).alias(
                 "w"
             ),
+            "df",
         )
-        # referenced by norms + both sides of the pair join: truncate
-        # lineage so tokenization runs once
+        # referenced by the blocking, both verification sides and the
+        # norms: truncate lineage so tokenization runs once
         .localCheckpoint(eager=False)
     )
 
@@ -297,25 +300,47 @@ def tfidf_pair_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_cap: int = 100,
+    rare_terms: int = 4,
+    bucket_cap: int = 50,
     _weights: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, dot) candidate pairs from the inverted-index
-    self-join — the stage whose volume decides 100 TB viability (each
-    term fans out to <= df_cap² ordered pairs); bench.scale_stress
-    measures its growth directly."""
+    """Distinct (doc_a, doc_b) candidate pairs via rarest-term prefix
+    blocking (Bayardo et al. WWW'07 family): each document emits its
+    ``rare_terms`` lowest-df terms as blocking keys, every key's
+    posting list is capped at ``bucket_cap`` members by deterministic
+    md5 rank, and candidates are the within-bucket pairs.
+
+    This bounds candidate volume BY CONSTRUCTION:
+    <= N * rare_terms * bucket_cap ordered pairs — linear in the
+    corpus no matter how the df distribution scales (an absolute df
+    threshold goes degenerate on corpora whose every df grows with N).
+    Near-duplicates share their rarest terms, so recall concentrates
+    exactly where the signal is.  The md5 bucket rank replays in SQL,
+    same technique as the co-occurrence graph cap."""
     w = (
         _weights
         if _weights is not None
-        else _tfidf_weights(docs, id_col, text_col, df_cap)
+        else _tfidf_weights(docs, id_col, text_col)
     )
-    wb = w.select(
-        F.col("doc_id").alias("doc_b"), F.col("term").alias("t2"), F.col("w").alias("wb")
+    rare = Window.partitionBy("doc_id").orderBy("df", "term")
+    block = (
+        w.withColumn("__rt", F.row_number().over(rare))
+        .where(F.col("__rt") <= rare_terms)
+        .select("term", "doc_id")
     )
+    bucket = Window.partitionBy("term").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        block.withColumn("__rk", F.row_number().over(bucket))
+        .where(F.col("__rk") <= bucket_cap)
+        .select("term", "doc_id")
+    )
+    cb = capped.select(F.col("term").alias("t2"), F.col("doc_id").alias("doc_b"))
     return (
-        w.join(wb, (w.term == wb.t2) & (w.doc_id != wb.doc_b))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.sum(F.col("w") * F.col("wb")).alias("dot"))
+        capped.join(cb, (capped.term == cb.t2) & (capped.doc_id != cb.doc_b))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
     )
 
 
@@ -323,28 +348,41 @@ def tfidf_cosine_topk(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_cap: int = 100,
+    rare_terms: int = 4,
+    bucket_cap: int = 50,
     k: int = 5,
 ) -> DataFrame:
-    """Sparse all-pairs document similarity: cosine over TF-IDF vectors
-    restricted to informative terms (document frequency <= ``df_cap``),
-    top-``k`` partners per document.
-
-    The dot product is an inverted-index self-join on the term key —
-    only documents SHARING a term ever meet, the sparse-similarity
-    trick every all-pairs system uses (cf. prefix filtering in
-    Bayardo et al. WWW'07).  The df cap is the scale contract: a term
-    seen in at most ``df_cap`` documents fans out to at most
-    ``df_cap``² pairs, so no stop-word key can square the corpus, and
-    dropping ubiquitous terms barely moves cosine because idf ~ 0
-    there anyway.  Norms use the SAME capped vocabulary, so the score
-    is a true cosine of the pruned vectors (exactly reproducible in
-    SQL).  Ranking ties break on (round(cosine, 6), partner id) so
-    both engines select identical top-k sets.
-    """
-    w = _tfidf_weights(docs, id_col, text_col, df_cap)
+    """Sparse all-pairs document similarity, two-phase like the dedup
+    family: (1) rarest-term prefix blocking with md5-capped posting
+    lists generates candidate pairs — volume bounded by construction
+    at N * rare_terms * bucket_cap (see tfidf_pair_candidates); (2)
+    each candidate is verified with a FULL-vector TF-IDF cosine via a
+    relational dot product (candidates join one side\'s terms, then
+    meet the other side on the (doc, term) key), top-``k`` partners
+    kept per document.  Ranking ties break on (round(cosine, 6),
+    partner id) so both engines select identical top-k sets."""
+    w = _tfidf_weights(docs, id_col, text_col)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    dot = tfidf_pair_candidates(docs, id_col, text_col, df_cap, _weights=w)
+    cand = tfidf_pair_candidates(
+        docs, id_col, text_col, rare_terms, bucket_cap, _weights=w
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("__b2"),
+        F.col("term").alias("t2"),
+        F.col("w").alias("wb"),
+    )
+    dot = (
+        cand.join(wa, "doc_a")
+        .join(
+            wb,
+            (F.col("term") == F.col("t2")) & (F.col("doc_b") == F.col("__b2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     cos = dot.join(na, "doc_a").join(nb, "doc_b").select(

@@ -10100,7 +10100,7 @@ def graph_triangle_count(spark, sf_dir):
       FROM b GROUP BY 1, 2),
     g AS (
       SELECT metric_id, CAST(i AS INT) AS bin
-      FROM (SELECT DISTINCT metric_id FROM s),
+      FROM (SELECT DISTINCT metric_id FROM rng),
            unnest(generate_series(0, 9)) AS t(i)),
     f AS (
       SELECT g.metric_id, g.bin,
@@ -10255,13 +10255,19 @@ def tsdb_theil_sen(spark, sf_dir):
     # median comparisons are well-conditioned.
     r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
     h0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
-    x = r.join(F.broadcast(h0), "metric_id").select(
-        "metric_id",
-        (
-            (F.unix_micros("bucket_ts") - F.unix_micros("t0"))
-            / F.lit(3600_000_000.0)
-        ).alias("x"),
-        F.col("mean").alias("v"),
+    x = (
+        r.join(F.broadcast(h0), "metric_id")
+        .select(
+            "metric_id",
+            (
+                (F.unix_micros("bucket_ts") - F.unix_micros("t0"))
+                / F.lit(3600_000_000.0)
+            ).alias("x"),
+            F.col("mean").alias("v"),
+        )
+        # referenced four times (both pair sides, count, final join):
+        # truncate so the rollup runs once
+        .localCheckpoint(eager=False)
     )
     b = x.select(
         F.col("metric_id").alias("m2"), F.col("x").alias("x2"), F.col("v").alias("v2")
@@ -10396,16 +10402,34 @@ def tsdb_brown_forecast(spark, sf_dir):
       SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
     tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
            FROM tok GROUP BY 1, 2),
-    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM norm),
     w AS (
-      SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / CAST(df.df AS DOUBLE)) AS w
-      FROM tf JOIN df USING (term), nn
-      WHERE df.df <= 100),
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(nn.n / CAST(dfq.df AS DOUBLE)) AS w, dfq.df
+      FROM tf JOIN dfq USING (term), nn),
+    block AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY df, term) AS rt
+        FROM w) WHERE rt <= 4),
+    capped AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM block) WHERE rk <= 50),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.term = b.term AND a.doc_id != b.doc_id),
     nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
     dot AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
-      FROM w a JOIN w b ON a.term = b.term AND a.doc_id != b.doc_id
+      SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
+      FROM cand c
+      JOIN w wa ON c.doc_a = wa.doc_id
+      JOIN w wb ON c.doc_b = wb.doc_id AND wb.term = wa.term
       GROUP BY 1, 2),
     cos AS (
       SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
@@ -10422,17 +10446,21 @@ def tsdb_brown_forecast(spark, sf_dir):
     """,
 )
 def doc_similarity_tfidf_topk(spark, sf_dir):
-    # Sparse all-pairs document similarity: TF-IDF vectors restricted
-    # to informative terms (df <= 100 — the standard prefix/stop-term
-    # pruning), cosine via an inverted-index self-join on term, top-5
-    # partners per document.  Scale: the pair fanout per term is
-    # bounded by df_cap^2 and the join partitions on term, so no hot
-    # vocabulary key can square the corpus; rank ties break on
-    # (round(cosine, 6), doc_b) exactly as the oracle does.
+    # Sparse all-pairs document similarity, two-phase like the dedup
+    # family: rarest-term prefix blocking (each doc\'s 4 lowest-df
+    # terms, md5-capped posting lists of 50) generates candidates
+    # bounded BY CONSTRUCTION at N*4*50 pairs — an absolute df
+    # threshold goes degenerate on corpora whose every df grows with
+    # the corpus — then each candidate verifies with a FULL-vector
+    # TF-IDF cosine via a relational dot product.  Top-5 partners per
+    # doc, ties on (round(cosine, 6), doc_b) exactly as the oracle.
     from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
 
     return tfidf_cosine_topk(
-        tables.load(spark, sf_dir, "documents"), df_cap=100, k=5
+        tables.load(spark, sf_dir, "documents"),
+        rare_terms=4,
+        bucket_cap=50,
+        k=5,
     )
 
 
@@ -10714,11 +10742,14 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 7 latest r05 additions —
-    # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts
-    # and tsdb_lttb_downsample — do not fit the 50-slot window, are
-    # green in ORACLE_FULL_r05.txt, and lead the r06 rotation), then
-    # re-checks: the three
+    # pipeline/analytics/TPC-H family; the 18 latest r05 additions —
+    # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
+    # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
+    # quartet completions (triangles, k-core), bigram perplexity,
+    # TF-IDF cosine top-k, Theil-Sen, Brown/Holt-Winters forecasts,
+    # metric_user_gini and training_set_asof_features — do not fit the
+    # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
+    # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules
     # changed this round (simhash / embedding LSH / minhash pinning
     # coherence) plus the Sec.2.3/2.4 anchors.  Everything else stays

@@ -68,18 +68,36 @@ class TestTfidfCosine:
         # 3 and 4 share 3 of 4 terms: best partner is each other, < 1
         assert out[(3, 1)]["doc_b"] == 4 and 0 < out[(3, 1)]["cosine"] < 1.0
 
-    def test_df_cap_prunes_hot_terms(self, spark):
-        from gnocchi_spark.operators.retrieval import tfidf_cosine_topk
+    def test_rare_term_blocking_finds_the_shared_pair(self, spark):
+        from gnocchi_spark.operators.retrieval import tfidf_pair_candidates
 
-        # every doc shares "the"; with df_cap=2 the hot term is pruned
-        # and only the doc pair sharing a rare term survives
+        # every doc shares "the" (a hot term), 4 and 5 also share a
+        # rare term: with 1 blocking slot per doc, each doc blocks on
+        # its rarest term — word4 for docs 4/5 — so exactly that pair
+        # (both directions) is generated
         docs = spark.createDataFrame(
             [(i, f"the word{i}") for i in range(1, 5)] + [(5, "the word4")],
             "doc_id long, text string",
         )
-        out = tfidf_cosine_topk(docs, df_cap=2, k=3).collect()
-        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in tfidf_pair_candidates(docs, rare_terms=1).collect()
+        }
         assert pairs == {(4, 5), (5, 4)}
+
+    def test_bucket_cap_bounds_candidates(self, spark):
+        from gnocchi_spark.operators.retrieval import tfidf_pair_candidates
+
+        # 30 docs all sharing one rare-ish term; bucket_cap=4 keeps the
+        # posting list at 4 members -> at most 4*3 ordered pairs per
+        # blocking term, never 30*29
+        docs = spark.createDataFrame(
+            [(i, f"zebra filler{i % 7}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        n = tfidf_pair_candidates(docs, rare_terms=2, bucket_cap=4).count()
+        assert n <= 2 * 4 * 3 * 7  # slots x cap x (cap-1) x filler-groups
+        assert n > 0
 
 
 class TestGini:
