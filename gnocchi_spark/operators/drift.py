@@ -154,6 +154,65 @@ def psi_report(
     )
 
 
+def psi_from_bin_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    bins: int = 10,
+) -> DataFrame:
+    """PSI from two pre-binned (metric_id, bin, cnt) count tables over
+    the SAME fixed grid — the streaming-monitor form of
+    :func:`psi_report`.
+
+    ``streaming.ingest.streaming_histogram_counts`` maintains exactly
+    such counters incrementally (fixed bounds make them sum-mergeable
+    across windows and runs), so a drift monitor freezes one merged
+    slice as the baseline and compares any later merged slice without
+    ever reprocessing raw data.  Same Laplace smoothing and formula as
+    the batch operator; identical inputs give identical PSI.
+    """
+    ref = ref_counts.groupBy("metric_id", "bin").agg(
+        F.sum("cnt").cast("long").alias("c_ref")
+    )
+    cur = cur_counts.groupBy("metric_id", "bin").agg(
+        F.sum("cnt").cast("long").alias("c_cur")
+    )
+    grid = ref.select("metric_id").distinct().crossJoin(
+        F.broadcast(
+            ref_counts.sparkSession.range(bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    full = (
+        grid.join(ref, ["metric_id", "bin"], "left")
+        .join(cur, ["metric_id", "bin"], "left")
+        .select(
+            "metric_id",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    tot = full.groupBy("metric_id").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    smooth = F.lit(0.5)
+    denom = F.lit(bins * 0.5)
+    p = (F.col("c_ref") + smooth) / (F.col("n_ref") + denom)
+    q = (F.col("c_cur") + smooth) / (F.col("n_cur") + denom)
+    return (
+        full.join(F.broadcast(tot), "metric_id")
+        .groupBy("metric_id")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .select("metric_id", "n_ref", "n_cur", "psi")
+    )
+
+
 def ks_two_sample(
     measures: DataFrame,
     metric_col: str = "metric_id",

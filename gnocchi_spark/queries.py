@@ -10527,6 +10527,46 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "privacy_k_anonymity",
+    """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band
+      FROM customer),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM q GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+           class_size < 5 AS at_risk
+    FROM cls
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    # k-anonymity audit over quasi-identifier tuples (nation, segment,
+    # account-balance band): every equivalence class with its size,
+    # flagged when below k=5 — the re-identification check a
+    # training-data governance pass runs before release (companion to
+    # pii_redact).  One hash aggregation; class counts are exact
+    # integers, so the at_risk flag is engine-stable.
+    c = tables.load(spark, sf_dir, "customer")
+    cls = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bal_band"),
+    ).groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        (F.col("class_size") < 5).alias("at_risk"),
+    )
+
+
+@query(
     "graph_kcore_membership",
     f"""
     WITH occ AS (

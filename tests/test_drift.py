@@ -137,3 +137,49 @@ class TestTheilSen:
             F.expr("percentile(slope, 0.5)").alias("s")
         ).collect()[0]["s"]
         assert abs(slope - 2.0) < 1e-9
+
+
+class TestPsiFromBinCounts:
+    def test_matches_batch_psi_on_shared_grid(self, spark):
+        # when the reference window's [min, max] equals the fixed grid
+        # bounds, the counter-table path must reproduce psi_report
+        from gnocchi_spark.functions.sketches import fixed_bin_col
+        from gnocchi_spark.operators.drift import psi_from_bin_counts
+
+        # ref spans exactly [0, 1]; cur shifted upward
+        ref_vals = [0.0, 0.1, 0.2, 0.35, 0.5, 0.55, 0.7, 0.8, 0.9, 1.0]
+        cur_vals = [0.5, 0.55, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]
+        rows = [("m", ts(i), v) for i, v in enumerate(ref_vals)]
+        rows += [("m", ts(11 + i), v) for i, v in enumerate(cur_vals)]
+        m = _m(spark, rows)
+        batch = psi_report(m).collect()[0]
+
+        b = fixed_bin_col(F.col("value"), 0.0, 1.0, 10)
+        def counts(vals):
+            df = spark.createDataFrame(
+                [("m", v) for v in vals], "metric_id string, value double"
+            )
+            return df.select("metric_id", b.alias("bin")).groupBy(
+                "metric_id", "bin"
+            ).agg(F.count("*").alias("cnt"))
+
+        streamed = psi_from_bin_counts(counts(ref_vals), counts(cur_vals)).collect()[0]
+        assert streamed["psi"] == batch["psi"]
+        assert streamed["n_ref"] == batch["n_ref"] == 10
+
+    def test_counters_merge_by_sum(self, spark):
+        # two "finalized windows" of current counts merged by union
+        # must give the same PSI as one combined window — the property
+        # that lets the monitor serve from merged slices
+        from gnocchi_spark.operators.drift import psi_from_bin_counts
+
+        def cdf(rows):
+            return spark.createDataFrame(rows, "metric_id string, bin int, cnt long")
+
+        ref = cdf([("m", i, 10) for i in range(10)])
+        w1 = cdf([("m", 0, 5), ("m", 1, 3)])
+        w2 = cdf([("m", 0, 2), ("m", 9, 7)])
+        combined = cdf([("m", 0, 7), ("m", 1, 3), ("m", 9, 7)])
+        a = psi_from_bin_counts(ref, w1.unionByName(w2)).collect()[0]
+        b = psi_from_bin_counts(ref, combined).collect()[0]
+        assert a["psi"] == b["psi"] and a["n_cur"] == b["n_cur"] == 17
