@@ -10527,6 +10527,88 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "curriculum_schedule",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    tq AS (
+      SELECT doc_id, text,
+             len(string_split(nt, ' ')) AS n_toks, length(nt) AS nlen
+      FROM norm),
+    q AS (
+      SELECT doc_id,
+             round(
+               0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1.0 - least(
+                   5.0 * length(regexp_replace(text,
+                     '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE), 1.0))
+               + 0.3 * (CASE WHEN n_toks > 0
+                         AND CAST(nlen - (n_toks - 1) AS DOUBLE) / n_toks
+                               >= 3.0
+                         AND CAST(nlen - (n_toks - 1) AS DOUBLE) / n_toks
+                               <= 10.0
+                        THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM tq),
+    b AS (
+      SELECT doc_id, quality,
+             CAST(least(9, greatest(0,
+               CAST(floor(quality * 10.0) AS INT))) AS INT) AS bucket
+      FROM q),
+    p AS (
+      SELECT doc_id, quality, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY quality, doc_id) AS pos
+      FROM b)
+    SELECT doc_id, quality, bucket, CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) * 10 + bucket AS BIGINT) AS epoch_pos
+    FROM p
+    """,
+)
+def curriculum_schedule(spark, sf_dir):
+    # Curriculum data ordering: documents bucket into FIXED quality
+    # bands (floor(quality*10) — a fixed grid, NOT rank deciles, so no
+    # global sort ever happens) and epoch position round-robins the
+    # bands: epoch_pos = (pos-1)*10 + bucket interleaves easy/hard
+    # examples deterministically.  The only window partitions by
+    # bucket; ties break on (quality, doc_id) so both engines emit the
+    # same schedule.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.operators.textstats import quality_score
+
+    t = F.col("text")
+    docs = tables.load(spark, sf_dir, "documents").where(F.length(t) > 0)
+    q = docs.select(
+        "doc_id", quality_score(t).alias("quality")
+    )
+    b = q.select(
+        "doc_id",
+        "quality",
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("quality") * 10.0).cast("int")),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("quality", "doc_id")
+    return b.select(
+        "doc_id",
+        "quality",
+        "bucket",
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).select(
+        "doc_id",
+        "quality",
+        "bucket",
+        "pos",
+        ((F.col("pos") - 1) * 10 + F.col("bucket")).cast("long").alias("epoch_pos"),
+    )
+
+
+@query(
     "privacy_k_anonymity",
     """
     WITH q AS (
@@ -10782,12 +10864,13 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 18 latest r05 additions —
+    # pipeline/analytics/TPC-H family; the 20 latest r05 additions —
     # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
     # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
     # quartet completions (triangles, k-core), bigram perplexity,
     # TF-IDF cosine top-k, Theil-Sen, Brown/Holt-Winters forecasts,
-    # metric_user_gini and training_set_asof_features — do not fit the
+    # metric_user_gini, training_set_asof_features,
+    # privacy_k_anonymity and curriculum_schedule — do not fit the
     # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
     # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules

@@ -183,3 +183,17 @@ class TestPsiFromBinCounts:
         a = psi_from_bin_counts(ref, w1.unionByName(w2)).collect()[0]
         b = psi_from_bin_counts(ref, combined).collect()[0]
         assert a["psi"] == b["psi"] and a["n_cur"] == b["n_cur"] == 17
+
+    def test_psi_affine_invariance(self, spark):
+        # bins derive from the reference range, so an affine transform
+        # applied to BOTH windows must not change PSI (power-of-two
+        # scale + integer shift keeps the float math exact)
+        base = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 9.0]
+        cur = [2.0, 2.0, 4.0, 6.0, 8.0, 9.0, 9.0, 9.0]
+        def build(scale, shift):
+            rows = [("m", ts(i), v * scale + shift) for i, v in enumerate(base)]
+            rows += [
+                ("m", ts(11 + i), v * scale + shift) for i, v in enumerate(cur)
+            ]
+            return psi_report(_m(spark, rows)).collect()[0]["psi"]
+        assert build(1.0, 0.0) == build(4.0, 32.0)
