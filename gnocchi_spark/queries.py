@@ -7784,6 +7784,138 @@ def _ann_recall_sql() -> str:
     """
 
 
+def _ann_ndcg_sql() -> str:
+    import math
+
+    from gnocchi_spark.operators.similarity import hyperplanes
+
+    bucket = _bucket_sql(hyperplanes(6, 64))
+    idcg = sum((21 - j) / math.log2(j + 1) for j in range(1, 6))
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                   DESC, c.vec_id) AS rank
+        FROM embeddings c, (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 10) q
+        WHERE q.vec_id != c.vec_id)
+      WHERE rank <= 20),
+    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                   DESC, c.vec_id) AS rank
+        FROM v q JOIN v c
+          ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5),
+    j AS (
+      SELECT a.query_id, a.rank,
+             coalesce(CAST(21 - e.rank AS DOUBLE), 0.0) AS rel,
+             CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+    SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(sum(rel / log2(CAST(rank + 1 AS DOUBLE))), 6) AS dcg,
+           round(sum(rel / log2(CAST(rank + 1 AS DOUBLE))) / {idcg!r}, 6)
+             AS ndcg_at_5
+    FROM j GROUP BY 1
+    """
+
+
+@query("ann_ndcg_report", _ann_ndcg_sql())
+def ann_ndcg_report(spark, sf_dir):
+    # graded ANN evaluation: nDCG@5 of the LSH index against exact
+    # brute-force neighbors, relevance = 21 - exact_rank over the exact
+    # top-20 (so near-misses earn partial credit where recall@5 scores
+    # them zero).  Same sampled-query-slice cost profile as
+    # ann_recall_report; IDCG is the fixed ideal prefix constant,
+    # embedded as an identical literal in both engines.
+    import math
+
+    from gnocchi_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    idcg = sum((21 - j) / math.log2(j + 1) for j in range(1, 6))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries_df, k=20).select(
+        F.col("query_id").alias("eq"),
+        F.col("neighbor_id").alias("en"),
+        (F.lit(21) - F.col("rank")).cast("double").alias("rel"),
+    )
+    approx = lsh_cosine_topk(
+        emb, queries_df, k=5, n_planes=6, probe_hamming=1
+    ).select("query_id", "neighbor_id", "rank")
+    j = approx.join(
+        exact,
+        (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en")),
+        "left",
+    ).select(
+        "query_id",
+        "rank",
+        F.coalesce("rel", F.lit(0.0)).alias("rel"),
+        F.when(F.col("en").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    dcg = F.sum(F.col("rel") / F.log2((F.col("rank") + 1).cast("double")))
+    return j.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(dcg / F.lit(idcg), 6).alias("ndcg_at_5"),
+    )
+
+
+@query(
+    "ann_filtered_topk",
+    f"""
+    WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    cf AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN en ON e.vec_id = en.doc_id),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+               AS cosine
+      FROM cf c, q WHERE q.vec_id != c.vec_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank,
+           neighbor_id, cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_filtered_topk(spark, sf_dir):
+    # metadata-filtered vector search ("filtered ANN"): the lang
+    # predicate semi-joins the corpus BEFORE any distance math, so the
+    # scan prunes to the qualifying slice and the broadcast-probe
+    # top-k runs over ~1/5 of the vectors — predicate-then-search, the
+    # shape a production vector store needs when filters are selective.
+    from gnocchi_spark.operators.similarity import cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    en = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus_f = emb.join(en, "vec_id", "left_semi")
+    out = cosine_topk(corpus_f, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "cosine",
+    )
+
+
 @query("ann_recall_report", _ann_recall_sql())
 def ann_recall_report(spark, sf_dir):
     # ANN quality evaluation served as a query: recall@5 of the
@@ -10864,13 +10996,14 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 20 latest r05 additions —
+    # pipeline/analytics/TPC-H family; the 22 latest r05 additions —
     # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
     # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
     # quartet completions (triangles, k-core), bigram perplexity,
     # TF-IDF cosine top-k, Theil-Sen, Brown/Holt-Winters forecasts,
     # metric_user_gini, training_set_asof_features,
-    # privacy_k_anonymity and curriculum_schedule — do not fit the
+    # privacy_k_anonymity, curriculum_schedule, ann_ndcg_report and
+    # ann_filtered_topk — do not fit the
     # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
     # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules

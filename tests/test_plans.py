@@ -44,6 +44,8 @@ BNL_ALLOWED = {
     "doc_similarity_tfidf_topk",  # broadcast 1-row doc-count scalar (cross)
     "tpch_q11_important_stock",  # broadcast 1-row total-value threshold (cross)
     "event_association_lift",  # broadcast 1-row basket-total scalar (cross)
+    "ann_ndcg_report",  # broadcast 10-query slice (exact + LSH sides)
+    "ann_filtered_topk",  # broadcast 5-query slice against filtered corpus
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
