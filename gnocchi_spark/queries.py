@@ -10659,6 +10659,138 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "session_pattern_match",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s),
+    seq AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s2 GROUP BY 1, 2)
+    SELECT user_id, session_id, n_events,
+           regexp_matches(path, 'view(>[a-z]+)*>click(>[a-z]+)*>purchase')
+             AS matched
+    FROM seq
+    """,
+)
+def session_pattern_match(spark, sf_dir):
+    # MATCH_RECOGNIZE-style sequential pattern detection: sessions
+    # (30-min gap rule, shared with sessionize_gap) reduce to an
+    # ordered event-type path string, and the funnel pattern
+    # view -> ... -> click -> ... -> purchase evaluates as ONE regex
+    # per session — no per-step self-joins, no state machine UDF.  The
+    # path builds from sort_array over (ts, event_id, type) structs
+    # (collect_list alone has no ordering guarantee), so both engines
+    # see the identical string.  Scale: one user-keyed window + one
+    # aggregation; path length is bounded by session length, not
+    # stream length.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.operators.asof import sessionize
+
+    ev = tables.load(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], ts_col="ts", gap_seconds=1800.0, tie_col="event_id"
+    )
+    seq = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ).alias("evs"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            F.array_join(
+                F.transform(F.col("evs"), lambda e: e["event_type"]), ">"
+            ).alias("path"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.col("path").rlike("view(>[a-z]+)*>click(>[a-z]+)*>purchase").alias(
+            "matched"
+        ),
+    )
+
+
+@query(
+    "tsdb_value_heatmap",
+    """
+    WITH m AS (
+      SELECT event_type AS metric_id, ts, value FROM events),
+    rng AS (
+      SELECT metric_id, min(value) AS lo, max(value) AS hi
+      FROM m GROUP BY 1)
+    SELECT m.metric_id,
+           make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          * 3600 * 1000000) AS bucket_ts,
+           CASE WHEN hi = lo THEN 0
+                ELSE least(15, greatest(0,
+                     CAST(floor((value - lo) / ((hi - lo) / 16.0)) AS INT)))
+           END AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM m JOIN rng ON m.metric_id = rng.metric_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def tsdb_value_heatmap(spark, sf_dir):
+    # time x value-bin density heatmap (the Grafana heatmap panel
+    # read): 16 fixed-width bins over each metric's observed range,
+    # hourly buckets, exact counts.  State is buckets x 16 per metric
+    # regardless of traffic — the same mergeable fixed-grid shape as
+    # the histogram sketch family.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    m = _measures(spark, sf_dir)
+    rng = m.groupBy("metric_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        m.join(F.broadcast(rng), "metric_id")
+        .select(
+            "metric_id",
+            truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(15),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("value") - F.col("lo"))
+                            / ((F.col("hi") - F.col("lo")) / F.lit(16.0))
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy("metric_id", "bucket_ts", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+@query(
     "curriculum_schedule",
     f"""
     WITH norm AS (
@@ -10996,14 +11128,15 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 22 latest r05 additions —
+    # pipeline/analytics/TPC-H family; the 24 latest r05 additions —
     # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
     # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
     # quartet completions (triangles, k-core), bigram perplexity,
     # TF-IDF cosine top-k, Theil-Sen, Brown/Holt-Winters forecasts,
     # metric_user_gini, training_set_asof_features,
-    # privacy_k_anonymity, curriculum_schedule, ann_ndcg_report and
-    # ann_filtered_topk — do not fit the
+    # privacy_k_anonymity, curriculum_schedule, ann_ndcg_report,
+    # ann_filtered_topk, session_pattern_match and
+    # tsdb_value_heatmap — do not fit the
     # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
     # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules
