@@ -144,3 +144,70 @@ class TestGini:
         rows = [("m", 0, t, 1.0)] * 1000 + [("m", u, t, 1.0) for u in range(1, 10)]
         g = self._gini(spark, rows)
         assert g > 0.85
+
+
+class TestSessionPatternMatch:
+    def test_funnel_regex_on_hand_sessions(self, spark):
+        import datetime as dt
+        from gnocchi_spark.operators.asof import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1, one session: view -> error -> click -> purchase (matches)
+            (1, t0, 1, "view"),
+            (1, t0 + dt.timedelta(minutes=1), 2, "error"),
+            (1, t0 + dt.timedelta(minutes=2), 3, "click"),
+            (1, t0 + dt.timedelta(minutes=3), 4, "purchase"),
+            # user 2, purchase before click (no match)
+            (2, t0, 5, "view"),
+            (2, t0 + dt.timedelta(minutes=1), 6, "purchase"),
+            (2, t0 + dt.timedelta(minutes=2), 7, "click"),
+            # user 1, second session (gap > 30 min): view only (no match)
+            (1, t0 + dt.timedelta(hours=2), 8, "view"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        sess = sessionize(ev, ["user_id"], gap_seconds=1800.0, tie_col="event_id")
+        seq = (
+            sess.groupBy("user_id", "session_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                    )
+                ).alias("evs")
+            )
+            .select(
+                "user_id",
+                "session_id",
+                F.array_join(
+                    F.transform(F.col("evs"), lambda e: e["event_type"]), ">"
+                ).alias("path"),
+            )
+        )
+        got = {
+            (r["user_id"], r["session_id"]): bool(
+                __import__("re").fullmatch(
+                    r".*view(>[a-z]+)*>click(>[a-z]+)*>purchase.*", r["path"]
+                )
+            )
+            for r in seq.collect()
+        }
+        assert got[(1, 1)] is True
+        assert got[(2, 1)] is False
+        assert got[(1, 2)] is False
+
+
+class TestValueHeatmap:
+    def test_counts_partition_the_stream(self, spark, sf_dir):
+        from gnocchi_spark.queries import QUERIES
+        from gnocchi_spark import tables
+
+        out = QUERIES["tsdb_value_heatmap"](spark, sf_dir)
+        total = out.agg(F.sum("cnt")).collect()[0][0]
+        n_events = tables.load(spark, sf_dir, "events").count()
+        # every measure lands in exactly one (bucket, bin) cell
+        assert total == n_events
+        bins = out.agg(F.min("bin"), F.max("bin")).collect()[0]
+        assert bins[0] >= 0 and bins[1] <= 15
