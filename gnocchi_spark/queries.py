@@ -10659,6 +10659,207 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "growth_accounting",
+    """
+    WITH ad AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    lagd AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+      FROM ad),
+    cls AS (
+      SELECT d,
+             CASE WHEN prev_d IS NULL THEN 'new'
+                  WHEN d - prev_d = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status,
+             CASE WHEN next_d IS NULL OR next_d - d > 1 THEN 1 ELSE 0 END
+               AS churns_after
+      FROM lagd)
+    SELECT d AS day, status, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(churns_after) AS BIGINT) AS n_churning_after
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def growth_accounting(spark, sf_dir):
+    # growth accounting (the new / retained / resurrected / churned
+    # ledger): one distinct (user, day) reduction, one user-keyed
+    # window pass classifying each active day by its predecessor gap,
+    # plus the forward-looking churn flag from the successor gap.
+    # Exact date arithmetic — engine-stable classes; state bounded by
+    # active (user, day) pairs, never raw traffic.
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    ad = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagd = ad.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    cls = lagd.select(
+        "d",
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.datediff("d", "prev_d") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+        F.when(
+            F.col("next_d").isNull() | (F.datediff("next_d", "d") > 1), 1
+        )
+        .otherwise(0)
+        .alias("churns_after"),
+    )
+    return cls.groupBy(F.col("d").alias("day"), "status").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("churns_after").cast("long").alias("n_churning_after"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s),
+    fv AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_buy
+      FROM s2 GROUP BY 1, 2),
+    conv AS (
+      SELECT (t_buy - t_view) / 1000000.0 AS secs
+      FROM fv WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+                AND t_buy > t_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(min(secs), 6) AS min_s,
+           round(median(secs), 6) AS p50_s,
+           round(quantile_cont(secs, 0.9), 6) AS p90_s,
+           round(max(secs), 6) AS max_s
+    FROM conv
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    # time-to-convert distribution: within each 30-min session, the
+    # gap from first view to first later purchase; min/p50/p90/max
+    # over all converting sessions.  The session reduction rides the
+    # same user-keyed exchange as sessionize_gap; quantiles interpolate
+    # identically in both engines (exact integer-µs gaps divided once).
+    from pyspark.sql import Window
+
+    from gnocchi_spark.operators.asof import sessionize
+
+    ev = tables.load(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], ts_col="ts", gap_seconds=1800.0, tie_col="event_id"
+    )
+    fv = sess.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_buy"),
+    )
+    conv = fv.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(((F.col("t_buy") - F.col("t_view")) / F.lit(1_000_000.0)).alias("secs"))
+    return conv.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.round(F.min("secs"), 6).alias("min_s"),
+        F.round(F.expr("percentile(secs, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("secs"), 6).alias("max_s"),
+    )
+
+
+@query(
+    "tsdb_seasonal_bands",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT metric_id,
+           CAST(EXTRACT(hour FROM bucket_ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(v, 0.1), 6) AS p10,
+           round(median(v), 6) AS p50,
+           round(quantile_cont(v, 0.9), 6) AS p90
+    FROM r GROUP BY 1, 2
+    """,
+)
+def tsdb_seasonal_bands(spark, sf_dir):
+    # hour-of-day percentile envelope per metric (p10/p50/p90 over the
+    # hourly rollup) — the anomaly band the seasonal-profile mean
+    # cannot give: "is the current hour outside its historical p90".
+    # One rollup + one (metric, hod) aggregation; 24 rows per metric.
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    return r.groupBy(
+        "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(mean, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(mean, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(mean, 0.9)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+             c_nationkey
+      FROM customer),
+    cls AS (
+      SELECT c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT) AS l_distinct
+      FROM q GROUP BY 1, 2)
+    SELECT c_mktsegment, bal_band, class_size, l_distinct,
+           l_distinct < 3 AS below_l
+    FROM cls
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    # l-diversity companion to the k-anonymity audit: per
+    # quasi-identifier class (segment, balance band), the number of
+    # DISTINCT sensitive values (nation) — a class can be large yet
+    # still leak if everyone in it shares the sensitive attribute.
+    # Exact integer counts; one aggregation.
+    c = tables.load(spark, sf_dir, "customer")
+    cls = c.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bal_band"),
+        "c_nationkey",
+    ).groupBy("c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.count_distinct("c_nationkey").cast("long").alias("l_distinct"),
+    )
+    return cls.select(
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") < 3).alias("below_l"),
+    )
+
+
+@query(
     "session_pattern_match",
     """
     WITH s AS (
@@ -11128,15 +11329,16 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 24 latest r05 additions —
+    # pipeline/analytics/TPC-H family; the 28 latest r05 additions —
     # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
     # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
     # quartet completions (triangles, k-core), bigram perplexity,
     # TF-IDF cosine top-k, Theil-Sen, Brown/Holt-Winters forecasts,
     # metric_user_gini, training_set_asof_features,
     # privacy_k_anonymity, curriculum_schedule, ann_ndcg_report,
-    # ann_filtered_topk, session_pattern_match and
-    # tsdb_value_heatmap — do not fit the
+    # ann_filtered_topk, session_pattern_match, tsdb_value_heatmap,
+    # growth_accounting, funnel_time_to_convert, tsdb_seasonal_bands
+    # and privacy_l_diversity — do not fit the
     # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
     # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules
