@@ -10659,6 +10659,210 @@ def metric_user_gini(spark, sf_dir):
 
 
 @query(
+    "tsdb_forecast_backtest",
+    f"""
+    WITH r AS (
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    e1 AS (
+      SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
+      FROM r WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)),
+    e2 AS (
+      SELECT metric_id, bucket_ts, v, s1, {_ewma_kernel_sql('s1')} AS s2
+      FROM e1 WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)),
+    f AS (
+      SELECT metric_id, bucket_ts, v,
+             (2.0 * s1 - s2) + {0.3 / 0.7!r} * (s1 - s2) AS fc,
+             lead(v) OVER (PARTITION BY metric_id ORDER BY bucket_ts)
+               AS v_next
+      FROM e2),
+    err AS (
+      SELECT metric_id, abs(v_next - fc) AS e_model,
+             abs(v_next - v) AS e_naive
+      FROM f WHERE v_next IS NOT NULL)
+    SELECT metric_id, CAST(count(*) AS BIGINT) AS n_evals,
+           round(avg(e_model), 6) AS mae_model,
+           round(avg(e_naive), 6) AS mae_naive,
+           round(avg(e_model) / avg(e_naive), 6) AS mase
+    FROM err GROUP BY 1
+    """,
+)
+def tsdb_forecast_backtest(spark, sf_dir):
+    # one-step backtest of the Brown forecast against the persistence
+    # naive (MASE < 1 means the smoother beats "tomorrow = today"):
+    # every row's forecast is scored against the NEXT observed rollup
+    # point via lead(), all inside the same metric-keyed exchange the
+    # smoothing already uses — backtesting costs one extra window
+    # column, not a second scan.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("metric_id").orderBy("bucket_ts")
+    e1 = r.select(
+        "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
+    )
+    e2 = e1.select(
+        "metric_id", "bucket_ts", "v", "s1",
+        _ewma_kernel_col("s1", w).alias("s2"),
+    )
+    fc = (
+        (F.lit(2.0) * F.col("s1") - F.col("s2"))
+        + F.lit(0.3 / 0.7) * (F.col("s1") - F.col("s2"))
+    ).alias("fc")
+    f = e2.select(
+        "metric_id", "bucket_ts", "v", fc, F.lead("v").over(w).alias("v_next")
+    )
+    err = f.where(F.col("v_next").isNotNull()).select(
+        "metric_id",
+        F.abs(F.col("v_next") - F.col("fc")).alias("e_model"),
+        F.abs(F.col("v_next") - F.col("v")).alias("e_naive"),
+    )
+    return err.groupBy("metric_id").agg(
+        F.count("*").cast("long").alias("n_evals"),
+        F.round(F.avg("e_model"), 6).alias("mae_model"),
+        F.round(F.avg("e_naive"), 6).alias("mae_naive"),
+        F.round(F.avg("e_model") / F.avg("e_naive"), 6).alias("mase"),
+    )
+
+
+@query(
+    "metric_change_contributors",
+    """
+    WITH m AS (
+      SELECT user_id, make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                     * 3600 * 1000000) AS hb
+      FROM events WHERE event_type = 'error'),
+    last2 AS (SELECT max(hb) AS h_last FROM m),
+    c AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN hb = h_last - INTERVAL 1 HOUR
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_prev,
+             CAST(sum(CASE WHEN hb = h_last THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_last
+      FROM m, last2 GROUP BY 1),
+    d AS (
+      SELECT user_id, c_prev, c_last, c_last - c_prev AS delta
+      FROM c WHERE c_prev > 0 OR c_last > 0),
+    rk AS (
+      SELECT user_id, c_prev, c_last, delta,
+             row_number() OVER (ORDER BY abs(delta) DESC, user_id) AS rank
+      FROM d)
+    SELECT user_id, c_prev, c_last, delta, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """,
+)
+def metric_change_contributors(spark, sf_dir):
+    # root-cause contribution analysis (Adtributor-lite): which users
+    # drove the change in the error rate between the last two hourly
+    # buckets — per-key counts in both windows, exact integer deltas,
+    # top-10 by |delta|.  The global top-k window runs over the
+    # contributor table AFTER the per-key reduction (bounded by
+    # distinct keys active in two hours, not traffic), and integer
+    # ordering means the selected SET is engine-stable.
+    from pyspark.sql import Window
+
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    m = ev.select(
+        "user_id", truncate_to_bucket(F.col("ts"), 3600.0).alias("hb")
+    )
+    last2 = m.agg(F.max("hb").alias("h_last"))
+    c = (
+        m.crossJoin(F.broadcast(last2))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("hb")
+                    == F.col("h_last") - F.expr("INTERVAL 1 HOUR"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c_prev"),
+            F.sum(F.when(F.col("hb") == F.col("h_last"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_last"),
+        )
+    )
+    d = c.where((F.col("c_prev") > 0) | (F.col("c_last") > 0)).select(
+        "user_id",
+        "c_prev",
+        "c_last",
+        (F.col("c_last") - F.col("c_prev")).alias("delta"),
+    )
+    w = Window.orderBy(F.abs(F.col("delta")).desc(), F.col("user_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "c_prev", "c_last", "delta", "rank")
+    )
+
+
+@query(
+    "metric_burstiness",
+    f"""
+    WITH c AS (
+      SELECT event_type AS metric_id, {_sql_bucket(60)} AS mb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT metric_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+      FROM c GROUP BY 1)
+    SELECT metric_id, n AS n_minutes, sc AS n_events,
+           round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_min,
+           round((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                 / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS fano_factor
+    FROM s WHERE n > 1 AND sc > 0
+    """,
+)
+def metric_burstiness(spark, sf_dir):
+    # burstiness via the Fano factor (variance-to-mean of per-minute
+    # arrival counts over observed minutes): 1 = Poisson, > 1 = bursty
+    # — the capacity-planning read that says whether mean-based sizing
+    # underprovisions.  All moments are exact BIGINTs before the final
+    # divisions, so both engines agree bit-for-bit.
+    from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("metric_id"),
+        truncate_to_bucket(F.col("ts"), 60.0).alias("mb"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    s = c.groupBy("metric_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    nn = F.col("n").cast("double")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    var = (nn * scc - sc * sc) / (nn * (F.col("n") - 1).cast("double"))
+    return s.where((F.col("n") > 1) & (F.col("sc") > 0)).select(
+        "metric_id",
+        F.col("n").alias("n_minutes"),
+        F.col("sc").alias("n_events"),
+        F.round(sc / nn, 6).alias("mean_per_min"),
+        F.round(var / (sc / nn), 6).alias("fano_factor"),
+    )
+
+
+@query(
     "growth_accounting",
     """
     WITH ad AS (
@@ -11329,7 +11533,7 @@ CHECK_ORDER = [
     # This window front-loads ALL 31 remaining never-driver-checked
     # names (completing gate-of-record coverage of the r04 registry),
     # then 16 of the queries ADDED in r05 (RBAC composition + the new
-    # pipeline/analytics/TPC-H family; the 28 latest r05 additions —
+    # pipeline/analytics/TPC-H family; the 31 latest r05 additions —
     # the TPC-H Q2/Q9/Q11/Q16/Q20 completion set, slo_burn_rate_alerts,
     # tsdb_lttb_downsample, the drift diagnostics (PSI/KS), the graph
     # quartet completions (triangles, k-core), bigram perplexity,
@@ -11337,8 +11541,9 @@ CHECK_ORDER = [
     # metric_user_gini, training_set_asof_features,
     # privacy_k_anonymity, curriculum_schedule, ann_ndcg_report,
     # ann_filtered_topk, session_pattern_match, tsdb_value_heatmap,
-    # growth_accounting, funnel_time_to_convert, tsdb_seasonal_bands
-    # and privacy_l_diversity — do not fit the
+    # growth_accounting, funnel_time_to_convert, tsdb_seasonal_bands,
+    # privacy_l_diversity, tsdb_forecast_backtest,
+    # metric_change_contributors and metric_burstiness — do not fit the
     # 50-slot window, are green in ORACLE_FULL_r05.txt, and lead the
     # r06 rotation), then re-checks: the three
     # candidate-generation queries whose banding/plane schedules

@@ -46,6 +46,7 @@ BNL_ALLOWED = {
     "event_association_lift",  # broadcast 1-row basket-total scalar (cross)
     "ann_ndcg_report",  # broadcast 10-query slice (exact + LSH sides)
     "ann_filtered_topk",  # broadcast 5-query slice against filtered corpus
+    "metric_change_contributors",  # broadcast 1-row last-hour scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
@@ -63,6 +64,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     "select_token_budget",
     # rank assignment runs AFTER limit(1000): bounded input
     "corpus_zipf_fit",
+    # top-10 window runs over the per-user two-hour contributor table
+    # (bounded by keys active in two hourly buckets, not traffic)
+    "metric_change_contributors",
 }
 
 
