@@ -211,3 +211,83 @@ class TestValueHeatmap:
         assert total == n_events
         bins = out.agg(F.min("bin"), F.max("bin")).collect()[0]
         assert bins[0] >= 0 and bins[1] <= 15
+
+
+class TestGrowthAccounting:
+    def test_classes_on_hand_history(self, spark):
+        from gnocchi_spark.queries import QUERIES
+        # drive the operator body on a local frame via the same logic
+        from pyspark.sql import Window
+
+        d0 = dt.date(2024, 1, 1)
+        rows = [
+            # user 1 active days 1,2,4: new, retained, resurrected
+            (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 2)),
+            (1, dt.datetime(2024, 1, 4)),
+            # user 2 active day 2 only: new then churns
+            (2, dt.datetime(2024, 1, 2)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        ad = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+        w = Window.partitionBy("user_id").orderBy("d")
+        lagd = ad.select(
+            "user_id", "d",
+            F.lag("d").over(w).alias("prev_d"),
+            F.lead("d").over(w).alias("next_d"),
+        )
+        cls = lagd.select(
+            "d",
+            F.when(F.col("prev_d").isNull(), "new")
+            .when(F.datediff("d", "prev_d") == 1, "retained")
+            .otherwise("resurrected").alias("status"),
+        )
+        got = {(r["d"], r["status"]): 1 for r in cls.collect()}
+        assert (d0, "new") in got
+        assert (dt.date(2024, 1, 2), "retained") in got
+        assert (dt.date(2024, 1, 2), "new") in got  # user 2
+        assert (dt.date(2024, 1, 4), "resurrected") in got
+
+
+class TestBurstiness:
+    def test_poisson_vs_bursty(self, spark):
+        from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # uniform: 2 events every minute for 30 min -> variance 0, fano 0
+        for i in range(30):
+            rows += [("flat", t0 + dt.timedelta(minutes=i), 1.0)] * 2
+        # bursty: 60 events in minute 0, none elsewhere except 1 in min 29
+        rows += [("burst", t0, 1.0)] * 60 + [
+            ("burst", t0 + dt.timedelta(minutes=29), 1.0)
+        ]
+        ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        c = ev.groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 60.0).alias("mb"),
+        ).agg(F.count("*").cast("long").alias("c"))
+        s = c.groupBy("metric_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        ).collect()
+        stats = {r["metric_id"]: r for r in s}
+        # flat: var = 0 exactly
+        r = stats["flat"]
+        assert r["n"] * r["scc"] - r["sc"] * r["sc"] == 0
+        # bursty: var/mean >> 1
+        r = stats["burst"]
+        var = (r["n"] * r["scc"] - r["sc"] * r["sc"]) / (r["n"] * (r["n"] - 1))
+        assert var / (r["sc"] / r["n"]) > 10
+
+
+class TestForecastBacktest:
+    def test_mase_beats_naive_on_smooth_ramp(self, spark, sf_dir):
+        from gnocchi_spark.queries import QUERIES
+
+        out = {r["metric_id"]: r for r in
+               QUERIES["tsdb_forecast_backtest"](spark, sf_dir).collect()}
+        assert len(out) >= 1
+        for r in out.values():
+            assert r["n_evals"] > 0
+            assert r["mase"] is not None and r["mase"] > 0
