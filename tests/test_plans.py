@@ -121,3 +121,39 @@ def _has_global_window(plan: str) -> bool:
         if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
             return True  # second group is a sort spec -> empty partition
     return False
+
+
+# Shuffle budgets for the flagship operators: the scale contract is
+# "this many exchanges, no more" — a regression that doubles the
+# shuffle count of a core path should fail CI, not surface at 100 TB.
+# Budgets = current audited count (PLAN_AUDIT.md) + 1 slack.
+import re as _re
+
+EXCHANGE_BUDGET = {
+    "tsdb_rollup_mean_5m": 2,
+    "tsdb_rollup_multi_1h": 2,
+    "dedup_exact": 2,
+    "sessionize_gap": 2,
+    "asof_join_nearest": 2,
+    "training_set_asof_features": 2,
+    "graph_kcore_membership": 2,
+    "metric_user_gini": 3,
+    "metric_burstiness": 3,
+    "tsdb_value_heatmap": 3,
+    "tsdb_theil_sen": 4,
+    "history_grouped_usage": 5,
+    "graph_triangle_count": 8,
+}
+
+_EXCH_RE = _re.compile(
+    r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)"
+)
+
+
+def test_flagship_exchange_budgets(plans):
+    over = {
+        n: (len(_EXCH_RE.findall(plans[n])), budget)
+        for n, budget in EXCHANGE_BUDGET.items()
+        if len(_EXCH_RE.findall(plans[n])) > budget
+    }
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
