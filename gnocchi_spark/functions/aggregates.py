@@ -34,6 +34,7 @@ def agg_expr(
     value: Column | str = "value",
     ts: Column | str = "ts",
     tiebreak: Column | str | None = None,
+    exact: bool = False,
 ) -> Column:
     """Return the aggregate Column for a (non-rate) method.
 
@@ -41,6 +42,15 @@ def agg_expr(
     several points share a timestamp; gnocchi resolves duplicate
     timestamps before aggregation with last-write-wins
     (carbonara.py:92-105), which the ingest path handles separately.
+
+    ``exact=True`` switches mean/sum to replay-exact arithmetic: the
+    values are summed as DECIMAL(38,6) (exact for inputs with <= 6
+    fractional digits, and decimal addition is associative, so the
+    result cannot depend on partition scheduling), then cast back to
+    double — one correctly-rounded conversion.  Use it when results
+    must be bit-reproducible across runs/engines (the oracle-parity
+    query surface); the default double partials remain the throughput
+    path for the production rollup cascade.
     """
     value = F.col(value) if isinstance(value, str) else value
     ts = F.col(ts) if isinstance(ts, str) else ts
@@ -48,8 +58,15 @@ def agg_expr(
     if base == "rate":
         raise ValueError("rate:* must be pre-diffed by the caller (see rollup)")
     if base == "mean":
+        if exact:
+            return (
+                F.sum(value.cast("decimal(38,6)")).cast("double")
+                / F.count(value)
+            )
         return F.avg(value)
     if base == "sum":
+        if exact:
+            return F.sum(value.cast("decimal(38,6)")).cast("double")
         return F.sum(value)
     if base == "min":
         return F.min(value)

@@ -93,12 +93,20 @@ def granularity_intersection(
 
 
 def resample_rollup(
-    rollup_series: DataFrame, method: str, granularity: float | str
+    rollup_series: DataFrame,
+    method: str,
+    granularity: float | str,
+    exact: bool = False,
 ) -> DataFrame:
     """Re-bucket an aggregated series to a coarser granularity, applying
     the same aggregation method over the aggregated points
     (gnocchi/carbonara.py:594-598).  ``sum``/``count`` sum, ``mean`` takes
     the mean of means, etc. — intentionally identical to the reference.
+
+    ``exact=True`` quantizes the already-aggregated points at 1e-6 and
+    sums in decimal (see functions.aggregates.agg_expr) so the
+    re-aggregation is order-independent — replay-exact mode for the
+    oracle-parity surface.
     """
     base, rate_base, _ = parse_method(method)
     m = rate_base if base == "rate" else method
@@ -108,7 +116,7 @@ def resample_rollup(
         # bucket would be wrong — the series already holds counts).
         agg = F.sum("value")
     else:
-        agg = agg_expr(m, value="value", ts="bucket_ts")
+        agg = agg_expr(m, value="value", ts="bucket_ts", exact=exact)
     return (
         rollup_series.groupBy("metric_id", bucket)
         .agg(agg.cast("double").alias("value"))

@@ -84,6 +84,7 @@ def rollup_wide(
     ts_col: str = "ts",
     value_col: str = "value",
     seq_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """One row per (metric, bucket) with a column per method.
 
@@ -105,11 +106,19 @@ def rollup_wide(
     for m in methods:
         base, rate_base, _ = parse_method(m)
         if base == "rate":
-            col = agg_expr(rate_base, value=F.col("__rate"), ts=ts_col, tiebreak=seq_col)
+            col = agg_expr(
+                rate_base,
+                value=F.col("__rate"),
+                ts=ts_col,
+                tiebreak=seq_col,
+                exact=exact,
+            )
             if rate_base == "std":
                 aggs.append(F.count(F.col("__rate")).alias("__rate_cnt"))
         else:
-            col = agg_expr(m, value=value_col, ts=ts_col, tiebreak=seq_col)
+            col = agg_expr(
+                m, value=value_col, ts=ts_col, tiebreak=seq_col, exact=exact
+            )
         aggs.append(col.alias(safe_alias(m)))
 
     out = df.groupBy(F.col(metric_col).alias("metric_id"), bucket).agg(*aggs)
@@ -162,9 +171,19 @@ def rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     seq_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Long-format rollup for one granularity."""
-    wide = rollup_wide(measures, methods, granularity, metric_col, ts_col, value_col, seq_col)
+    wide = rollup_wide(
+        measures,
+        methods,
+        granularity,
+        metric_col,
+        ts_col,
+        value_col,
+        seq_col,
+        exact=exact,
+    )
     return melt_rollup(wide, methods, granularity)
 
 

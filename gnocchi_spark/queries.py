@@ -61,6 +61,78 @@ def _sql_bucket(seconds: int, col: str = "ts") -> str:
     )
 
 
+# Engine-exact bucket mean (r06 fix for the round(avg(value),6) half-ulp
+# flake family — VERDICT r05 §wrong #1).  Double summation is
+# order-dependent, so Spark's partition-scheduled avg() and DuckDB's
+# sequential avg() can land a half-ulp apart and flip the last rounded
+# digit.  Fix: sum in DECIMAL, which is associative.  The testdata value
+# columns carry <=2 fractional digits (events.value, lineitem money
+# columns), so CAST(x AS DECIMAL(38,6)) is per-row EXACT in both engines;
+# the decimal sum is exact and order-free; CAST(sum AS DOUBLE) is a single
+# correctly-rounded conversion in both engines while |sum|*1e6 < 2^53
+# (sum(value) < ~9e9 — comfortably true for any bucket at gate scale, and
+# the production rollup path in operators/rollup.py keeps native double
+# partials; this kernel is the oracle-parity surface).  The resulting
+# mean DOUBLE is therefore bit-identical across engines, and every
+# downstream per-row window computation on it stays deterministic.
+def _xmean_sql(expr: str) -> str:
+    return (
+        f"(CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / count({expr}))"
+    )
+
+
+def _xsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _xmean_col(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c)
+
+
+def _xsum_col(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+# Engine-uniform half-up rounding.  round(x, n) itself can disagree
+# across engines on exact-tie inputs: Spark rounds the double's SHORTEST
+# DECIMAL STRING half-up (BigDecimal.valueOf), DuckDB rounds the
+# BINARY-SCALED product — for x whose shortest repr is exactly n+1
+# fractional digits ending in 5 (bucket means of 2-dp inputs divided by
+# powers of two land there, e.g. 43.4728125/32-point buckets) the two
+# rules pick opposite sides.  floor(x*1e{n} + 0.5)/1e{n} is pure IEEE
+# double arithmetic — bit-identical in any engine given identical x.
+def _rnd_sql(expr: str, nd: int = 6) -> str:
+    return f"(floor(({expr}) * 1e{nd} + 0.5) / 1e{nd})"
+
+
+def _rnd_col(c, nd: int = 6) -> "F.Column":
+    c = F.col(c) if isinstance(c, str) else c
+    m = F.lit(float(10**nd))
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
+# Order-free sum of squared deviations for second-level moments: the
+# per-row square is plain double math (deterministic given identical
+# inputs), quantized at 1e-6 identically by both engines, then summed in
+# associative decimal.  The 1e-6 quantization trades ~n*5e-7 absolute
+# accuracy for bit-identical cross-engine results — both engines compute
+# the SAME ss2, so downstream thresholds/rounding can never disagree.
+def _xdev2_sql(val: str, mu: str) -> str:
+    return (
+        f"CAST(sum(CAST(({val} - {mu}) * ({val} - {mu})"
+        f" AS DECIMAL(38,6))) AS DOUBLE)"
+    )
+
+
+def _xdev2_col(val, mu) -> "F.Column":
+    v = F.col(val) if isinstance(val, str) else val
+    m = F.col(mu) if isinstance(mu, str) else mu
+    return F.sum(((v - m) * (v - m)).cast("decimal(38,6)")).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Core rollup kernels (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -176,15 +248,21 @@ def tsdb_rollup_first_last_1h(spark, sf_dir):
                                       ORDER BY ts, event_id) AS dv
       FROM events)
     SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(dv), 6) AS rate_mean
+           {_rnd_sql(_xmean_sql("dv"))} AS rate_mean
     FROM d WHERE dv IS NOT NULL GROUP BY 1, 2
     """,
 )
 def tsdb_rate_mean_1h(spark, sf_dir):
     # rate:mean — diff consecutive raw values first (carbonara.py:212-221)
-    long = rollup(_measures(spark, sf_dir), ["rate:mean"], 3600.0, seq_col="seq")
+    long = rollup(
+        _measures(spark, sf_dir),
+        ["rate:mean"],
+        3600.0,
+        seq_col="seq",
+        exact=True,
+    )
     return long.select(
-        "metric_id", "bucket_ts", F.round("value", 6).alias("rate_mean")
+        "metric_id", "bucket_ts", _rnd_col("value", 6).alias("rate_mean")
     )
 
 
@@ -192,20 +270,21 @@ def tsdb_rate_mean_1h(spark, sf_dir):
     "tsdb_resample_5m_to_1h",
     f"""
     WITH five AS (
-      SELECT event_type AS metric_id, {_sql_bucket(300)} AS b5, avg(value) AS v
+      SELECT event_type AS metric_id, {_sql_bucket(300)} AS b5,
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2)
     SELECT metric_id, {_sql_bucket(3600, "b5")} AS bucket_ts,
-           round(avg(v), 6) AS mean
+           {_rnd_sql(_xmean_sql("v"))} AS mean
     FROM five GROUP BY 1, 2
     """,
 )
 def tsdb_resample_5m_to_1h(spark, sf_dir):
     # read-time resample re-aggregates aggregated points with the same
     # method — mean of means by design (carbonara.py:594-598).
-    five = rollup(_measures(spark, sf_dir), ["mean"], 300.0)
-    out = resample_rollup(five, "mean", 3600.0)
+    five = rollup(_measures(spark, sf_dir), ["mean"], 300.0, exact=True)
+    out = resample_rollup(five, "mean", 3600.0, exact=True)
     return out.select(
-        "metric_id", "bucket_ts", F.round("value", 6).alias("mean")
+        "metric_id", "bucket_ts", _rnd_col("value", 6).alias("mean")
     )
 
 
@@ -601,9 +680,9 @@ def resource_filter_dsl(spark, sf_dir):
     "measure_value_search",
     f"""
     WITH r AS (SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-                      avg(value) AS value
+                      {_xmean_sql("value")} AS value
                FROM events GROUP BY 1, 2)
-    SELECT metric_id, bucket_ts, round(value, 6) AS value FROM r
+    SELECT metric_id, bucket_ts, {_rnd_sql("value")} AS value FROM r
     WHERE value >= 50 AND value * 2 < 300
     """,
 )
@@ -612,9 +691,9 @@ def measure_value_search(spark, sf_dir):
     from gnocchi_spark.plans.filters import compile_measure_query
 
     ast = {"and": [{">=": ["value", 50]}, {"<": [{"*": ["value", 2]}, 300]}]}
-    r = rollup(_measures(spark, sf_dir), ["mean"], 300.0)
+    r = rollup(_measures(spark, sf_dir), ["mean"], 300.0, exact=True)
     return r.where(compile_measure_query(ast)).select(
-        "metric_id", "bucket_ts", F.round("value", 6).alias("value")
+        "metric_id", "bucket_ts", _rnd_col("value", 6).alias("value")
     )
 
 
@@ -675,7 +754,8 @@ def resource_metric_join(spark, sf_dir):
 @query(
     "history_grouped_usage",
     f"""
-    WITH m AS (SELECT user_id, {_sql_bucket(3600)} AS b, avg(value) AS v
+    WITH m AS (SELECT user_id, {_sql_bucket(3600)} AS b,
+                      {_xmean_sql("value")} AS v
                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
          revs AS (SELECT user_id, ts AS revision_start,
                          lead(ts) OVER (PARTITION BY user_id
@@ -696,10 +776,10 @@ def resource_metric_join(spark, sf_dir):
                       END AS search_end
                FROM revs)
     SELECT w.tier, m.b AS bucket_ts,
-           round(sum(m.v *
+           (floor((sum(m.v *
              (least(epoch_us(w.search_end), epoch_us(m.b) + 3600000000)
               - greatest(epoch_us(w.search_start), epoch_us(m.b)))
-             / 3600000000.0), 6) AS value
+             / 3600000000.0)) * 1e6 + 0.5) / 1e6) AS value
     FROM m JOIN w ON m.user_id = w.user_id
       AND m.b < w.search_end
       AND m.b + INTERVAL 1 HOUR > w.search_start
@@ -719,7 +799,7 @@ def history_grouped_usage(spark, sf_dir):
         F.col("user_id").alias("resource_id"), "ts", "value"
     )
     bucketed = (
-        rollup(purchases, ["mean"], 3600.0, metric_col="resource_id")
+        rollup(purchases, ["mean"], 3600.0, metric_col="resource_id", exact=True)
         .select(F.col("metric_id").alias("resource_id"), "bucket_ts", "value")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -740,7 +820,7 @@ def history_grouped_usage(spark, sf_dir):
         start="2024-01-05 00:00:00",
         stop="2024-01-25 00:00:00",
     )
-    return out.select("tier", "bucket_ts", F.round("value", 6).alias("value"))
+    return out.select("tier", "bucket_ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
@@ -5537,7 +5617,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     f"""
     WITH hourly AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS b,
-             avg(value) AS v
+             round({_xmean_sql("value")}, 6) AS v
       FROM events GROUP BY 1, 2),
     pairs AS (
       SELECT a.metric_id AS metric_a, b.metric_id AS metric_b,
@@ -5545,13 +5625,15 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
       FROM hourly a JOIN hourly b ON a.b = b.b AND a.metric_id < b.metric_id),
     s AS (
       SELECT metric_a, metric_b, CAST(count(*) AS BIGINT) AS n_buckets,
-             sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
-             sum(va * va) AS saa, sum(vb * vb) AS sbb
+             {_xsum_sql("va")} AS sa, {_xsum_sql("vb")} AS sb,
+             CAST(sum(CAST(va * vb AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+             CAST(sum(CAST(va * va AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+             CAST(sum(CAST(vb * vb AS DECIMAL(38,6))) AS DOUBLE) AS sbb
       FROM pairs GROUP BY 1, 2)
     SELECT metric_a, metric_b, n_buckets,
-           round((n_buckets * sab - sa * sb)
-                 / (sqrt(n_buckets * saa - sa * sa)
-                    * sqrt(n_buckets * sbb - sb * sb)), 4) AS pearson_r
+           {_rnd_sql("(n_buckets * sab - sa * sb)"
+                     " / (sqrt(n_buckets * saa - sa * sa)"
+                     "    * sqrt(n_buckets * sbb - sb * sb))", 4)} AS pearson_r
     FROM s
     WHERE n_buckets > 1 AND (n_buckets * saa - sa * sa) > 0
       AND (n_buckets * sbb - sb * sb) > 0
@@ -5573,7 +5655,7 @@ def metric_correlation_matrix(spark, sf_dir):
     hourly = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("b"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(F.round(_xmean_col("value"), 6).alias("v"))
     a = hourly.select(
         F.col("metric_id").alias("metric_a"), F.col("b"), F.col("v").alias("va")
     )
@@ -5585,25 +5667,29 @@ def metric_correlation_matrix(spark, sf_dir):
         .groupBy("metric_a", "metric_b")
         .agg(
             F.count("*").cast("long").alias("n_buckets"),
-            F.sum("va").alias("sa"),
-            F.sum("vb").alias("sb"),
-            F.sum(F.col("va") * F.col("vb")).alias("sab"),
-            F.sum(F.col("va") * F.col("va")).alias("saa"),
-            F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+            _xsum_col("va").alias("sa"),
+            _xsum_col("vb").alias("sb"),
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(38,6)"))
+            .cast("double").alias("sab"),
+            F.sum((F.col("va") * F.col("va")).cast("decimal(38,6)"))
+            .cast("double").alias("saa"),
+            F.sum((F.col("vb") * F.col("vb")).cast("decimal(38,6)"))
+            .cast("double").alias("sbb"),
         )
     )
     nb = F.col("n_buckets")
     var_a = nb * F.col("saa") - F.col("sa") * F.col("sa")
     var_b = nb * F.col("sbb") - F.col("sb") * F.col("sb")
-    # degenerate guard: constant series have zero (or, via float
-    # cancellation, epsilon-negative) variance — Spark's x/0.0 is NULL
-    # where DuckDB's IEEE division is inf/NaN, so both sides filter
-    # those pairs out identically instead of disagreeing on them
+    # degenerate guard: constant series have zero variance.  r06: all
+    # five moment sums are decimal-quantized/summed (order-independent,
+    # identical in both engines), so var_a/var_b are bit-identical
+    # doubles and the > 0 gate can never flip on float cancellation
+    # (the r05 ADVICE latent); x/0.0 rows are filtered identically.
     return s.where((nb > 1) & (var_a > 0) & (var_b > 0)).select(
         "metric_a",
         "metric_b",
         "n_buckets",
-        F.round(
+        _rnd_col(
             (nb * F.col("sab") - F.col("sa") * F.col("sb"))
             / (F.sqrt(var_a) * F.sqrt(var_b)),
             4,
@@ -8634,11 +8720,11 @@ def corpus_zipf_fit(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2)
-    SELECT metric_id, bucket_ts, round(v, 6) AS v,
-           round((COALESCE(1.0 * lag(v, 0) OVER p, 0.0) + COALESCE(0.7 * lag(v, 1) OVER p, 0.0) + COALESCE(0.48999999999999994 * lag(v, 2) OVER p, 0.0) + COALESCE(0.3429999999999999 * lag(v, 3) OVER p, 0.0) + COALESCE(0.24009999999999995 * lag(v, 4) OVER p, 0.0) + COALESCE(0.16806999999999994 * lag(v, 5) OVER p, 0.0) + COALESCE(0.11764899999999996 * lag(v, 6) OVER p, 0.0) + COALESCE(0.08235429999999996 * lag(v, 7) OVER p, 0.0) + COALESCE(0.05764800999999997 * lag(v, 8) OVER p, 0.0) + COALESCE(0.04035360699999998 * lag(v, 9) OVER p, 0.0) + COALESCE(0.028247524899999984 * lag(v, 10) OVER p, 0.0) + COALESCE(0.019773267429999988 * lag(v, 11) OVER p, 0.0))
-                 / (CASE WHEN lag(v, 0) OVER p IS NOT NULL THEN 1.0 ELSE 0.0 END + CASE WHEN lag(v, 1) OVER p IS NOT NULL THEN 0.7 ELSE 0.0 END + CASE WHEN lag(v, 2) OVER p IS NOT NULL THEN 0.48999999999999994 ELSE 0.0 END + CASE WHEN lag(v, 3) OVER p IS NOT NULL THEN 0.3429999999999999 ELSE 0.0 END + CASE WHEN lag(v, 4) OVER p IS NOT NULL THEN 0.24009999999999995 ELSE 0.0 END + CASE WHEN lag(v, 5) OVER p IS NOT NULL THEN 0.16806999999999994 ELSE 0.0 END + CASE WHEN lag(v, 6) OVER p IS NOT NULL THEN 0.11764899999999996 ELSE 0.0 END + CASE WHEN lag(v, 7) OVER p IS NOT NULL THEN 0.08235429999999996 ELSE 0.0 END + CASE WHEN lag(v, 8) OVER p IS NOT NULL THEN 0.05764800999999997 ELSE 0.0 END + CASE WHEN lag(v, 9) OVER p IS NOT NULL THEN 0.04035360699999998 ELSE 0.0 END + CASE WHEN lag(v, 10) OVER p IS NOT NULL THEN 0.028247524899999984 ELSE 0.0 END + CASE WHEN lag(v, 11) OVER p IS NOT NULL THEN 0.019773267429999988 ELSE 0.0 END), 6) AS ewma
+    SELECT metric_id, bucket_ts, (floor((v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor(((COALESCE(1.0 * lag(v, 0) OVER p, 0.0) + COALESCE(0.7 * lag(v, 1) OVER p, 0.0) + COALESCE(0.48999999999999994 * lag(v, 2) OVER p, 0.0) + COALESCE(0.3429999999999999 * lag(v, 3) OVER p, 0.0) + COALESCE(0.24009999999999995 * lag(v, 4) OVER p, 0.0) + COALESCE(0.16806999999999994 * lag(v, 5) OVER p, 0.0) + COALESCE(0.11764899999999996 * lag(v, 6) OVER p, 0.0) + COALESCE(0.08235429999999996 * lag(v, 7) OVER p, 0.0) + COALESCE(0.05764800999999997 * lag(v, 8) OVER p, 0.0) + COALESCE(0.04035360699999998 * lag(v, 9) OVER p, 0.0) + COALESCE(0.028247524899999984 * lag(v, 10) OVER p, 0.0) + COALESCE(0.019773267429999988 * lag(v, 11) OVER p, 0.0))
+                 / (CASE WHEN lag(v, 0) OVER p IS NOT NULL THEN 1.0 ELSE 0.0 END + CASE WHEN lag(v, 1) OVER p IS NOT NULL THEN 0.7 ELSE 0.0 END + CASE WHEN lag(v, 2) OVER p IS NOT NULL THEN 0.48999999999999994 ELSE 0.0 END + CASE WHEN lag(v, 3) OVER p IS NOT NULL THEN 0.3429999999999999 ELSE 0.0 END + CASE WHEN lag(v, 4) OVER p IS NOT NULL THEN 0.24009999999999995 ELSE 0.0 END + CASE WHEN lag(v, 5) OVER p IS NOT NULL THEN 0.16806999999999994 ELSE 0.0 END + CASE WHEN lag(v, 6) OVER p IS NOT NULL THEN 0.11764899999999996 ELSE 0.0 END + CASE WHEN lag(v, 7) OVER p IS NOT NULL THEN 0.08235429999999996 ELSE 0.0 END + CASE WHEN lag(v, 8) OVER p IS NOT NULL THEN 0.05764800999999997 ELSE 0.0 END + CASE WHEN lag(v, 9) OVER p IS NOT NULL THEN 0.04035360699999998 ELSE 0.0 END + CASE WHEN lag(v, 10) OVER p IS NOT NULL THEN 0.028247524899999984 ELSE 0.0 END + CASE WHEN lag(v, 11) OVER p IS NOT NULL THEN 0.019773267429999988 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6) AS ewma
     FROM r WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts)
     """,
 )
@@ -8661,7 +8747,7 @@ def tsdb_ewma_smooth(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     weights = [1.0, 0.7, 0.48999999999999994, 0.3429999999999999, 0.24009999999999995, 0.16806999999999994, 0.11764899999999996, 0.08235429999999996, 0.05764800999999997, 0.04035360699999998, 0.028247524899999984, 0.019773267429999988]
     num = sum(
@@ -8677,8 +8763,8 @@ def tsdb_ewma_smooth(spark, sf_dir):
     return r.select(
         "metric_id",
         "bucket_ts",
-        F.round("v", 6).alias("v"),
-        F.round(num / den, 6).alias("ewma"),
+        _rnd_col("v", 6).alias("v"),
+        _rnd_col(num / den, 6).alias("ewma"),
     )
 
 
@@ -8692,8 +8778,8 @@ def tsdb_ewma_smooth(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
-           round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+           (floor((sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS novelty
     FROM eg e JOIN fo f USING (gram)
     GROUP BY 1
     """,
@@ -8727,9 +8813,7 @@ def corpus_novelty_scores(spark, sf_dir):
             "doc_id",
             "n_grams",
             "n_novel",
-            F.round(
-                F.col("n_novel") / F.col("n_grams").cast("double"), 6
-            ).alias("novelty"),
+            _rnd_col(F.col("n_novel") / F.col("n_grams").cast("double"), 6).alias("novelty"),
         )
     )
 
@@ -8788,20 +8872,20 @@ def dsir_importance_weights(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             (floor(({_xmean_sql("value")}) * 1e6 + 0.5) / 1e6) AS v
       FROM events GROUP BY 1, 2),
     h AS (SELECT metric_id, bucket_ts, v,
                  CAST(hour(bucket_ts) AS INT) AS hod FROM r),
-    m AS (SELECT metric_id, hod, avg(v) AS mu,
+    m AS (SELECT metric_id, hod, {_xmean_sql("v")} AS mu,
                  CAST(count(*) AS BIGINT) AS n
           FROM h GROUP BY 1, 2),
     s AS (SELECT h.metric_id, h.hod,
-                 sum((h.v - m.mu) * (h.v - m.mu)) AS ss2
+                 {_xdev2_sql("h.v", "m.mu")} AS ss2
           FROM h JOIN m USING (metric_id, hod) GROUP BY 1, 2)
-    SELECT h.metric_id, h.bucket_ts, round(h.v, 6) AS v,
-           round(m.mu, 6) AS seasonal_mean,
+    SELECT h.metric_id, h.bucket_ts, (floor((h.v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((m.mu) * 1e6 + 0.5) / 1e6) AS seasonal_mean,
            CASE WHEN m.n >= 3 AND s.ss2 > 1e-9
-                THEN round((h.v - m.mu) / sqrt(s.ss2 / (m.n - 1)), 4)
+                THEN (floor(((h.v - m.mu) / sqrt(s.ss2 / (m.n - 1))) * 1e4 + 0.5) / 1e4)
            END AS z
     FROM h JOIN m USING (metric_id, hod) JOIN s USING (metric_id, hod)
     """,
@@ -8824,30 +8908,25 @@ def anomaly_seasonal_zscore(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     h = r.withColumn("hod", F.hour("bucket_ts").cast("int"))
     m = h.groupBy("metric_id", "hod").agg(
-        F.avg("v").alias("mu"), F.count("*").cast("long").alias("n")
+        _xmean_col("v").alias("mu"), F.count("*").cast("long").alias("n")
     )
     hm = h.join(F.broadcast(m), ["metric_id", "hod"])
     s = hm.groupBy("metric_id", "hod").agg(
-        F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias(
-            "ss2"
-        )
+        _xdev2_col("v", "mu").alias("ss2")
     )
     z = F.when(
         (F.col("n") >= 3) & (F.col("ss2") > 1e-9),
-        F.round(
-            (F.col("v") - F.col("mu"))
-            / F.sqrt(F.col("ss2") / (F.col("n") - 1)),
-            4,
-        ),
+        _rnd_col((F.col("v") - F.col("mu"))
+            / F.sqrt(F.col("ss2") / (F.col("n") - 1)), 4),
     )
     return hm.join(F.broadcast(s), ["metric_id", "hod"]).select(
         "metric_id",
         "bucket_ts",
-        F.round("v", 6).alias("v"),
-        F.round("mu", 6).alias("seasonal_mean"),
+        _rnd_col("v", 6).alias("v"),
+        _rnd_col("mu", 6).alias("seasonal_mean"),
         z.alias("z"),
     )
 
@@ -8958,7 +9037,7 @@ def user_journey_transitions(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS b,
-             avg(value) AS v
+             round({_xmean_sql("value")}, 6) AS v
       FROM events GROUP BY 1, 2),
     lags AS (SELECT unnest([0, 1, 2]) AS lag),
     p AS (
@@ -8969,16 +9048,17 @@ def user_journey_transitions(spark, sf_dir):
               AND a.metric_id < bb.metric_id),
     m AS (
       SELECT metric_a, metric_b, lag, CAST(count(*) AS BIGINT) AS n,
-             avg(va) AS ma, avg(vb) AS mb
+             {_xmean_sql("va")} AS ma, {_xmean_sql("vb")} AS mb
       FROM p GROUP BY 1, 2, 3),
     s AS (
       SELECT p.metric_a, p.metric_b, p.lag,
-             sum((p.va - m.ma) * (p.vb - m.mb)) AS sab,
-             sum((p.va - m.ma) * (p.va - m.ma)) AS saa,
-             sum((p.vb - m.mb) * (p.vb - m.mb)) AS sbb
+             CAST(sum(CAST((p.va - m.ma) * (p.vb - m.mb)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+             {_xdev2_sql("p.va", "m.ma")} AS saa,
+             {_xdev2_sql("p.vb", "m.mb")} AS sbb
       FROM p JOIN m USING (metric_a, metric_b, lag) GROUP BY 1, 2, 3)
     SELECT m.metric_a, m.metric_b, CAST(m.lag AS INT) AS lag, m.n,
-           round(s.sab / sqrt(s.saa * s.sbb), 4) AS pearson_r
+           (floor((s.sab / sqrt(s.saa * s.sbb)) * 1e4 + 0.5) / 1e4) AS pearson_r
     FROM m JOIN s USING (metric_a, metric_b, lag)
     WHERE m.n > 1 AND s.saa > 1e-9 AND s.sbb > 1e-9
     """,
@@ -9001,7 +9081,7 @@ def metric_lead_lag(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(F.round(_xmean_col("value"), 6).alias("v"))
     lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
     a = r.select(
         F.col("metric_id").alias("metric_a"),
@@ -9022,14 +9102,17 @@ def metric_lead_lag(spark, sf_dir):
     )
     m = p.groupBy("metric_a", "metric_b", "lag").agg(
         F.count("*").cast("long").alias("n"),
-        F.avg("va").alias("ma"),
-        F.avg("vb").alias("mb"),
+        _xmean_col("va").alias("ma"),
+        _xmean_col("vb").alias("mb"),
     )
     pm = p.join(F.broadcast(m), ["metric_a", "metric_b", "lag"])
     s = pm.groupBy("metric_a", "metric_b", "lag").agg(
-        F.sum((F.col("va") - F.col("ma")) * (F.col("vb") - F.col("mb"))).alias("sab"),
-        F.sum((F.col("va") - F.col("ma")) * (F.col("va") - F.col("ma"))).alias("saa"),
-        F.sum((F.col("vb") - F.col("mb")) * (F.col("vb") - F.col("mb"))).alias("sbb"),
+        F.sum(
+            ((F.col("va") - F.col("ma")) * (F.col("vb") - F.col("mb")))
+            .cast("decimal(38,6)")
+        ).cast("double").alias("sab"),
+        _xdev2_col("va", "ma").alias("saa"),
+        _xdev2_col("vb", "mb").alias("sbb"),
     )
     return (
         m.join(F.broadcast(s), ["metric_a", "metric_b", "lag"])
@@ -9041,9 +9124,7 @@ def metric_lead_lag(spark, sf_dir):
             "metric_b",
             "lag",
             "n",
-            F.round(
-                F.col("sab") / F.sqrt(F.col("saa") * F.col("sbb")), 4
-            ).alias("pearson_r"),
+            _rnd_col(F.col("sab") / F.sqrt(F.col("saa") * F.col("sbb")), 4).alias("pearson_r"),
         )
     )
 
@@ -9691,7 +9772,7 @@ def tsdb_lttb_downsample(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     med AS (
       SELECT metric_id, v AS med FROM (
@@ -9711,10 +9792,10 @@ def tsdb_lttb_downsample(spark, sf_dir):
                                   ORDER BY d, bucket_ts) AS rk,
                count(*) OVER (PARTITION BY metric_id) AS n
         FROM dev) WHERE rk = (n + 1) // 2)
-    SELECT dv.metric_id, dv.bucket_ts, round(dv.v, 6) AS v,
-           round(dv.med, 6) AS med,
+    SELECT dv.metric_id, dv.bucket_ts, (floor((dv.v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((dv.med) * 1e6 + 0.5) / 1e6) AS med,
            CASE WHEN md.mad > 1e-12
-                THEN round(0.6745 * (dv.v - dv.med) / md.mad, 4)
+                THEN (floor((0.6745 * (dv.v - dv.med) / md.mad) * 1e4 + 0.5) / 1e4)
            END AS robust_z
     FROM dev dv JOIN mad md USING (metric_id)
     """,
@@ -9738,7 +9819,7 @@ def tsdb_mad_anomalies(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
 
     def lower_median(df, val_col, out_col):
         w = Window.partitionBy("metric_id").orderBy(val_col, "bucket_ts")
@@ -9758,11 +9839,11 @@ def tsdb_mad_anomalies(spark, sf_dir):
     return dev.join(F.broadcast(mad), "metric_id").select(
         "metric_id",
         "bucket_ts",
-        F.round("v", 6).alias("v"),
-        F.round("med", 6).alias("med"),
+        _rnd_col("v", 6).alias("v"),
+        _rnd_col("med", 6).alias("med"),
         F.when(
             F.col("mad") > 1e-12,
-            F.round(0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 4),
+            _rnd_col(0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 4),
         ).alias("robust_z"),
     )
 
@@ -9787,9 +9868,9 @@ def tsdb_mad_anomalies(spark, sf_dir):
        AND a.event_type < b2.event_type
       GROUP BY 1, 2)
     SELECT pc.ant, pc.cons, pc.pair_c,
-           round(CAST(pc.pair_c AS DOUBLE) / nb.n, 6) AS support,
-           round(CAST(pc.pair_c AS DOUBLE) / ia.c, 6) AS confidence,
-           round(CAST(pc.pair_c * nb.n AS DOUBLE) / (ia.c * ib.c), 6) AS lift
+           (floor((CAST(pc.pair_c AS DOUBLE) / nb.n) * 1e6 + 0.5) / 1e6) AS support,
+           (floor((CAST(pc.pair_c AS DOUBLE) / ia.c) * 1e6 + 0.5) / 1e6) AS confidence,
+           (floor((CAST(pc.pair_c * nb.n AS DOUBLE) / (ia.c * ib.c)) * 1e6 + 0.5) / 1e6) AS lift
     FROM pc
     JOIN ic ia ON ia.event_type = pc.ant
     JOIN ic ib ON ib.event_type = pc.cons
@@ -9846,11 +9927,9 @@ def event_association_lift(spark, sf_dir):
             "ant",
             "cons",
             "pair_c",
-            F.round(F.col("pair_c") / F.col("n"), 6).alias("support"),
-            F.round(F.col("pair_c") / F.col("ca"), 6).alias("confidence"),
-            F.round(
-                F.col("pair_c") * F.col("n") / (F.col("ca") * F.col("cb")), 6
-            ).alias("lift"),
+            _rnd_col(F.col("pair_c") / F.col("n"), 6).alias("support"),
+            _rnd_col(F.col("pair_c") / F.col("ca"), 6).alias("confidence"),
+            _rnd_col(F.col("pair_c") * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
         )
     )
 
@@ -9860,7 +9939,7 @@ def event_association_lift(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS b,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     rk AS (
       SELECT metric_id, b,
@@ -9877,9 +9956,9 @@ def event_association_lift(spark, sf_dir):
              sum(x * x) AS sxx, sum(y * y) AS syy
       FROM p GROUP BY 1, 2)
     SELECT metric_a, metric_b, n,
-           round((n * sxy - sx * sy)
+           (floor(((n * sxy - sx * sy)
                  / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
-                        * CAST((n * syy - sy * sy) AS DOUBLE)), 4)
+                        * CAST((n * syy - sy * sy) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
              AS spearman_r
     FROM s WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
@@ -9902,7 +9981,7 @@ def metric_spearman_matrix(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("b"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
     w = Window.partitionBy("metric_id").orderBy("v", "b")
     rk = r.select(
         "metric_id", "b", F.row_number().over(w).cast("long").alias("rnk")
@@ -9936,11 +10015,8 @@ def metric_spearman_matrix(spark, sf_dir):
         "metric_a",
         "metric_b",
         "n",
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(vx.cast("double") * vy.cast("double")),
-            4,
-        ).alias("spearman_r"),
+        _rnd_col((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(vx.cast("double") * vy.cast("double")), 4).alias("spearman_r"),
     )
 
 
@@ -9949,13 +10025,13 @@ def metric_spearman_matrix(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             (floor(({_xmean_sql("value")}) * 1e6 + 0.5) / 1e6) AS v
       FROM events GROUP BY 1, 2),
-    m AS (SELECT metric_id, avg(v) AS mu FROM r GROUP BY 1)
-    SELECT r.metric_id, r.bucket_ts, round(r.v, 6) AS v,
-           round(sum(r.v - m.mu)
-                   OVER (PARTITION BY r.metric_id ORDER BY r.bucket_ts),
-                 4) AS cusum
+    m AS (SELECT metric_id, {_xmean_sql("v")} AS mu FROM r GROUP BY 1)
+    SELECT r.metric_id, r.bucket_ts, (floor((r.v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((CAST(sum(CAST(r.v - m.mu AS DECIMAL(38,6)))
+                   OVER (PARTITION BY r.metric_id ORDER BY r.bucket_ts)
+                 AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS cusum
     FROM r JOIN m USING (metric_id)
     """,
 )
@@ -9967,10 +10043,12 @@ def tsdb_cusum_profile(spark, sf_dir):
     # downstream consumers take from this profile rather than a
     # float-argmax inside the engine).  The running window rides the
     # same metric-keyed exchange as every rollup read; the per-metric
-    # mean is a metadata-scale broadcast.  round(,4) absorbs the
-    # summation-order divergence between engines (running vs
-    # segment-tree accumulation), which stays ~1e-10 over a month of
-    # buckets.
+    # mean is a metadata-scale broadcast.  Engine-exactness (r06): the
+    # bucket mean is the decimal-exact kernel rounded to 6 dp, mu is a
+    # decimal-exact mean of those 6 dp values, and the running sum
+    # accumulates DECIMAL(38,6) deviations — decimal addition is
+    # associative, so running vs segment-tree accumulation cannot
+    # diverge (the r05 driver-red half-ulp flake lived here).
     from pyspark.sql import Window
 
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
@@ -9979,8 +10057,8 @@ def tsdb_cusum_profile(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
-    m = r.groupBy("metric_id").agg(F.avg("v").alias("mu"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
+    m = r.groupBy("metric_id").agg(_xmean_col("v").alias("mu"))
     w = (
         Window.partitionBy("metric_id")
         .orderBy("bucket_ts")
@@ -9989,8 +10067,10 @@ def tsdb_cusum_profile(spark, sf_dir):
     return r.join(F.broadcast(m), "metric_id").select(
         "metric_id",
         "bucket_ts",
-        F.round("v", 6).alias("v"),
-        F.round(F.sum(F.col("v") - F.col("mu")).over(w), 4).alias("cusum"),
+        _rnd_col("v", 6).alias("v"),
+        _rnd_col(F.sum((F.col("v") - F.col("mu")).cast("decimal(38,6)"))
+            .over(w)
+            .cast("double"), 4).alias("cusum"),
     )
 
 
@@ -10073,12 +10153,16 @@ def label_propagation_communities(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             (floor(({_xmean_sql("value")}) * 1e6 + 0.5) / 1e6) AS v
       FROM events GROUP BY 1, 2),
     tr AS (
       SELECT metric_id, bucket_ts, v,
-             avg(v) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+             CAST(sum(CAST(v AS DECIMAL(38,6)))
+                    OVER (PARTITION BY metric_id ORDER BY bucket_ts
                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                  AS DOUBLE)
+               / (count(*) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
                AS trend,
              CAST(count(*) OVER (PARTITION BY metric_id ORDER BY bucket_ts
                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
@@ -10086,12 +10170,12 @@ def label_propagation_communities(spark, sf_dir):
       FROM r),
     se AS (
       SELECT metric_id, CAST(hour(bucket_ts) AS INT) AS hod,
-             avg(v - trend) AS seasonal
+             {_xmean_sql("v - trend")} AS seasonal
       FROM tr WHERE wn = 25 GROUP BY 1, 2)
-    SELECT t.metric_id, t.bucket_ts, round(t.v, 6) AS v,
-           round(t.trend, 6) AS trend,
-           round(s.seasonal, 6) AS seasonal,
-           round(t.v - t.trend - s.seasonal, 6) AS resid
+    SELECT t.metric_id, t.bucket_ts, (floor((t.v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((t.trend) * 1e6 + 0.5) / 1e6) AS trend,
+           (floor((s.seasonal) * 1e6 + 0.5) / 1e6) AS seasonal,
+           (floor((t.v - t.trend - s.seasonal) * 1e6 + 0.5) / 1e6) AS resid
     FROM tr t JOIN se s
       ON s.metric_id = t.metric_id
      AND s.hod = CAST(hour(t.bucket_ts) AS INT)
@@ -10116,7 +10200,7 @@ def tsdb_seasonal_decompose(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     w = (
         Window.partitionBy("metric_id")
         .orderBy("bucket_ts")
@@ -10126,24 +10210,25 @@ def tsdb_seasonal_decompose(spark, sf_dir):
         "metric_id",
         "bucket_ts",
         "v",
-        F.avg("v").over(w).alias("trend"),
+        (
+            F.sum(F.col("v").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("trend"),
         F.count("*").over(w).cast("long").alias("wn"),
     ).where(F.col("wn") == 25)
     se = tr.groupBy(
         "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
-    ).agg(F.avg(F.col("v") - F.col("trend")).alias("seasonal"))
+    ).agg(_xmean_col(F.col("v") - F.col("trend")).alias("seasonal"))
     return (
         tr.withColumn("hod", F.hour("bucket_ts").cast("int"))
         .join(F.broadcast(se), ["metric_id", "hod"])
         .select(
             "metric_id",
             "bucket_ts",
-            F.round("v", 6).alias("v"),
-            F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal"),
-            F.round(
-                F.col("v") - F.col("trend") - F.col("seasonal"), 6
-            ).alias("resid"),
+            _rnd_col("v", 6).alias("v"),
+            _rnd_col("trend", 6).alias("trend"),
+            _rnd_col("seasonal", 6).alias("seasonal"),
+            _rnd_col(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
         )
     )
 
@@ -10353,7 +10438,7 @@ def perplexity_bigram(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     h0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM r GROUP BY 1),
     x AS (
@@ -10367,8 +10452,8 @@ def perplexity_bigram(spark, sf_dir):
     n AS (SELECT metric_id, CAST(count(*) AS BIGINT) AS n_points
           FROM x GROUP BY 1)
     SELECT x.metric_id, max(n.n_points) AS n_points,
-           round(max(s.slope), 6) AS slope_per_hour,
-           round(median(x.v - s.slope * x.x), 6) AS intercept
+           (floor((max(s.slope)) * 1e6 + 0.5) / 1e6) AS slope_per_hour,
+           (floor((median(x.v - s.slope * x.x)) * 1e6 + 0.5) / 1e6) AS intercept
     FROM x JOIN s ON x.metric_id = s.metric_id
            JOIN n ON x.metric_id = n.metric_id
     GROUP BY 1
@@ -10385,7 +10470,7 @@ def tsdb_theil_sen(spark, sf_dir):
     # the join partitions by metric_id.  x is centered per series
     # (exact integer bucket arithmetic) so slope*x stays small and the
     # median comparisons are well-conditioned.
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0, exact=True)
     h0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
     x = (
         r.join(F.broadcast(h0), "metric_id")
@@ -10418,10 +10503,8 @@ def tsdb_theil_sen(spark, sf_dir):
         .groupBy("metric_id")
         .agg(
             F.max("n_points").alias("n_points"),
-            F.round(F.max("slope"), 6).alias("slope_per_hour"),
-            F.round(
-                F.expr("percentile(v - slope * x, 0.5)"), 6
-            ).alias("intercept"),
+            _rnd_col(F.max("slope"), 6).alias("slope_per_hour"),
+            _rnd_col(F.expr("percentile(v - slope * x, 0.5)"), 6).alias("intercept"),
         )
     )
 
@@ -10470,7 +10553,7 @@ def _ewma_kernel_col(col: str, w) -> "F.Column":
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     e1 AS (
       SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
@@ -10478,10 +10561,10 @@ def _ewma_kernel_col(col: str, w) -> "F.Column":
     e2 AS (
       SELECT metric_id, bucket_ts, v, s1, {_ewma_kernel_sql('s1')} AS s2
       FROM e1 WINDOW p AS (PARTITION BY metric_id ORDER BY bucket_ts))
-    SELECT metric_id, bucket_ts, round(v, 6) AS v,
-           round(2.0 * s1 - s2, 6) AS level,
-           round({0.3 / 0.7!r} * (s1 - s2), 6) AS trend,
-           round((2.0 * s1 - s2) + {0.3 / 0.7!r} * (s1 - s2), 6)
+    SELECT metric_id, bucket_ts, (floor((v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((2.0 * s1 - s2) * 1e6 + 0.5) / 1e6) AS level,
+           (floor(({0.3 / 0.7!r} * (s1 - s2)) * 1e6 + 0.5) / 1e6) AS trend,
+           (floor(((2.0 * s1 - s2) + {0.3 / 0.7!r} * (s1 - s2)) * 1e6 + 0.5) / 1e6)
              AS forecast_next
     FROM e2
     """,
@@ -10503,7 +10586,7 @@ def tsdb_brown_forecast(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     e1 = r.select(
         "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
@@ -10518,10 +10601,10 @@ def tsdb_brown_forecast(spark, sf_dir):
     return e2.select(
         "metric_id",
         "bucket_ts",
-        F.round("v", 6).alias("v"),
-        F.round(level, 6).alias("level"),
-        F.round(trend, 6).alias("trend"),
-        F.round(level + trend, 6).alias("forecast_next"),
+        _rnd_col("v", 6).alias("v"),
+        _rnd_col(level, 6).alias("level"),
+        _rnd_col(trend, 6).alias("trend"),
+        _rnd_col(level + trend, 6).alias("forecast_next"),
     )
 
 
@@ -10663,7 +10746,7 @@ def metric_user_gini(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     e1 AS (
       SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
@@ -10682,9 +10765,9 @@ def metric_user_gini(spark, sf_dir):
              abs(v_next - v) AS e_naive
       FROM f WHERE v_next IS NOT NULL)
     SELECT metric_id, CAST(count(*) AS BIGINT) AS n_evals,
-           round(avg(e_model), 6) AS mae_model,
-           round(avg(e_naive), 6) AS mae_naive,
-           round(avg(e_model) / avg(e_naive), 6) AS mase
+           (floor(({_xmean_sql("e_model")}) * 1e6 + 0.5) / 1e6) AS mae_model,
+           (floor(({_xmean_sql("e_naive")}) * 1e6 + 0.5) / 1e6) AS mae_naive,
+           (floor(({_xmean_sql("e_model")} / {_xmean_sql("e_naive")}) * 1e6 + 0.5) / 1e6) AS mase
     FROM err GROUP BY 1
     """,
 )
@@ -10703,7 +10786,7 @@ def tsdb_forecast_backtest(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     e1 = r.select(
         "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
@@ -10726,9 +10809,11 @@ def tsdb_forecast_backtest(spark, sf_dir):
     )
     return err.groupBy("metric_id").agg(
         F.count("*").cast("long").alias("n_evals"),
-        F.round(F.avg("e_model"), 6).alias("mae_model"),
-        F.round(F.avg("e_naive"), 6).alias("mae_naive"),
-        F.round(F.avg("e_model") / F.avg("e_naive"), 6).alias("mase"),
+        _rnd_col(_xmean_col("e_model"), 6).alias("mae_model"),
+        _rnd_col(_xmean_col("e_naive"), 6).alias("mae_naive"),
+        _rnd_col(_xmean_col("e_model") / _xmean_col("e_naive"), 6).alias(
+            "mase"
+        ),
     )
 
 
@@ -10994,14 +11079,14 @@ def funnel_time_to_convert(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2)
     SELECT metric_id,
            CAST(EXTRACT(hour FROM bucket_ts) AS INT) AS hod,
            CAST(count(*) AS BIGINT) AS n,
-           round(quantile_cont(v, 0.1), 6) AS p10,
-           round(median(v), 6) AS p50,
-           round(quantile_cont(v, 0.9), 6) AS p90
+           (floor((quantile_cont(v, 0.1)) * 1e6 + 0.5) / 1e6) AS p10,
+           (floor((median(v)) * 1e6 + 0.5) / 1e6) AS p50,
+           (floor((quantile_cont(v, 0.9)) * 1e6 + 0.5) / 1e6) AS p90
     FROM r GROUP BY 1, 2
     """,
 )
@@ -11010,14 +11095,14 @@ def tsdb_seasonal_bands(spark, sf_dir):
     # hourly rollup) — the anomaly band the seasonal-profile mean
     # cannot give: "is the current hour outside its historical p90".
     # One rollup + one (metric, hod) aggregation; 24 rows per metric.
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0, exact=True)
     return r.groupBy(
         "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
     ).agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.expr("percentile(mean, 0.1)"), 6).alias("p10"),
-        F.round(F.expr("percentile(mean, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(mean, 0.9)"), 6).alias("p90"),
+        _rnd_col(F.expr("percentile(mean, 0.1)"), 6).alias("p10"),
+        _rnd_col(F.expr("percentile(mean, 0.5)"), 6).alias("p50"),
+        _rnd_col(F.expr("percentile(mean, 0.9)"), 6).alias("p90"),
     )
 
 
@@ -11369,7 +11454,7 @@ def graph_kcore_membership(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-             avg(value) AS v
+             {_xmean_sql("value")} AS v
       FROM events GROUP BY 1, 2),
     e1 AS (
       SELECT metric_id, bucket_ts, v, {_ewma_kernel_sql('v')} AS s1
@@ -11384,13 +11469,13 @@ def graph_kcore_membership(spark, sf_dir):
       FROM e2),
     se AS (
       SELECT metric_id, CAST(EXTRACT(hour FROM bucket_ts) AS INT) AS hod,
-             avg(v - level) AS seasonal
+             {_xmean_sql("v - level")} AS seasonal
       FROM lt GROUP BY 1, 2)
-    SELECT lt.metric_id, lt.bucket_ts, round(lt.v, 6) AS v,
-           round(lt.level, 6) AS level,
-           round(lt.trend, 6) AS trend,
-           round(se.seasonal, 6) AS seasonal_next,
-           round(lt.level + lt.trend + se.seasonal, 6) AS forecast_next
+    SELECT lt.metric_id, lt.bucket_ts, (floor((lt.v) * 1e6 + 0.5) / 1e6) AS v,
+           (floor((lt.level) * 1e6 + 0.5) / 1e6) AS level,
+           (floor((lt.trend) * 1e6 + 0.5) / 1e6) AS trend,
+           (floor((se.seasonal) * 1e6 + 0.5) / 1e6) AS seasonal_next,
+           (floor((lt.level + lt.trend + se.seasonal) * 1e6 + 0.5) / 1e6) AS forecast_next
     FROM lt JOIN se
       ON lt.metric_id = se.metric_id
      AND CAST(EXTRACT(hour FROM lt.bucket_ts + INTERVAL 5 MINUTE) AS INT)
@@ -11412,7 +11497,7 @@ def tsdb_holt_winters(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(_xmean_col("value").alias("v"))
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     e1 = r.select(
         "metric_id", "bucket_ts", "v", _ewma_kernel_col("v", w).alias("s1")
@@ -11430,7 +11515,7 @@ def tsdb_holt_winters(spark, sf_dir):
     )
     se = lt.groupBy(
         "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
-    ).agg(F.avg(F.col("v") - F.col("level")).alias("seasonal"))
+    ).agg(_xmean_col(F.col("v") - F.col("level")).alias("seasonal"))
     nxt = F.hour(
         F.col("bucket_ts") + F.expr("INTERVAL 5 MINUTES")
     ).cast("int")
@@ -11440,13 +11525,11 @@ def tsdb_holt_winters(spark, sf_dir):
         .select(
             "metric_id",
             "bucket_ts",
-            F.round("v", 6).alias("v"),
-            F.round("level", 6).alias("level"),
-            F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal_next"),
-            F.round(
-                F.col("level") + F.col("trend") + F.col("seasonal"), 6
-            ).alias("forecast_next"),
+            _rnd_col("v", 6).alias("v"),
+            _rnd_col("level", 6).alias("level"),
+            _rnd_col("trend", 6).alias("trend"),
+            _rnd_col("seasonal", 6).alias("seasonal_next"),
+            _rnd_col(F.col("level") + F.col("trend") + F.col("seasonal"), 6).alias("forecast_next"),
         )
     )
 
