@@ -141,21 +141,23 @@ def _xdev2_col(val, mu) -> "F.Column":
     "tsdb_rollup_mean_5m",
     f"""
     SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-           round(avg(value), 6) AS mean
+           {_rnd_sql(_xmean_sql("value"))} AS mean
     FROM events GROUP BY 1, 2
     """,
 )
 def tsdb_rollup_mean_5m(spark, sf_dir):
-    w = rollup_wide(_measures(spark, sf_dir), ["mean"], 300.0)
-    return w.select("metric_id", "bucket_ts", F.round("mean", 6).alias("mean"))
+    w = rollup_wide(_measures(spark, sf_dir), ["mean"], 300.0, exact=True)
+    return w.select(
+        "metric_id", "bucket_ts", _rnd_col("mean", 6).alias("mean")
+    )
 
 
 @query(
     "tsdb_rollup_multi_1h",
     f"""
     SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS mean,
-           round(sum(value), 4) AS sum,
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
+           round({_xsum_sql("value")}, 4) AS sum,
            round(min(value), 6) AS min,
            round(max(value), 6) AS max,
            CAST(count(value) AS BIGINT) AS count
@@ -163,11 +165,16 @@ def tsdb_rollup_mean_5m(spark, sf_dir):
     """,
 )
 def tsdb_rollup_multi_1h(spark, sf_dir):
-    w = rollup_wide(_measures(spark, sf_dir), ["mean", "sum", "min", "max", "count"], 3600.0)
+    w = rollup_wide(
+        _measures(spark, sf_dir),
+        ["mean", "sum", "min", "max", "count"],
+        3600.0,
+        exact=True,
+    )
     return w.select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
+        _rnd_col("mean", 6).alias("mean"),
         F.round("sum", 4).alias("sum"),
         F.round("min", 6).alias("min"),
         F.round("max", 6).alias("max"),
@@ -312,7 +319,7 @@ def tsdb_calendar_week(spark, sf_dir):
     "tsdb_read_window",
     f"""
     SELECT {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS value
+           {_rnd_sql(_xmean_sql("value"))} AS value
     FROM events
     WHERE event_type = 'purchase'
       AND ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -329,12 +336,12 @@ def tsdb_read_window(spark, sf_dir):
     m = tables.events_as_measures(
         spark, sf_dir, start="2024-01-10 00:00:00", stop="2024-01-20 00:00:00"
     )
-    rollups = rollup(m, ["mean"], 3600.0)
+    rollups = rollup(m, ["mean"], 3600.0, exact=True)
     out = get_measures(
         rollups, "purchase", "mean", 3600.0,
         start="2024-01-10 00:00:00", stop="2024-01-20 00:00:00",
     )
-    return out.select("bucket_ts", F.round("value", 6).alias("value"))
+    return out.select("bucket_ts", _rnd_col("value", 6).alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +471,7 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 def _mean_series(spark, sf_dir, event_type: str, granularity: float):
     m = _measures(spark, sf_dir).where(F.col("metric_id") == event_type)
     return (
-        rollup(m, ["mean"], granularity)
+        rollup(m, ["mean"], granularity, exact=True)
         .select(F.col("bucket_ts").alias("ts"), "value")
     )
 
@@ -472,12 +479,12 @@ def _mean_series(spark, sf_dir, event_type: str, granularity: float):
 @query(
     "tsdb_ops_arith_fill0",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' GROUP BY 1),
-         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         view  AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='view' GROUP BY 1)
     SELECT coalesce(click.b, view.b) AS ts,
-           round((coalesce(click.v, 0) + coalesce(view.v, 0)) * 2, 6) AS value
+           (floor(((coalesce(click.v, 0) + coalesce(view.v, 0)) * 2) * 1e6 + 0.5) / 1e6) AS value
     FROM click FULL OUTER JOIN view ON click.b = view.b
     """,
 )
@@ -497,7 +504,7 @@ def tsdb_ops_arith_fill0(spark, sf_dir):
     frame = SeriesFrame(df=wide, cols=["click/mean", "view/mean"])
     ast = ["*", ["+", ["metric", "click", "mean"], ["metric", "view", "mean"]], 2]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
@@ -506,7 +513,7 @@ def tsdb_ops_arith_fill0(spark, sf_dir):
     # it is bit-identical to the engine's row-wise fold (adding 0.0 for a
     # missing series is an exact no-op in IEEE754)
     f"""
-    WITH per AS (SELECT event_type, {_sql_bucket(3600)} b, avg(value) v
+    WITH per AS (SELECT event_type, {_sql_bucket(3600)} b, {_xmean_sql("value")} v
                  FROM events GROUP BY 1, 2),
          piv AS (SELECT b,
                         max(CASE WHEN event_type = 'click' THEN v END) c1,
@@ -516,11 +523,11 @@ def tsdb_ops_arith_fill0(spark, sf_dir):
                         max(CASE WHEN event_type = 'error' THEN v END) c5
                  FROM per GROUP BY b)
     SELECT b AS ts,
-           round((coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)
+           (floor(((coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)
                   + coalesce(c4, 0) + coalesce(c5, 0))
                  / ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
                     + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int
-                    + (c5 IS NOT NULL)::int), 6) AS value
+                    + (c5 IS NOT NULL)::int)) * 1e6 + 0.5) / 1e6) AS value
     FROM piv
     """,
 )
@@ -537,17 +544,17 @@ def tsdb_ops_aggregate_mean(spark, sf_dir):
     frame = SeriesFrame(df=wide, cols=[f"{t}/mean" for t in types])
     ast = ["aggregate", "mean", ["metric"] + [[t, "mean"] for t in types]]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_rolling_mean4",
     f"""
-    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                WHERE event_type='click' GROUP BY 1)
     SELECT b AS ts,
-           round(avg(v) OVER (ORDER BY b ROWS BETWEEN 3 PRECEDING
-                              AND CURRENT ROW), 6) AS value
+           (floor((avg(v) OVER (ORDER BY b ROWS BETWEEN 3 PRECEDING
+                              AND CURRENT ROW)) * 1e6 + 0.5) / 1e6) AS value
     FROM s
     QUALIFY row_number() OVER (ORDER BY b) >= 4
     """,
@@ -565,18 +572,18 @@ def tsdb_ops_rolling_mean4(spark, sf_dir):
     out = evaluate_to_long(
         ["rolling", "mean", 4, ["metric", "click", "mean"]], frame, 3600.0
     )
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_rateofchangesec",
     f"""
-    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                WHERE event_type='purchase' GROUP BY 1)
     SELECT b AS ts,
-           round((v - lag(v) OVER (ORDER BY b)) /
+           (floor(((v - lag(v) OVER (ORDER BY b)) /
                  ((epoch_us(b) - epoch_us(lag(b) OVER (ORDER BY b)))
-                  / 1000000.0), 6) AS value
+                  / 1000000.0)) * 1e6 + 0.5) / 1e6) AS value
     FROM s
     """,
 )
@@ -594,15 +601,15 @@ def tsdb_ops_rateofchangesec(spark, sf_dir):
     out = evaluate_to_long(
         ["rateofchangesec", ["metric", "purchase", "mean"]], frame, 3600.0
     )
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_fill_ffill",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' AND value < 50 GROUP BY 1),
-         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         view  AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='view' GROUP BY 1),
          axis AS (SELECT coalesce(click.b, view.b) AS ts, click.v AS cv,
                          view.v AS vv
@@ -613,8 +620,8 @@ def tsdb_ops_rateofchangesec(spark, sf_dir):
                         count(vv) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED
                                         PRECEDING AND CURRENT ROW) AS g2
                  FROM axis)
-    SELECT ts, round(max(cv) OVER (PARTITION BY g), 6) AS click_filled,
-           round(max(vv) OVER (PARTITION BY g2), 6) AS view_filled
+    SELECT ts, (floor((max(cv) OVER (PARTITION BY g)) * 1e6 + 0.5) / 1e6) AS click_filled,
+           (floor((max(vv) OVER (PARTITION BY g2)) * 1e6 + 0.5) / 1e6) AS view_filled
     FROM grp
     """,
 )
@@ -628,7 +635,7 @@ def tsdb_fill_ffill(spark, sf_dir):
         .where((F.col("metric_id") == "click") & (F.col("value") < 50))
     )
     click = (
-        rollup(sparse, ["mean"], 3600.0)
+        rollup(sparse, ["mean"], 3600.0, exact=True)
         .select(F.col("bucket_ts").alias("ts"), "value")
     )
     wide = align_series(
@@ -637,8 +644,8 @@ def tsdb_fill_ffill(spark, sf_dir):
     )
     return wide.select(
         "ts",
-        F.round(F.col("click/mean"), 6).alias("click_filled"),
-        F.round(F.col("view/mean"), 6).alias("view_filled"),
+        _rnd_col(F.col("click/mean"), 6).alias("click_filled"),
+        _rnd_col(F.col("view/mean"), 6).alias("view_filled"),
     )
 
 
@@ -826,9 +833,9 @@ def history_grouped_usage(spark, sf_dir):
 @query(
     "tsdb_ops_clip_compare",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' GROUP BY 1),
-         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         view  AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='view' GROUP BY 1),
          grid AS (
            SELECT coalesce(click.b, view.b) AS ts,
@@ -837,7 +844,7 @@ def history_grouped_usage(spark, sf_dir):
                   * CASE WHEN view.v IS NULL THEN NULL
                          ELSE least(greatest(view.v, 10.0), 100.0) END AS value
            FROM click FULL OUTER JOIN view ON click.b = view.b)
-    SELECT ts, round(value, 6) AS value FROM grid WHERE value IS NOT NULL
+    SELECT ts, (floor((value) * 1e6 + 0.5) / 1e6) AS value FROM grid WHERE value IS NOT NULL
     """,
 )
 def tsdb_ops_clip_compare(spark, sf_dir):
@@ -865,16 +872,16 @@ def tsdb_ops_clip_compare(spark, sf_dir):
     # dropna is applied to the evaluated output (processor.py:237-244):
     # buckets where either input is missing evaluate to NULL and drop
     return out.where(F.col("value").isNotNull()).select(
-        "ts", F.round("value", 6).alias("value")
+        "ts", _rnd_col("value", 6).alias("value")
     )
 
 
 @query(
     "tsdb_ops_resample_form",
     f"""
-    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                WHERE event_type='click' GROUP BY 1)
-    SELECT {_sql_bucket(7200, "b")} AS ts, round(avg(v), 6) AS value
+    SELECT {_sql_bucket(7200, "b")} AS ts, (floor((avg(v)) * 1e6 + 0.5) / 1e6) AS value
     FROM s GROUP BY 1
     """,
 )
@@ -890,20 +897,20 @@ def tsdb_ops_resample_form(spark, sf_dir):
     frame = SeriesFrame(df=wide, cols=["click/mean"])
     ast = ["resample", "mean", 7200, ["metric", "click", "mean"]]
     out = evaluate_to_long(ast, frame, 7200.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_aggregate_rate",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' GROUP BY 1),
-         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         view  AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='view' GROUP BY 1),
          grid AS (SELECT coalesce(click.b, view.b) AS ts,
                          coalesce(click.v, 0) + coalesce(view.v, 0) AS s
                   FROM click FULL OUTER JOIN view ON click.b = view.b)
-    SELECT ts, round(s - lag(s) OVER (ORDER BY ts), 6) AS value
+    SELECT ts, (floor((s - lag(s) OVER (ORDER BY ts)) * 1e6 + 0.5) / 1e6) AS value
     FROM grid QUALIFY lag(s) OVER (ORDER BY ts) IS NOT NULL
     """,
 )
@@ -927,15 +934,15 @@ def tsdb_ops_aggregate_rate(spark, sf_dir):
         ["metric", ["click", "mean"], ["view", "mean"]],
     ]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_unary_math",
     f"""
-    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                WHERE event_type='click' GROUP BY 1)
-    SELECT b AS ts, round(abs(-(cos(v))) + floor(v) + ceil(v), 6) AS value
+    SELECT b AS ts, (floor((abs(-(cos(v))) + floor(v) + ceil(v)) * 1e6 + 0.5) / 1e6) AS value
     FROM s
     """,
 )
@@ -952,23 +959,23 @@ def tsdb_ops_unary_math(spark, sf_dir):
     m = ["metric", "click", "mean"]
     ast = ["+", ["+", ["abs", ["neg", ["cos", m]]], ["floor", m]], ["ceil", m]]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_fmax_mod_pow",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' GROUP BY 1),
-         view  AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         view  AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='view' GROUP BY 1),
          grid AS (SELECT coalesce(click.b, view.b) AS ts,
                          coalesce(click.v, 0) AS c, coalesce(view.v, 0) AS v
                   FROM click FULL OUTER JOIN view ON click.b = view.b)
     SELECT ts,
-           round(greatest(c, v)
+           (floor((greatest(c, v)
                  + (((c % 7) + 7) % 7)
-                 + pow(v, 0.5), 6) AS value
+                 + pow(v, 0.5)) * 1e6 + 0.5) / 1e6) AS value
     FROM grid
     """,
 )
@@ -989,15 +996,15 @@ def tsdb_ops_fmax_mod_pow(spark, sf_dir):
     c, v = ["metric", "click", "mean"], ["metric", "view", "mean"]
     ast = ["+", ["+", ["max", c, v], ["%", c, 7]], ["**", v, 0.5]]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_ops_rateofchange",
     f"""
-    WITH s AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                WHERE event_type='purchase' GROUP BY 1)
-    SELECT b AS ts, round(v - lag(v) OVER (ORDER BY b), 6) AS value
+    SELECT b AS ts, (floor((v - lag(v) OVER (ORDER BY b)) * 1e6 + 0.5) / 1e6) AS value
     FROM s QUALIFY lag(v) OVER (ORDER BY b) IS NOT NULL
     """,
 )
@@ -1014,17 +1021,19 @@ def tsdb_ops_rateofchange(spark, sf_dir):
     frame = SeriesFrame(df=wide, cols=["purchase/mean"])
     ast = ["rateofchange", ["metric", "purchase", "mean"]]
     out = evaluate_to_long(ast, frame, 3600.0)
-    return out.select("ts", F.round("value", 6).alias("value"))
+    return out.select("ts", _rnd_col("value", 6).alias("value"))
 
 
 @query(
     "tsdb_multi_granularity_read",
     f"""
     SELECT event_type AS metric_id, 86400.0 AS granularity,
-           {_sql_bucket(86400)} AS bucket_ts, round(avg(value), 6) AS mean
+           {_sql_bucket(86400)} AS bucket_ts,
+           {_rnd_sql(_xmean_sql("value"))} AS mean
     FROM events WHERE event_type = 'error' GROUP BY 1, 3
     UNION ALL
-    SELECT event_type, 3600.0, {_sql_bucket(3600)}, round(avg(value), 6)
+    SELECT event_type, 3600.0, {_sql_bucket(3600)},
+           {_rnd_sql(_xmean_sql("value"))}
     FROM events WHERE event_type = 'error' GROUP BY 1, 3
     """,
 )
@@ -1042,7 +1051,7 @@ def tsdb_multi_granularity_read(spark, sf_dir):
                 "metric_id",
                 truncate_to_bucket(F.col("ts"), gran).alias("bucket_ts"),
             )
-            .agg(F.round(F.avg("value"), 6).alias("mean"))
+            .agg(_rnd_col(_xmean_col("value"), 6).alias("mean"))
             .select(
                 "metric_id",
                 F.lit(gran).alias("granularity"),
@@ -1059,9 +1068,9 @@ def tsdb_multi_granularity_read(spark, sf_dir):
 @query(
     "tsdb_fill_bfill",
     f"""
-    WITH click AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+    WITH click AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='click' GROUP BY 1),
-         error AS (SELECT {_sql_bucket(3600)} b, avg(value) v FROM events
+         error AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
                    WHERE event_type='error' GROUP BY 1),
          grid AS (SELECT coalesce(click.b, error.b) AS ts, click.v AS c,
                          error.v AS e
@@ -1075,7 +1084,7 @@ def tsdb_multi_granularity_read(spark, sf_dir):
                      OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW
                            AND UNBOUNDED FOLLOWING) AS e
            FROM grid)
-    SELECT ts, round(c + e, 6) AS value FROM filled
+    SELECT ts, (floor((c + e) * 1e6 + 0.5) / 1e6) AS value FROM filled
     WHERE c IS NOT NULL AND e IS NOT NULL
     """,
 )
@@ -1096,7 +1105,7 @@ def tsdb_fill_bfill(spark, sf_dir):
     ast = ["+", ["metric", "click", "mean"], ["metric", "error", "mean"]]
     out = evaluate_to_long(ast, frame, 3600.0)
     return out.where(F.col("value").isNotNull()).select(
-        "ts", F.round("value", 6).alias("value")
+        "ts", _rnd_col("value", 6).alias("value")
     )
 
 
@@ -1251,7 +1260,8 @@ def resource_type_attributes(spark, sf_dir):
     f"""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS k_band,
            {_sql_bucket(86400)} AS bucket_ts,
-           round(avg(value), 6) AS mean, CAST(count(*) AS BIGINT) AS n
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
+           CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1274,7 +1284,7 @@ def resource_groupby_aggregates(spark, sf_dir):
         (F.col("k").cast("long") / 25).cast("long").alias("k_band"),
         truncate_to_bucket(F.col("ts"), 86400.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -2443,7 +2453,8 @@ def tsdb_calendar_half(spark, sf_dir):
            CAST(dayofweek(ts) AS INT) AS dow,
            CAST(quarter(ts) AS INT) AS q,
            CAST((month(ts) - 1) // 6 + 1 AS INT) AS half,
-           round(avg(value), 6) AS mean,
+           (floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(value)) * 1e6 + 0.5) / 1e6) AS mean,
            CAST(count(*) AS BIGINT) AS count
     FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
     """,
@@ -2466,7 +2477,7 @@ def calendar_extract_profile(spark, sf_dir):
         cal.quarter_of_year(ts).alias("q"),
         cal.half_of_year(ts).alias("half"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("count"),
     )
 
@@ -2503,7 +2514,7 @@ def tsdb_calendar_sunday_week(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS bucket_ts,
-             round(avg(value), 6) AS mean
+             {_rnd_sql(_xmean_sql("value"))} AS mean
       FROM events GROUP BY 1, 2),
     m AS (SELECT metric_id, max(bucket_ts) AS newest FROM r GROUP BY 1)
     SELECT r.metric_id, r.bucket_ts, r.mean
@@ -2517,11 +2528,13 @@ def maintenance_retention(spark, sf_dir):
     from gnocchi_spark.operators.maintenance import retention_filter
     from gnocchi_spark.policy import ArchivePolicy, ArchivePolicyItem
 
-    rolled = rollup_wide(_measures(spark, sf_dir), ["mean"], 300.0).select(
+    rolled = rollup_wide(
+        _measures(spark, sf_dir), ["mean"], 300.0, exact=True
+    ).select(
         "metric_id",
         F.lit(300.0).alias("granularity"),
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
+        _rnd_col("mean", 6).alias("mean"),
     )
     policy = ArchivePolicy(
         "ret", 0, (ArchivePolicyItem(300.0, timespan_s=2 * 86400.0),)
@@ -2614,7 +2627,8 @@ def policy_rule_assignment(spark, sf_dir):
     "tsdb_refresh_on_read",
     f"""
     SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS mean, CAST(count(value) AS BIGINT) AS count
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
+           CAST(count(value) AS BIGINT) AS count
     FROM events GROUP BY 1, 2
     """,
 )
@@ -2632,15 +2646,17 @@ def tsdb_refresh_on_read(spark, sf_dir):
     window_start = "2024-01-24 23:00:00"
     m = _measures(spark, sf_dir)
     processed = m.where(F.col("ts") < cut)
-    rolled = rollup_wide(processed, ["mean", "count"], 3600.0).select(
+    rolled = rollup_wide(
+        processed, ["mean", "count"], 3600.0, exact=True
+    ).select(
         "metric_id", "bucket_ts", F.lit("3600").alias("granularity"), "mean", "count"
     )
     tail = m.where(F.col("ts") >= window_start)
-    out = read_with_tail(rolled, tail, ["mean", "count"], 3600.0)
+    out = read_with_tail(rolled, tail, ["mean", "count"], 3600.0, exact=True)
     return out.select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
+        _rnd_col("mean", 6).alias("mean"),
         F.col("count").cast("long").alias("count"),
     )
 
@@ -4239,7 +4255,7 @@ def mmr_diversified_topk(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             {_xmean_sql("value")} AS mean
       FROM events GROUP BY 1, 2),
     w AS (
       SELECT metric_id, bucket_ts, mean,
@@ -4249,9 +4265,9 @@ def mmr_diversified_topk(spark, sf_dir):
       FROM r
       WINDOW tw AS (PARTITION BY metric_id ORDER BY bucket_ts
                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
+    SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean,
            CASE WHEN t_n >= 12 AND t_std > 0
-                THEN round((mean - t_avg) / t_std, 6) END AS zscore,
+                THEN (floor(((mean - t_avg) / t_std) * 1e6 + 0.5) / 1e6) END AS zscore,
            coalesce(t_n >= 12 AND t_std > 0
                     AND abs((mean - t_avg) / t_std) > 3.0, FALSE) AS is_anomaly
     FROM w
@@ -4265,9 +4281,9 @@ def rollup_anomaly_zscore(spark, sf_dir):
     # rollup, and the trailing window rides the same partitioning.
     from pyspark.sql import Window as W
 
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0).select(
-        "metric_id", "bucket_ts", "mean"
-    )
+    r = rollup_wide(
+        _measures(spark, sf_dir), ["mean"], 3600.0, exact=True
+    ).select("metric_id", "bucket_ts", "mean")
     tw = (
         W.partitionBy("metric_id").orderBy("bucket_ts").rowsBetween(-24, -1)
     )
@@ -4281,8 +4297,8 @@ def rollup_anomaly_zscore(spark, sf_dir):
         .select(
             "metric_id",
             "bucket_ts",
-            F.round("mean", 6).alias("mean"),
-            F.round("__z", 6).alias("zscore"),
+            _rnd_col("mean", 6).alias("mean"),
+            _rnd_col("__z", 6).alias("zscore"),
             F.coalesce(F.abs(F.col("__z")) > 3.0, F.lit(False)).alias(
                 "is_anomaly"
             ),
@@ -4670,7 +4686,7 @@ def inverted_index_postings(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(86400)} AS bucket_ts,
-             avg(value) AS mean
+             {_xmean_sql("value")} AS mean
       FROM events GROUP BY 1, 2),
     d AS (
       SELECT metric_id, bucket_ts, mean,
@@ -4678,9 +4694,9 @@ def inverted_index_postings(spark, sf_dir):
                AS prev_mean
       FROM r),
     c AS (
-      SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
-             round(prev_mean, 6) AS prev_mean,
-             round((mean - prev_mean) / abs(prev_mean), 6) AS pct_change
+      SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean,
+             (floor((prev_mean) * 1e6 + 0.5) / 1e6) AS prev_mean,
+             (floor(((mean - prev_mean) / abs(prev_mean)) * 1e6 + 0.5) / 1e6) AS pct_change
       FROM d WHERE prev_mean IS NOT NULL AND prev_mean != 0)
     SELECT metric_id, bucket_ts, mean, prev_mean, pct_change,
            CAST(row_number() OVER (
@@ -4697,7 +4713,9 @@ def metric_top_movers(spark, sf_dir):
     # per-day ranking window holds one row per metric.
     from pyspark.sql import Window as W
 
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 86400.0).select(
+    r = rollup_wide(
+        _measures(spark, sf_dir), ["mean"], 86400.0, exact=True
+    ).select(
         "metric_id", "bucket_ts", "mean"
     )
     prev = F.lag("mean").over(W.partitionBy("metric_id").orderBy("bucket_ts"))
@@ -4707,11 +4725,9 @@ def metric_top_movers(spark, sf_dir):
         .select(
             "metric_id",
             "bucket_ts",
-            F.round("mean", 6).alias("mean"),
-            F.round("__prev", 6).alias("prev_mean"),
-            F.round(
-                (F.col("mean") - F.col("__prev")) / F.abs(F.col("__prev")), 6
-            ).alias("pct_change"),
+            _rnd_col("mean", 6).alias("mean"),
+            _rnd_col("__prev", 6).alias("prev_mean"),
+            _rnd_col((F.col("mean") - F.col("__prev")) / F.abs(F.col("__prev")), 6).alias("pct_change"),
         )
     )
     w = W.partitionBy("bucket_ts").orderBy(
@@ -4862,14 +4878,18 @@ def cohort_retention(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             {_rnd_sql(_xmean_sql("value"))} AS mean
       FROM events GROUP BY 1, 2),
     h AS (
       SELECT metric_id, CAST(extract('hour' FROM bucket_ts) AS INT) AS hod,
-             avg(mean) AS hod_mean, CAST(count(*) AS BIGINT) AS n_buckets
+             {_xmean_sql("mean")} AS hod_mean,
+             CAST(count(*) AS BIGINT) AS n_buckets
       FROM r GROUP BY 1, 2)
-    SELECT metric_id, hod, round(hod_mean, 6) AS hod_mean, n_buckets,
-           round(hod_mean / avg(hod_mean) OVER (PARTITION BY metric_id), 6)
+    SELECT metric_id, hod, {_rnd_sql("hod_mean")} AS hod_mean, n_buckets,
+           {_rnd_sql("hod_mean / ("
+                     "CAST(sum(CAST(hod_mean AS DECIMAL(38,6)))"
+                     " OVER (PARTITION BY metric_id) AS DOUBLE)"
+                     " / count(*) OVER (PARTITION BY metric_id))")}
              AS rel_to_day
     FROM h
     """,
@@ -4881,20 +4901,26 @@ def seasonal_profile(spark, sf_dir):
     # hourly rollup; the normalizing window holds 24 rows per metric.
     from pyspark.sql import Window as W
 
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0)
+    r = rollup_wide(
+        _measures(spark, sf_dir), ["mean"], 3600.0, exact=True
+    ).withColumn("mean", _rnd_col("mean", 6))
     h = r.groupBy(
         "metric_id", F.hour("bucket_ts").cast("int").alias("hod")
     ).agg(
-        F.avg("mean").alias("__hm"),
+        _xmean_col("mean").alias("__hm"),
         F.count("*").cast("long").alias("n_buckets"),
     )
-    day_avg = F.avg("__hm").over(W.partitionBy("metric_id"))
+    wp = W.partitionBy("metric_id")
+    day_avg = (
+        F.sum(F.col("__hm").cast("decimal(38,6)")).over(wp).cast("double")
+        / F.count("*").over(wp)
+    )
     return h.select(
         "metric_id",
         "hod",
-        F.round("__hm", 6).alias("hod_mean"),
+        _rnd_col("__hm", 6).alias("hod_mean"),
         "n_buckets",
-        F.round(F.col("__hm") / day_avg, 6).alias("rel_to_day"),
+        _rnd_col(F.col("__hm") / day_avg, 6).alias("rel_to_day"),
     )
 
 
@@ -5081,10 +5107,12 @@ ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(86400)} AS bucket_ts,
-             avg(value) AS mean
+             (floor(({_xmean_sql("value")}) * 1e6 + 0.5) / 1e6) AS mean
       FROM events GROUP BY 1, 2),
     -- x centered on each metric's first bucket (kills the n*Sxx - Sx^2
-    -- cancellation on epoch-scale x; see tsdb_stl_decompose)
+    -- cancellation on epoch-scale x; see tsdb_stl_decompose); x is a
+    -- whole day count and y a 6-dp decimal, so every moment sum below
+    -- is DECIMAL-exact and order-independent
     m0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM r GROUP BY 1),
     x AS (
       SELECT r.metric_id,
@@ -5092,14 +5120,16 @@ ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
       FROM r JOIN m0 ON r.metric_id = m0.metric_id),
     fit AS (
       SELECT metric_id, CAST(count(*) AS BIGINT) AS n_days,
-             (count(*) * sum(x * y) - sum(x) * sum(y))
-               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
-             avg(y) AS mean_level
+             (count(*) * CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
+                - {_xsum_sql("x")} * {_xsum_sql("y")})
+               / (count(*) * {_xsum_sql("x * x")}
+                  - {_xsum_sql("x")} * {_xsum_sql("x")}) AS slope,
+             {_xmean_sql("y")} AS mean_level
       FROM x GROUP BY 1)
     SELECT metric_id, n_days,
-           round(mean_level, 6) AS mean_level,
-           round(slope, 6) AS slope_per_day,
-           round(mean_level + 30 * slope, 6) AS forecast_30d
+           (floor((mean_level) * 1e6 + 0.5) / 1e6) AS mean_level,
+           (floor((slope) * 1e6 + 0.5) / 1e6) AS slope_per_day,
+           (floor((mean_level + 30 * slope) * 1e6 + 0.5) / 1e6) AS forecast_30d
     FROM fit
     """,
 )
@@ -5108,7 +5138,9 @@ def tsdb_trend_forecast(spark, sf_dir):
     # (slope from the 4 classic sums — one aggregation, no iteration),
     # plus a 30-day linear forecast off the mean level.  The
     # capacity-planning read a TSDB serves from its coarsest grain.
-    r = rollup_wide(_measures(spark, sf_dir), ["mean"], 86400.0)
+    r = rollup_wide(
+        _measures(spark, sf_dir), ["mean"], 86400.0, exact=True
+    ).withColumn("mean", _rnd_col("mean", 6))
     # center x on the metric's first bucket (kills the n*Sxx - Sx^2
     # cancellation on epoch-scale x; see tsdb_stl_decompose)
     m0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
@@ -5120,14 +5152,19 @@ def tsdb_trend_forecast(spark, sf_dir):
         "metric_id", x, F.col("mean").alias("y")
     )
     n = F.count("*")
-    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
-        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    slope = (
+        n * F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        - _xsum_col("x") * _xsum_col("y")
+    ) / (
+        n * _xsum_col(F.col("x") * F.col("x"))
+        - _xsum_col("x") * _xsum_col("x")
     )
     return d.groupBy("metric_id").agg(
         n.cast("long").alias("n_days"),
-        F.round(F.avg("y"), 6).alias("mean_level"),
-        F.round(slope, 6).alias("slope_per_day"),
-        F.round(F.avg("y") + 30 * slope, 6).alias("forecast_30d"),
+        _rnd_col(_xmean_col("y"), 6).alias("mean_level"),
+        _rnd_col(slope, 6).alias("slope_per_day"),
+        _rnd_col(_xmean_col("y") + 30 * slope, 6).alias("forecast_30d"),
     )
 
 
@@ -5617,7 +5654,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     f"""
     WITH hourly AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS b,
-             round({_xmean_sql("value")}, 6) AS v
+             {_rnd_sql(_xmean_sql("value"))} AS v
       FROM events GROUP BY 1, 2),
     pairs AS (
       SELECT a.metric_id AS metric_a, b.metric_id AS metric_b,
@@ -5655,7 +5692,7 @@ def metric_correlation_matrix(spark, sf_dir):
     hourly = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("b"),
-    ).agg(F.round(_xmean_col("value"), 6).alias("v"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     a = hourly.select(
         F.col("metric_id").alias("metric_a"), F.col("b"), F.col("v").alias("va")
     )
@@ -6079,10 +6116,14 @@ def tsdb_m4_downsample(spark, sf_dir):
                        - epoch(ts) END AS w
       FROM nxt)
     SELECT metric_id, bucket_ts,
-           round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w)
-                 ELSE avg(value) END, 6) AS twa,
-           round(avg(value), 6) AS point_avg,
-           round(sum(w), 3) AS covered_s,
+           {_rnd_sql("CASE WHEN"
+                     " CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) > 0"
+                     " THEN CAST(sum(CAST(value * w AS DECIMAL(38,8)))"
+                     "      AS DOUBLE)"
+                     "      / CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE)"
+                     " ELSE " + _xmean_sql("value") + " END")} AS twa,
+           {_rnd_sql(_xmean_sql("value"))} AS point_avg,
+           round({_xsum_sql("w")}, 3) AS covered_s,
            CAST(count(*) AS BIGINT) AS n_points
     FROM wt GROUP BY 1, 2
     """,
@@ -6115,16 +6156,19 @@ def tsdb_time_weighted_avg(spark, sf_dir):
         - F.unix_micros(F.col("ts")).cast("double") / 1e6
     )
     wt = nxt.select("metric_id", "bucket_ts", "value", w.alias("w"))
+    sw = _xsum_col("w")
     return wt.groupBy("metric_id", "bucket_ts").agg(
-        F.round(
+        _rnd_col(
             F.when(
-                F.sum("w") > 0,
-                F.sum(F.col("value") * F.col("w")) / F.sum("w"),
-            ).otherwise(F.avg("value")),
+                sw > 0,
+                F.sum((F.col("value") * F.col("w")).cast("decimal(38,8)"))
+                .cast("double")
+                / sw,
+            ).otherwise(_xmean_col("value")),
             6,
         ).alias("twa"),
-        F.round(F.avg("value"), 6).alias("point_avg"),
-        F.round(F.sum("w"), 3).alias("covered_s"),
+        _rnd_col(_xmean_col("value"), 6).alias("point_avg"),
+        F.round(sw, 3).alias("covered_s"),
         F.count("*").cast("long").alias("n_points"),
     )
 
@@ -6909,11 +6953,11 @@ def resource_scd2_apply(spark, sf_dir):
     f"""
     WITH hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS y
+             {_rnd_sql(_xmean_sql("value"))} AS y
       FROM events GROUP BY 1, 2),
     -- x centered on each metric's first bucket: uncentered epoch-days
     -- make (n*Sxx - Sx^2) a catastrophic cancellation whose last-ulp
-    -- noise differs between engines (measured: a round(,4) flip)
+    -- noise differs between engines (measured: a rounded-4dp flip)
     m0 AS (SELECT metric_id, min(bucket_ts) AS t0 FROM hm GROUP BY 1),
     x AS (
       SELECT hm.metric_id, bucket_ts, y,
@@ -6921,25 +6965,31 @@ def resource_scd2_apply(spark, sf_dir):
              CAST(hour(bucket_ts) AS INT) AS hod
       FROM hm JOIN m0 ON hm.metric_id = m0.metric_id),
     fit AS (
+      -- every moment sum decimal-quantized at 1e-6 per row and summed
+      -- in decimal: order-independent, bit-identical across engines
       SELECT metric_id,
-             (count(*) * sum(x * y) - sum(x) * sum(y))
-               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
-             (sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
-                        / (count(*) * sum(x * x) - sum(x) * sum(x)))
-                       * sum(x)) / count(*) AS intercept
+             (count(*) * {_xsum_sql("x * y")} - {_xsum_sql("x")} * {_xsum_sql("y")})
+               / (count(*) * {_xsum_sql("x * x")}
+                  - {_xsum_sql("x")} * {_xsum_sql("x")}) AS slope,
+             ({_xsum_sql("y")}
+              - ((count(*) * {_xsum_sql("x * y")}
+                  - {_xsum_sql("x")} * {_xsum_sql("y")})
+                 / (count(*) * {_xsum_sql("x * x")}
+                    - {_xsum_sql("x")} * {_xsum_sql("x")}))
+                * {_xsum_sql("x")}) / count(*) AS intercept
       FROM x GROUP BY 1),
     detr AS (
       SELECT x.metric_id, x.bucket_ts, x.y, x.hod,
              f.intercept + f.slope * x.x AS trend
       FROM x JOIN fit f ON x.metric_id = f.metric_id),
     seas AS (
-      SELECT metric_id, hod, avg(y - trend) AS s
+      SELECT metric_id, hod, {_xmean_sql("y - trend")} AS s
       FROM detr GROUP BY 1, 2)
     SELECT d.metric_id, d.bucket_ts,
-           round(d.y, 4) AS y,
-           round(d.trend, 4) AS trend,
-           round(s.s, 4) AS seasonal,
-           round(d.y - d.trend - s.s, 4) AS residual
+           (floor((d.y) * 1e4 + 0.5) / 1e4) AS y,
+           (floor((d.trend) * 1e4 + 0.5) / 1e4) AS trend,
+           (floor((s.s) * 1e4 + 0.5) / 1e4) AS seasonal,
+           (floor((d.y - d.trend - s.s) * 1e4 + 0.5) / 1e4) AS residual
     FROM detr d JOIN seas s ON d.metric_id = s.metric_id AND d.hod = s.hod
     """,
 )
@@ -6961,7 +7011,7 @@ def tsdb_stl_decompose(spark, sf_dir):
     hm = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("y"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("y"))
     # center x on the metric's first bucket — without this the
     # (n*Sxx - Sx^2) denominator is a catastrophic cancellation on
     # epoch-scale x and its last-ulp noise differs between engines
@@ -6980,9 +7030,9 @@ def tsdb_stl_decompose(spark, sf_dir):
         F.hour("bucket_ts").cast("int").alias("hod"),
     )
     n = F.count("*")
-    sx, sy = F.sum("x"), F.sum("y")
-    sxy = F.sum(F.col("x") * F.col("y"))
-    sxx = F.sum(F.col("x") * F.col("x"))
+    sx, sy = _xsum_col("x"), _xsum_col("y")
+    sxy = _xsum_col(F.col("x") * F.col("y"))
+    sxx = _xsum_col(F.col("x") * F.col("x"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     fit = x.groupBy("metric_id").agg(
         slope.alias("slope"),
@@ -6996,15 +7046,15 @@ def tsdb_stl_decompose(spark, sf_dir):
         (F.col("intercept") + F.col("slope") * F.col("x")).alias("trend"),
     )
     seas = detr.groupBy("metric_id", "hod").agg(
-        F.avg(F.col("y") - F.col("trend")).alias("s")
+        _xmean_col(F.col("y") - F.col("trend")).alias("s")
     )
     return detr.join(F.broadcast(seas), ["metric_id", "hod"]).select(
         "metric_id",
         "bucket_ts",
-        F.round("y", 4).alias("y"),
-        F.round("trend", 4).alias("trend"),
-        F.round("s", 4).alias("seasonal"),
-        F.round(F.col("y") - F.col("trend") - F.col("s"), 4).alias("residual"),
+        _rnd_col("y", 4).alias("y"),
+        _rnd_col("trend", 4).alias("trend"),
+        _rnd_col("s", 4).alias("seasonal"),
+        _rnd_col(F.col("y") - F.col("trend") - F.col("s"), 4).alias("residual"),
     )
 
 
@@ -7074,7 +7124,7 @@ def rollup_invalidation_plan(spark, sf_dir):
         AS t(rule_id, metric_id, op, threshold, min_consecutive)),
     hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             {_xmean_sql("value")} AS mean
       FROM events GROUP BY 1, 2),
     j AS (
       SELECT r.rule_id, r.metric_id, r.threshold, r.min_consecutive,
@@ -7094,7 +7144,7 @@ def rollup_invalidation_plan(spark, sf_dir):
       SELECT rule_id, metric_id, min(bucket_ts) AS fired_at,
              max(bucket_ts) AS last_breach,
              CAST(count(*) AS BIGINT) AS n_buckets,
-             round(max(mean), 6) AS worst_value
+             (floor((max(mean)) * 1e6 + 0.5) / 1e6) AS worst_value
       FROM runs WHERE breach = 1
       GROUP BY rule_id, metric_id, grp, min_consecutive
       HAVING count(*) >= min_consecutive)
@@ -7130,7 +7180,7 @@ def alert_rule_eval(spark, sf_dir):
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
-        .agg(F.avg("value").alias("mean"))
+        .agg(_xmean_col("value").alias("mean"))
     )
     j = hm.join(F.broadcast(rules), "metric_id").withColumn(
         "breach",
@@ -7155,7 +7205,7 @@ def alert_rule_eval(spark, sf_dir):
             F.min("bucket_ts").alias("fired_at"),
             F.max("bucket_ts").alias("last_breach"),
             F.count("*").cast("long").alias("n_buckets"),
-            F.round(F.max("mean"), 6).alias("worst_value"),
+            _rnd_col(F.max("mean"), 6).alias("worst_value"),
         )
         .where(F.col("n_buckets") >= F.col("min_consecutive"))
         .select(
@@ -7174,7 +7224,7 @@ def alert_rule_eval(spark, sf_dir):
     f"""
     WITH hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             {_xmean_sql("value")} AS mean
       FROM events GROUP BY 1, 2),
     nxt AS (
       SELECT metric_id, bucket_ts, mean,
@@ -7197,7 +7247,7 @@ def alert_rule_eval(spark, sf_dir):
              AS t(i)
       WHERE next_ts IS NOT NULL
         AND epoch(next_ts) - epoch(bucket_ts) > 3600)
-    SELECT metric_id, bucket_ts, round(mean, 6) AS mean, interpolated
+    SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean, interpolated
     FROM (SELECT metric_id, bucket_ts, mean, FALSE AS interpolated FROM hm
           UNION ALL
           SELECT metric_id, bucket_ts, mean, interpolated FROM interp)
@@ -7221,7 +7271,7 @@ def tsdb_fill_linear(spark, sf_dir):
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
-        .agg(F.avg("value").alias("mean"))
+        .agg(_xmean_col("value").alias("mean"))
     )
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     nxt = (
@@ -7266,7 +7316,7 @@ def tsdb_fill_linear(spark, sf_dir):
     return observed.unionByName(interp).select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
+        _rnd_col("mean", 6).alias("mean"),
         "interpolated",
     )
 
@@ -7280,7 +7330,9 @@ def tsdb_fill_linear(spark, sf_dir):
       FROM events),
     s AS (
       SELECT metric_id, arm, CAST(count(*) AS BIGINT) AS n,
-             avg(value) AS mean, var_samp(value) AS var
+             (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+              / count(value)) AS mean,
+             var_samp(value) AS var
       FROM assign GROUP BY 1, 2),
     wide AS (
       SELECT a.metric_id,
@@ -7289,8 +7341,9 @@ def tsdb_fill_linear(spark, sf_dir):
       FROM s a JOIN s b ON a.metric_id = b.metric_id
       WHERE a.arm = 0 AND b.arm = 1)
     SELECT metric_id, n_a, n_b,
-           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-           round(mean_b - mean_a, 6) AS lift,
+           (floor(mean_a * 1e6 + 0.5) / 1e6) AS mean_a,
+           (floor(mean_b * 1e6 + 0.5) / 1e6) AS mean_b,
+           (floor((mean_b - mean_a) * 1e6 + 0.5) / 1e6) AS lift,
            round((mean_b - mean_a)
                  / sqrt(nullif(var_a / n_a + var_b / n_b, 0)), 4) AS z_score
     FROM wide
@@ -7315,7 +7368,7 @@ def ab_test_ztest(spark, sf_dir):
         .groupBy("metric_id", "arm")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.avg("value").alias("mean"),
+            _xmean_col("value").alias("mean"),
             F.var_samp("value").alias("var"),
         )
     )
@@ -7336,9 +7389,9 @@ def ab_test_ztest(spark, sf_dir):
         "metric_id",
         "n_a",
         "n_b",
-        F.round("mean_a", 6).alias("mean_a"),
-        F.round("mean_b", 6).alias("mean_b"),
-        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("lift"),
+        _rnd_col("mean_a", 6).alias("mean_a"),
+        _rnd_col("mean_b", 6).alias("mean_b"),
+        _rnd_col(F.col("mean_b") - F.col("mean_a"), 6).alias("lift"),
         # nullif guards the both-arms-constant case (pooled variance
         # exactly 0): Spark's x/0.0 is NULL, DuckDB's is inf — nullif
         # makes both engines emit NULL for the undefined z
@@ -7361,24 +7414,26 @@ def ab_test_ztest(spark, sf_dir):
     f"""
     WITH hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             (floor(({_xmean_sql("value")}) * 1e6 + 0.5) / 1e6) AS mean
       FROM events GROUP BY 1, 2),
     mu AS (
-      SELECT metric_id, avg(mean) AS mu FROM hm GROUP BY 1),
+      SELECT metric_id, {_xmean_sql("mean")} AS mu FROM hm GROUP BY 1),
     dev AS (
       SELECT h.metric_id, h.bucket_ts, h.mean, h.mean - m.mu AS dev
       FROM hm h JOIN mu m ON h.metric_id = m.metric_id),
     cs AS (
       SELECT metric_id, bucket_ts, mean,
-             sum(dev) OVER (PARTITION BY metric_id ORDER BY bucket_ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             CAST(sum(CAST(dev AS DECIMAL(38,6)))
+                 OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS s
       FROM dev)
-    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
-           round(s - min(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+    SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean,
+           (floor((s - min(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4)
              AS drift_up,
-           round(max(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s, 4)
+           (floor((max(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s) * 1e4 + 0.5) / 1e4)
              AS drift_down
     FROM cs
     """,
@@ -7400,9 +7455,9 @@ def tsdb_cusum_drift(spark, sf_dir):
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
-        .agg(F.avg("value").alias("mean"))
+        .agg(_rnd_col(_xmean_col("value"), 6).alias("mean"))
     )
-    mu = hm.groupBy("metric_id").agg(F.avg("mean").alias("mu"))
+    mu = hm.groupBy("metric_id").agg(_xmean_col("mean").alias("mu"))
     dev = hm.join(F.broadcast(mu), "metric_id").select(
         "metric_id",
         "bucket_ts",
@@ -7412,13 +7467,16 @@ def tsdb_cusum_drift(spark, sf_dir):
     run = Window.partitionBy("metric_id").orderBy("bucket_ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cs = dev.withColumn("s", F.sum("dev").over(run))
+    cs = dev.withColumn(
+        "s",
+        F.sum(F.col("dev").cast("decimal(38,6)")).over(run).cast("double"),
+    )
     return cs.select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
-        F.round(F.col("s") - F.min("s").over(run), 4).alias("drift_up"),
-        F.round(F.max("s").over(run) - F.col("s"), 4).alias("drift_down"),
+        _rnd_col("mean", 6).alias("mean"),
+        _rnd_col(F.col("s") - F.min("s").over(run), 4).alias("drift_up"),
+        _rnd_col(F.max("s").over(run) - F.col("s"), 4).alias("drift_down"),
     )
 
 
@@ -7427,7 +7485,7 @@ def tsdb_cusum_drift(spark, sf_dir):
     f"""
     WITH base AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean, CAST(count(*) AS BIGINT) AS cnt
+             {_xmean_sql("value")} AS mean, CAST(count(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2),
     corrected AS (
       SELECT metric_id, bucket_ts,
@@ -7435,7 +7493,7 @@ def tsdb_cusum_drift(spark, sf_dir):
                AS mean,
              cnt
       FROM base)
-    SELECT metric_id, bucket_ts, round(mean, 6) AS mean, cnt
+    SELECT metric_id, bucket_ts, {_rnd_sql("mean")} AS mean, cnt
     FROM corrected
     """,
 )
@@ -7466,7 +7524,7 @@ def store_snapshot_roundtrip(spark, sf_dir):
             _os.path.join(planmode.FIXTURES, "store_stub"), num_sacks=2
         )
         return stub.read(spark).select(
-            "metric_id", "bucket_ts", F.round("mean", 6).alias("mean"), "cnt"
+            "metric_id", "bucket_ts", _rnd_col("mean", 6).alias("mean"), "cnt"
         )
 
     hourly = (
@@ -7476,7 +7534,7 @@ def store_snapshot_roundtrip(spark, sf_dir):
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
         .agg(
-            F.avg("value").alias("mean"),
+            _xmean_col("value").alias("mean"),
             F.count("*").cast("long").alias("cnt"),
         )
     )
@@ -7493,7 +7551,7 @@ def store_snapshot_roundtrip(spark, sf_dir):
     return store.read(spark).select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
+        _rnd_col("mean", 6).alias("mean"),
         "cnt",
     )
 
@@ -8114,9 +8172,10 @@ def tsdb_trimmed_mean(spark, sf_dir):
     f"""
     WITH hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS y
+             {_rnd_sql(_xmean_sql("value"))} AS y
       FROM events GROUP BY 1, 2),
-    mu AS (SELECT metric_id, avg(y) AS mu, CAST(count(*) AS BIGINT) AS n
+    mu AS (SELECT metric_id, {_xmean_sql("y")} AS mu,
+                  CAST(count(*) AS BIGINT) AS n
            FROM hm GROUP BY 1),
     lagged AS (
       SELECT h.metric_id, h.y - m.mu AS d,
@@ -8126,8 +8185,12 @@ def tsdb_trimmed_mean(spark, sf_dir):
                - m.mu AS d24
       FROM hm h JOIN mu m ON h.metric_id = m.metric_id)
     SELECT metric_id,
-           round(sum(d * d1) / nullif(sum(d * d), 0), 4) AS acf_lag1,
-           round(sum(d * d24) / nullif(sum(d * d), 0), 4) AS acf_lag24,
+           {_rnd_sql("CAST(sum(CAST(d * d1 AS DECIMAL(38,6))) AS DOUBLE)"
+                     " / nullif(CAST(sum(CAST(d * d AS DECIMAL(38,6)))"
+                     " AS DOUBLE), 0)", 4)} AS acf_lag1,
+           {_rnd_sql("CAST(sum(CAST(d * d24 AS DECIMAL(38,6))) AS DOUBLE)"
+                     " / nullif(CAST(sum(CAST(d * d AS DECIMAL(38,6)))"
+                     " AS DOUBLE), 0)", 4)} AS acf_lag24,
            CAST(count(*) AS BIGINT) AS n_buckets
     FROM lagged GROUP BY 1
     """,
@@ -8148,9 +8211,9 @@ def tsdb_autocorrelation(spark, sf_dir):
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
-        .agg(F.avg("value").alias("y"))
+        .agg(_rnd_col(_xmean_col("value"), 6).alias("y"))
     )
-    mu = hm.groupBy("metric_id").agg(F.avg("y").alias("mu"))
+    mu = hm.groupBy("metric_id").agg(_xmean_col("y").alias("mu"))
     w = Window.partitionBy("metric_id").orderBy("bucket_ts")
     lagged = hm.join(F.broadcast(mu), "metric_id").select(
         "metric_id",
@@ -8160,13 +8223,22 @@ def tsdb_autocorrelation(spark, sf_dir):
     )
     # nullif: a constant series has sum(d*d) == 0 exactly — both
     # engines then agree on NULL instead of Spark-NULL vs DuckDB-inf
-    ss = F.nullif(F.sum(F.col("d") * F.col("d")), F.lit(0.0))
+    ss = F.nullif(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,6)"))
+        .cast("double"),
+        F.lit(0.0),
+    )
     return lagged.groupBy("metric_id").agg(
-        F.round(
-            F.sum(F.col("d") * F.col("d1")) / ss, 4
+        _rnd_col(
+            F.sum((F.col("d") * F.col("d1")).cast("decimal(38,6)"))
+            .cast("double")
+            / ss,
+            4,
         ).alias("acf_lag1"),
-        F.round(
-            F.sum(F.col("d") * F.col("d24")) / ss,
+        _rnd_col(
+            F.sum((F.col("d") * F.col("d24")).cast("decimal(38,6)"))
+            .cast("double")
+            / ss,
             4,
         ).alias("acf_lag24"),
         F.count("*").cast("long").alias("n_buckets"),
@@ -8425,11 +8497,11 @@ def cluster_medoids(spark, sf_dir):
     f"""
     WITH hm AS (
       SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-             avg(value) AS mean
+             {_xmean_sql("value")} AS mean
       FROM events GROUP BY 1, 2)
-    SELECT metric_id, bucket_ts, round(mean, 6) AS mean,
-           round(percent_rank() OVER (PARTITION BY metric_id
-                                      ORDER BY mean, bucket_ts), 6)
+    SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean,
+           (floor((percent_rank() OVER (PARTITION BY metric_id
+                                      ORDER BY mean, bucket_ts)) * 1e6 + 0.5) / 1e6)
              AS pct_rank
     FROM hm
     """,
@@ -8451,14 +8523,14 @@ def tsdb_percent_rank(spark, sf_dir):
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
         )
-        .agg(F.avg("value").alias("mean"))
+        .agg(_xmean_col("value").alias("mean"))
     )
     w = Window.partitionBy("metric_id").orderBy("mean", "bucket_ts")
     return hm.select(
         "metric_id",
         "bucket_ts",
-        F.round("mean", 6).alias("mean"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _rnd_col("mean", 6).alias("mean"),
+        _rnd_col(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 
@@ -9037,7 +9109,7 @@ def user_journey_transitions(spark, sf_dir):
     f"""
     WITH r AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS b,
-             round({_xmean_sql("value")}, 6) AS v
+             {_rnd_sql(_xmean_sql("value"))} AS v
       FROM events GROUP BY 1, 2),
     lags AS (SELECT unnest([0, 1, 2]) AS lag),
     p AS (
@@ -9081,7 +9153,7 @@ def metric_lead_lag(spark, sf_dir):
     r = ev.groupBy(
         F.col("event_type").alias("metric_id"),
         truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
-    ).agg(F.round(_xmean_col("value"), 6).alias("v"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
     a = r.select(
         F.col("metric_id").alias("metric_a"),

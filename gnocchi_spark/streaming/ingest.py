@@ -331,6 +331,7 @@ def read_with_tail(
     unprocessed_measures: DataFrame,
     methods: Sequence[str],
     granularity: float | str,
+    exact: bool = False,
 ) -> DataFrame:
     """Refresh-on-read (``?refresh=true``): serve the rollup table plus
     an on-the-fly aggregation of measures the pipeline has not
@@ -338,10 +339,12 @@ def read_with_tail(
 
     Cleaner than the reference's synchronous process-pending-measures
     (chef.py:347-381): the read path never blocks on the writer.
+    ``exact`` selects the replay-exact aggregation mode for the
+    recomputed tail buckets (see functions.aggregates.agg_expr).
     """
     from gnocchi_spark.operators.rollup import rollup_wide
 
-    tail = rollup_wide(unprocessed_measures, methods, granularity)
+    tail = rollup_wide(unprocessed_measures, methods, granularity, exact=exact)
     tail = tail.select(
         "metric_id",
         "bucket_ts",
