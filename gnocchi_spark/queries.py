@@ -351,14 +351,27 @@ def tsdb_read_window(spark, sf_dir):
 @query(
     "tpch_q1_pricing_summary",
     """
+    -- money sums/means in associative DECIMAL(38,6) (inputs are
+    -- <=6-dp exact products of 2-dp columns), floor-rounded so exact
+    -- x.xx5000 ties cannot split across engine rounding rules;
+    -- exactness bound: |sum|*1e6 < 2^53 holds through sf1
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           (floor(sum(CAST(l_quantity AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS sum_qty,
+           (floor(sum(CAST(l_extendedprice AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS sum_base_price,
+           (floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS sum_disc_price,
+           (floor(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS sum_charge,
+           (floor(sum(CAST(l_quantity AS DECIMAL(38,6)))::DOUBLE
+                  / count(l_quantity) * 1e6 + 0.5) / 1e6) AS avg_qty,
+           (floor(sum(CAST(l_extendedprice AS DECIMAL(38,6)))::DOUBLE
+                  / count(l_extendedprice) * 1e6 + 0.5) / 1e6) AS avg_price,
+           (floor(sum(CAST(l_discount AS DECIMAL(38,6)))::DOUBLE
+                  / count(l_discount) * 1e6 + 0.5) / 1e6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -371,15 +384,27 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            _rnd_col(_xsum_col("l_quantity"), 2).alias("sum_qty"),
+            _rnd_col(_xsum_col("l_extendedprice"), 2).alias(
+                "sum_base_price"
+            ),
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("sum_disc_price"),
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _rnd_col(_xmean_col("l_quantity"), 6).alias("avg_qty"),
+            _rnd_col(_xmean_col("l_extendedprice"), 6).alias("avg_price"),
+            _rnd_col(_xmean_col("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -389,7 +414,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "tpch_q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -422,8 +447,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -435,7 +463,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 @query(
     "tpch_q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT (floor(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2) AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -457,9 +485,9 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        _rnd_col(
+            _xsum_col(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1301,11 +1329,13 @@ def resource_groupby_aggregates(spark, sf_dir):
       SELECT f.user_id, f.tier FROM filt f
       JOIN metrics m ON m.user_id = f.user_id AND m.name LIKE 'c%'),
     per_series AS (
-      SELECT e.user_id, {_sql_bucket(3600)} AS b, avg(e.value) AS v
+      SELECT e.user_id, {_sql_bucket(3600)} AS b,
+             {_rnd_sql(_xmean_sql("e.value"))} AS v
       FROM events e JOIN members r ON e.user_id = r.user_id
       WHERE e.event_type = 'click'
       GROUP BY 1, 2)
-    SELECT r.tier, p.b AS ts, round(avg(p.v * 8), 6) AS value
+    SELECT r.tier, p.b AS ts,
+           {_rnd_sql(_xmean_sql("p.v * 8"))} AS value
     FROM per_series p JOIN members r ON p.user_id = r.user_id
     GROUP BY 1, 2
     """,
@@ -1345,13 +1375,13 @@ def aggregates_api_end_to_end(spark, sf_dir):
             "tier",
             truncate_to_bucket(F.col("ts"), 3600.0).alias("ts"),
         )
-        .agg(F.avg("value").alias("v"))
+        .agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     )
     scaled = per_series.withColumn(
         "v", _binary_col("*", F.col("v"), F.lit(8.0))
     )
     return scaled.groupBy("tier", "ts").agg(
-        F.round(F.avg("v"), 6).alias("value")
+        _rnd_col(_xmean_col("v"), 6).alias("value")
     )
 
 
@@ -1369,11 +1399,12 @@ def aggregates_api_end_to_end(spark, sf_dir):
       WHERE creator LIKE '%:proj1'
         AND (tier >= 2 OR creator LIKE '%:proj0')),
     per_series AS (
-      SELECT e.user_id, r.tier, {_sql_bucket(3600)} AS ts, avg(e.value) AS v
+      SELECT e.user_id, r.tier, {_sql_bucket(3600)} AS ts,
+             {_rnd_sql(_xmean_sql("e.value"))} AS v
       FROM events e JOIN scoped r ON e.user_id = r.user_id
       WHERE e.event_type = 'click'
       GROUP BY 1, 2, 3)
-    SELECT tier, ts, round(avg(v), 6) AS value
+    SELECT tier, ts, {_rnd_sql(_xmean_sql("v"))} AS value
     FROM per_series GROUP BY 1, 2
     """,
 )
@@ -1413,10 +1444,10 @@ def resource_rbac_scoped_aggregates(spark, sf_dir):
             "tier",
             truncate_to_bucket(F.col("ts"), 3600.0).alias("ts"),
         )
-        .agg(F.avg("value").alias("v"))
+        .agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
     )
     return per_series.groupBy("tier", "ts").agg(
-        F.round(F.avg("v"), 6).alias("value")
+        _rnd_col(_xmean_col("v"), 6).alias("value")
     )
 
 
@@ -4060,7 +4091,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
 @query(
     "tpch_q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT n_name, (floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -4108,8 +4139,11 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -4758,10 +4792,10 @@ def metric_top_movers(spark, sf_dir):
     SELECT CAST(count(*) AS BIGINT) AS n_view,
            CAST(count(t_click_after) AS BIGINT) AS n_click,
            CAST(count(t_purchase_after) AS BIGINT) AS n_purchase,
-           round(count(t_click_after) / CAST(count(*) AS DOUBLE), 6)
+           (floor((count(t_click_after) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
              AS view_to_click,
-           round(count(t_purchase_after)
-                 / CAST(greatest(count(t_click_after), 1) AS DOUBLE), 6)
+           (floor((count(t_purchase_after)
+                 / CAST(greatest(count(t_click_after), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
              AS click_to_purchase
     FROM f
     """,
@@ -4793,14 +4827,9 @@ def funnel_conversion(spark, sf_dir):
         F.count("*").cast("long").alias("n_view"),
         F.count("t_click_after").cast("long").alias("n_click"),
         F.count("t_purchase_after").cast("long").alias("n_purchase"),
-        F.round(
-            F.count("t_click_after") / F.count("*").cast("double"), 6
-        ).alias("view_to_click"),
-        F.round(
-            F.count("t_purchase_after")
-            / F.greatest(F.count("t_click_after"), F.lit(1)).cast("double"),
-            6,
-        ).alias("click_to_purchase"),
+        _rnd_col(F.count("t_click_after") / F.count("*").cast("double"), 6).alias("view_to_click"),
+        _rnd_col(F.count("t_purchase_after")
+            / F.greatest(F.count("t_click_after"), F.lit(1)).cast("double"), 6).alias("click_to_purchase"),
     )
 
 
@@ -4820,7 +4849,7 @@ def funnel_conversion(spark, sf_dir):
       FROM first_seen GROUP BY 1)
     SELECT a.cohort_week, a.week_offset,
            CAST(count(*) AS BIGINT) AS n_active, s.n_users,
-           round(count(*) / CAST(s.n_users AS DOUBLE), 6) AS retention
+           (floor((count(*) / CAST(s.n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS retention
     FROM activity a JOIN cohort_size s USING (cohort_week)
     GROUP BY a.cohort_week, a.week_offset, s.n_users
     """,
@@ -4866,7 +4895,7 @@ def cohort_retention(spark, sf_dir):
             "week_offset",
             "n_active",
             "n_users",
-            F.round(F.col("n_active") / F.col("n_users").cast("double"), 6).alias(
+            _rnd_col(F.col("n_active") / F.col("n_users").cast("double"), 6).alias(
                 "retention"
             ),
         )
@@ -5380,7 +5409,7 @@ def storage_cost_probe(spark, sf_dir):
     "tpch_q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2) AS revenue,
            round(c.c_acctbal, 2) AS c_acctbal
     FROM customer c
          JOIN orders o ON c.c_custkey = o.o_custkey
@@ -5418,8 +5447,11 @@ def tpch_q10_returned_items(spark, sf_dir):
         li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
         .select(
@@ -5455,7 +5487,7 @@ def tpch_q10_returned_items(spark, sf_dir):
       SELECT o_orderkey, cust_nation FROM orders
       JOIN cn ON o_custkey = c_custkey)
     SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
-           round(sum(volume), 2) AS revenue
+           (floor(sum(CAST(volume AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2) AS revenue
     FROM li JOIN sn ON l_suppkey = s_suppkey
             JOIN oc ON l_orderkey = o_orderkey
     WHERE supp_nation <> cust_nation
@@ -5501,8 +5533,11 @@ def tpch_q7_nation_volume(spark, sf_dir):
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
     )
@@ -5558,12 +5593,17 @@ def tpch_q18_large_orders(spark, sf_dir):
     "tpch_q22_dormant_customers",
     """
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+      -- decimal-exact mean: the c_acctbal > ab row-set threshold must
+      -- not depend on double summation order
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal) AS ab
+      FROM customer WHERE c_acctbal > 0.0),
     recent AS (
       SELECT DISTINCT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           (floor(sum(CAST(c.c_acctbal AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS totacctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
@@ -5581,7 +5621,7 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     cu = tables.load(spark, sf_dir, "customer")
     n = tables.load(spark, sf_dir, "nation")
     avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__ab")
+        _xmean_col("c_acctbal").alias("__ab")
     )
     recent = (
         tables.load(spark, sf_dir, "orders")
@@ -5596,7 +5636,7 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _rnd_col(_xsum_col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -6713,9 +6753,13 @@ def histogram_quantile_cascade(spark, sf_dir):
       JOIN mkt_orders o ON l.l_orderkey = o.o_orderkey
       JOIN sn s ON l.l_suppkey = s.s_suppkey)
     SELECT CAST(o_year AS INT) AS o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                     ELSE 0.0 END) / sum(volume), 6) AS mkt_share,
-           round(sum(volume), 2) AS total_volume
+           (floor(sum(CAST(CASE WHEN supp_nation = 'NATION_1'
+                           THEN volume ELSE 0.0 END
+                           AS DECIMAL(38,6)))::DOUBLE
+                  / sum(CAST(volume AS DECIMAL(38,6)))::DOUBLE
+                  * 1e6 + 0.5) / 1e6) AS mkt_share,
+           (floor(sum(CAST(volume AS DECIMAL(38,6)))::DOUBLE
+                  * 1e2 + 0.5) / 1e2) AS total_volume
     FROM vol GROUP BY 1
     """,
 )
@@ -6770,16 +6814,16 @@ def tpch_q8_market_share(spark, sf_dir):
         )
     )
     return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(
+        _rnd_col(
+            _xsum_col(
                 F.when(
                     F.col("supp_nation") == "NATION_1", F.col("volume")
                 ).otherwise(0.0)
             )
-            / F.sum("volume"),
+            / _xsum_col("volume"),
             6,
         ).alias("mkt_share"),
-        F.round(F.sum("volume"), 2).alias("total_volume"),
+        _rnd_col(_xsum_col("volume"), 2).alias("total_volume"),
     )
 
 
@@ -6787,10 +6831,13 @@ def tpch_q8_market_share(spark, sf_dir):
     "tpch_q14_promo_revenue",
     """
     SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
-           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+           (floor(100.0
+                  * sum(CAST(CASE WHEN p_type = 'PROMO'
                              THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6)
+                             ELSE 0.0 END AS DECIMAL(38,6)))::DOUBLE
+                  / sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6)))::DOUBLE
+                  * 1e6 + 0.5) / 1e6)
              AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -6816,10 +6863,12 @@ def tpch_q14_promo_revenue(spark, sf_dir):
             F.month("l_shipdate").alias("mo"),
         )
         .agg(
-            F.round(
+            _rnd_col(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * _xsum_col(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / _xsum_col(rev),
                 6,
             ).alias("promo_revenue_pct"),
             F.count("*").cast("long").alias("n_lines"),
@@ -7670,11 +7719,11 @@ def ann_index_roundtrip(spark, sf_dir):
              CAST(sum(bad5) AS BIGINT) AS bad1h,
              CAST(sum(n5) AS BIGINT) AS n1h,
              CAST(max(bad5) AS BIGINT) AS worst5_bad,
-             round(max(CAST(bad5 AS DOUBLE) / n5) / 0.01, 4)
+             (floor((max(CAST(bad5 AS DOUBLE) / n5) / 0.01) * 1e4 + 0.5) / 1e4)
                AS burn_5m_worst
       FROM w5 GROUP BY 1, 2)
     SELECT metric_id, b1h AS bucket_ts, bad1h, n1h,
-           round((CAST(bad1h AS DOUBLE) / n1h) / 0.01, 4) AS burn_1h,
+           (floor(((CAST(bad1h AS DOUBLE) / n1h) / 0.01) * 1e4 + 0.5) / 1e4) AS burn_1h,
            burn_5m_worst
     FROM w1h
     """,
@@ -7703,17 +7752,13 @@ def slo_burn_rate(spark, sf_dir):
     return w5.groupBy("metric_id", "b1h").agg(
         F.sum("bad5").cast("long").alias("bad1h"),
         F.sum("n5").cast("long").alias("n1h"),
-        F.round(
-            F.max(F.col("bad5").cast("double") / F.col("n5")) / 0.01, 4
-        ).alias("burn_5m_worst"),
+        _rnd_col(F.max(F.col("bad5").cast("double") / F.col("n5")) / 0.01, 4).alias("burn_5m_worst"),
     ).select(
         "metric_id",
         F.col("b1h").alias("bucket_ts"),
         "bad1h",
         "n1h",
-        F.round(
-            (F.col("bad1h").cast("double") / F.col("n1h")) / 0.01, 4
-        ).alias("burn_1h"),
+        _rnd_col((F.col("bad1h").cast("double") / F.col("n1h")) / 0.01, 4).alias("burn_1h"),
         "burn_5m_worst",
     )
 
@@ -7814,14 +7859,15 @@ def tpch_q13_order_distribution(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,6)))::DOUBLE AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY 1),
     mx AS (SELECT max(total_revenue) AS m FROM rev)
     SELECT s.s_suppkey, s.s_name,
-           round(r.total_revenue, 2) AS total_revenue
+           (floor(r.total_revenue * 1e2 + 0.5) / 1e2) AS total_revenue
     FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
     WHERE r.total_revenue = (SELECT m FROM mx)
     """,
@@ -7838,9 +7884,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        _xsum_col(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("m"))
     s = tables.load(spark, sf_dir, "supplier")
@@ -7851,7 +7897,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 2).alias("total_revenue"),
+            _rnd_col("total_revenue", 2).alias("total_revenue"),
         )
     )
 
@@ -8120,9 +8166,10 @@ def ann_recall_report(spark, sf_dir):
              quantile_cont(value, 0.95) AS hi
       FROM m GROUP BY 1, 2)
     SELECT m.metric_id, m.bucket_ts,
-           round(avg(CASE WHEN m.value >= b.lo AND m.value <= b.hi
-                          THEN m.value END), 6) AS trimmed_mean,
-           round(avg(m.value), 6) AS plain_mean,
+           {_rnd_sql(_xmean_sql("CASE WHEN m.value >= b.lo"
+                                " AND m.value <= b.hi"
+                                " THEN m.value END"))} AS trimmed_mean,
+           {_rnd_sql(_xmean_sql("m.value"))} AS plain_mean,
            CAST(count(CASE WHEN m.value < b.lo OR m.value > b.hi
                       THEN 1 END) AS BIGINT) AS n_trimmed
     FROM m JOIN bounds b
@@ -8156,10 +8203,10 @@ def tsdb_trimmed_mean(spark, sf_dir):
         m.join(bounds, ["metric_id", "bucket_ts"])
         .groupBy("metric_id", "bucket_ts")
         .agg(
-            F.round(F.avg(F.when(inside, F.col("value"))), 6).alias(
+            _rnd_col(_xmean_col(F.when(inside, F.col("value"))), 6).alias(
                 "trimmed_mean"
             ),
-            F.round(F.avg("value"), 6).alias("plain_mean"),
+            _rnd_col(_xmean_col("value"), 6).alias("plain_mean"),
             F.count(F.when(~inside, F.lit(1)))
             .cast("long")
             .alias("n_trimmed"),
@@ -9254,7 +9301,7 @@ def tpch_q12_shipping_delay(spark, sf_dir):
     """
     SELECT p.p_brand,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           (floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE * 1e4 + 0.5) / 1e4) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -9299,8 +9346,11 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").cast("long").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _rnd_col(
+                _xsum_col(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                4,
             ).alias("revenue"),
         )
     )
@@ -9446,8 +9496,10 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     """
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           (floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(38,6)))::DOUBLE * 1e2 + 0.5) / 1e2)
+             AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -9481,7 +9533,7 @@ def tpch_q9_product_type_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(_rnd_col(_xsum_col(profit), 2).alias("sum_profit"))
     )
 
 
@@ -9490,14 +9542,16 @@ def tpch_q9_product_type_profit(spark, sf_dir):
     """
     WITH val AS (
       SELECT l.l_partkey,
-             sum(l.l_extendedprice * l.l_quantity) AS v
+             sum(CAST(l.l_extendedprice * l.l_quantity
+                      AS DECIMAL(38,6)))::DOUBLE AS v
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_3', 'NATION_7')
       GROUP BY 1),
-    tot AS (SELECT sum(v) AS t FROM val)
-    SELECT l_partkey AS p_partkey, round(v, 2) AS part_value
+    tot AS (SELECT sum(CAST(v AS DECIMAL(38,6)))::DOUBLE AS t FROM val)
+    SELECT l_partkey AS p_partkey,
+           (floor(v * 1e2 + 0.5) / 1e2) AS part_value
     FROM val, tot
     WHERE v > 0.0015 * t
     """,
@@ -9509,9 +9563,9 @@ def tpch_q11_important_stock(spark, sf_dir):
     # national total.  The plan point is the scalar aggregate
     # broadcast — one reduce produces the 1-row total, crossJoin
     # broadcasts it, the threshold evaluates map-side; no second scan
-    # of the fact.  Threshold margin note: v and t are double sums,
-    # but the nearest part sits 2.9e-4 RELATIVE from the 0.15% cut
-    # (measured at sf0.01) — ~1e12 ulp of reorder noise headroom.
+    # of the fact.  r06: v and t are decimal-exact sums (the inputs are
+    # 2-dp-exact products), so the 0.15%-of-total row-set threshold is
+    # bit-identical across engines — no reorder-noise margin to audit.
     li = tables.load(spark, sf_dir, "lineitem")
     s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = tables.load(spark, sf_dir, "nation").where(
@@ -9521,15 +9575,19 @@ def tpch_q11_important_stock(spark, sf_dir):
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+        .agg(
+            _xsum_col(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "v"
+            )
+        )
     )
-    tot = val.agg(F.sum("v").alias("t"))
+    tot = val.agg(_xsum_col("v").alias("t"))
     return (
         val.crossJoin(F.broadcast(tot))
         .where(F.col("v") > 0.0015 * F.col("t"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("v", 2).alias("part_value"),
+            _rnd_col("v", 2).alias("part_value"),
         )
     )
 
@@ -9656,8 +9714,8 @@ def tpch_q20_part_promotion_suppliers(spark, sf_dir):
              sum(err) AS err, sum(total) AS total
       FROM fast GROUP BY 1)
     SELECT f.b5 AS bucket_ts,
-           round((1.0 * f.err / f.total) / 0.25, 6) AS burn_fast,
-           round((1.0 * s.err / s.total) / 0.25, 6) AS burn_slow
+           (floor(((1.0 * f.err / f.total) / 0.25) * 1e6 + 0.5) / 1e6) AS burn_fast,
+           (floor(((1.0 * s.err / s.total) / 0.25) * 1e6 + 0.5) / 1e6) AS burn_slow
     FROM fast f
     JOIN slow s
       ON s.b1h = make_timestamp(CAST(floor(epoch(f.b5) / 3600) AS BIGINT)
@@ -9700,8 +9758,8 @@ def slo_burn_rate_alerts(spark, sf_dir):
         .where((F.col("total") > 0) & (burn_fast > 1.3) & (burn_slow > 1.3))
         .select(
             F.col("b5").alias("bucket_ts"),
-            F.round(burn_fast, 6).alias("burn_fast"),
-            F.round(burn_slow, 6).alias("burn_slow"),
+            _rnd_col(burn_fast, 6).alias("burn_fast"),
+            _rnd_col(burn_slow, 6).alias("burn_slow"),
         )
     )
 
@@ -10979,11 +11037,11 @@ def metric_change_contributors(spark, sf_dir):
              CAST(sum(c * c) AS BIGINT) AS scc
       FROM c GROUP BY 1)
     SELECT metric_id, n AS n_minutes, sc AS n_events,
-           round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_min,
-           round((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+           (floor((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS mean_per_min,
+           (floor(((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
                   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
-                 / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6)
              AS fano_factor
     FROM s WHERE n > 1 AND sc > 0
     """,
@@ -11014,8 +11072,8 @@ def metric_burstiness(spark, sf_dir):
         "metric_id",
         F.col("n").alias("n_minutes"),
         F.col("sc").alias("n_events"),
-        F.round(sc / nn, 6).alias("mean_per_min"),
-        F.round(var / (sc / nn), 6).alias("fano_factor"),
+        _rnd_col(sc / nn, 6).alias("mean_per_min"),
+        _rnd_col(var / (sc / nn), 6).alias("fano_factor"),
     )
 
 
@@ -11103,10 +11161,10 @@ def growth_accounting(spark, sf_dir):
       FROM fv WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
                 AND t_buy > t_view)
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(min(secs), 6) AS min_s,
-           round(median(secs), 6) AS p50_s,
-           round(quantile_cont(secs, 0.9), 6) AS p90_s,
-           round(max(secs), 6) AS max_s
+           (floor((min(secs)) * 1e6 + 0.5) / 1e6) AS min_s,
+           (floor((median(secs)) * 1e6 + 0.5) / 1e6) AS p50_s,
+           (floor((quantile_cont(secs, 0.9)) * 1e6 + 0.5) / 1e6) AS p90_s,
+           (floor((max(secs)) * 1e6 + 0.5) / 1e6) AS max_s
     FROM conv
     """,
 )
@@ -11139,10 +11197,10 @@ def funnel_time_to_convert(spark, sf_dir):
     ).select(((F.col("t_buy") - F.col("t_view")) / F.lit(1_000_000.0)).alias("secs"))
     return conv.agg(
         F.count("*").cast("long").alias("n_conversions"),
-        F.round(F.min("secs"), 6).alias("min_s"),
-        F.round(F.expr("percentile(secs, 0.5)"), 6).alias("p50_s"),
-        F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_s"),
-        F.round(F.max("secs"), 6).alias("max_s"),
+        _rnd_col(F.min("secs"), 6).alias("min_s"),
+        _rnd_col(F.expr("percentile(secs, 0.5)"), 6).alias("p50_s"),
+        _rnd_col(F.expr("percentile(secs, 0.9)"), 6).alias("p90_s"),
+        _rnd_col(F.max("secs"), 6).alias("max_s"),
     )
 
 
