@@ -43,11 +43,13 @@ def agg_expr(
     timestamps before aggregation with last-write-wins
     (carbonara.py:92-105), which the ingest path handles separately.
 
-    ``exact=True`` switches mean/sum to replay-exact arithmetic: the
-    values are summed as DECIMAL(38,6) (exact for inputs with <= 6
-    fractional digits, and decimal addition is associative, so the
-    result cannot depend on partition scheduling), then cast back to
-    double — one correctly-rounded conversion.  Use it when results
+    ``exact=True`` switches mean/sum to replay-exact arithmetic: each
+    value quantizes to floor(x*1e6 + 0.5) (an engine-uniform pure-IEEE
+    rounding, exact for inputs with <= 6 fractional digits) and sums
+    as LONG — integer addition is associative, so the result cannot
+    depend on partition scheduling, and long accumulators stay inside
+    whole-stage codegen where decimal ones do not.  |sum|*1e6 must
+    stay below 2^53 for the final conversion.  Use it when results
     must be bit-reproducible across runs/engines (the oracle-parity
     query surface); the default double partials remain the throughput
     path for the production rollup cascade.
@@ -60,13 +62,19 @@ def agg_expr(
     if base == "mean":
         if exact:
             return (
-                F.sum(value.cast("decimal(38,6)")).cast("double")
+                F.sum(F.floor(value * F.lit(1e6) + F.lit(0.5)))
+                .cast("double")
+                / F.lit(1e6)
                 / F.count(value)
             )
         return F.avg(value)
     if base == "sum":
         if exact:
-            return F.sum(value.cast("decimal(38,6)")).cast("double")
+            return (
+                F.sum(F.floor(value * F.lit(1e6) + F.lit(0.5)))
+                .cast("double")
+                / F.lit(1e6)
+            )
         return F.sum(value)
     if base == "min":
         return F.min(value)
