@@ -2249,7 +2249,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     SELECT event_type AS resource_id,
            'req.value@dc=east' AS metric_name,
            {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(CAST(floor(value * 1000) AS BIGINT)), 6) AS mean,
+           {_rnd_sql("avg(CAST(floor(value * 1000) AS BIGINT))")} AS mean,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2, 3
     """,
@@ -2278,7 +2278,7 @@ def ingest_influxdb_lines(spark, sf_dir):
         "metric_name",
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(F.avg("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -2313,7 +2313,8 @@ def ingest_statsd_flush(spark, sf_dir):
     SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS resource_id,
            'cpu-' || event_type || '@gauge-' || ds.name AS metric_name,
            {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(CASE WHEN ds.name = 'a' THEN value ELSE value * 2 END), 6)
+           {_rnd_sql(_xmean_sql(
+               "CASE WHEN ds.name = 'a' THEN value ELSE value * 2 END"))}
              AS mean,
            CAST(count(*) AS BIGINT) AS n
     FROM events CROSS JOIN (VALUES ('a'), ('b')) AS ds(name)
@@ -2345,7 +2346,7 @@ def ingest_collectd(spark, sf_dir):
         "metric_name",
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -2356,7 +2357,7 @@ def ingest_collectd(spark, sf_dir):
     SELECT 'j' || CAST(user_id % 5 AS VARCHAR) || '@i1' AS original_resource_id,
            event_type AS metric_name,
            {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS mean,
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2, 3
     """,
@@ -2389,7 +2390,7 @@ def ingest_prometheus(spark, sf_dir):
         "metric_name",
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -2438,7 +2439,8 @@ def _prom_wire_payloads() -> list[bytes]:
       FROM range(0, 40) p, range(0, 5) t, range(0, 20) s
     )
     SELECT metric_name, original_resource_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS mean, CAST(count(*) AS BIGINT) AS n
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
+           CAST(count(*) AS BIGINT) AS n
     FROM raw GROUP BY 1, 2, 3
     """,
 )
@@ -2461,7 +2463,7 @@ def ingest_prometheus_wire(spark, sf_dir):
         "original_resource_id",
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -6240,7 +6242,7 @@ def tsdb_time_weighted_avg(spark, sf_dir):
     "ingest_rest_batch_json",
     f"""
     SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(value), 6) AS mean,
+           {_rnd_sql(_xmean_sql("value"))} AS mean,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
     """,
@@ -6267,7 +6269,7 @@ def ingest_rest_batch_json(spark, sf_dir):
         "metric_id",
         truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts"),
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean"),
+        _rnd_col(_xmean_col("value"), 6).alias("mean"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -9465,7 +9467,10 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
       FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey)
     SELECT p.p_partkey, p.p_name, r.s_name, r.n_name,
            round(r.s_acctbal, 2) AS s_acctbal,
-           round(r.unit_cost, 4) AS unit_cost
+           -- unit_cost is a selected 2dp/int quotient (x/8 lands on
+           -- exact 5th-digit ties like 119.91625): floor-form rounding
+           -- so both engines pick the same side
+           (floor(r.unit_cost * 1e4 + 0.5) / 1e4) AS unit_cost
     FROM ranked r
     JOIN part p ON p.p_partkey = r.l_partkey
     WHERE r.rk = 1 AND p.p_size BETWEEN 10 AND 15
@@ -9510,7 +9515,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         "s_name",
         "n_name",
         F.round("s_acctbal", 2).alias("s_acctbal"),
-        F.round("unit_cost", 4).alias("unit_cost"),
+        _rnd_col("unit_cost", 4).alias("unit_cost"),
     )
 
 
