@@ -755,6 +755,49 @@ def near_dup_clusters(
     )
 
 
+def canonical_pick(
+    assigned: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keep decision per duplicate cluster — the APPLY
+    step of near-dup dedup (the Lee et al. "keep one member" step, with
+    the common keep-longest/keep-best convention instead of keep-min-id).
+
+    ``assigned`` is (id, cluster) as produced by ``near_dup_clusters``;
+    ``quality`` is (id, quality) with an exact-integer or otherwise
+    engine-stable score.  Within each cluster the member with the
+    HIGHEST quality survives, ties broken by the smallest id — an exact
+    (max quality, min id) argmin expressed as ``min_by`` over a struct,
+    so both engines agree bit-for-bit with no float anywhere.
+
+    Scale shape: one cluster-keyed shuffle; per-cluster state is the
+    1-row argmin, never the member list — cluster sizes are bounded by
+    the dup-graph degree, and nothing here is corpus-quadratic.
+    """
+    q = quality.select(
+        F.col(id_col).alias("__qid"), F.col(quality_col).alias("__q")
+    )
+    aq = assigned.join(q, F.col(id_col) == F.col("__qid")).drop("__qid")
+    keep = aq.groupBy(cluster_col).agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col("__q")).alias("nq"), id_col)
+        ).alias("kept_id")
+    )
+    return (
+        aq.join(keep, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            F.col("__q").alias(quality_col),
+            "kept_id",
+            (F.col(id_col) == F.col("kept_id")).alias("keep"),
+        )
+    )
+
+
 def incremental_minhash_matches(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None):
             ensure_session_conf(spark)
             return fn(spark, sf_dir)
 
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1638,6 +1639,63 @@ def dedup_clusters(spark, sf_dir):
         docs, num_hashes=16, band_size=4, threshold=0.6
     )
     return near_dup_clusters(docs, pairs)
+
+
+@query(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    e AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      UNION
+      SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst),
+    comp AS (SELECT src AS did, min(dst) AS cluster_id FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(length(d.text) AS BIGINT) AS quality
+      FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+    rk AS (
+      SELECT doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM assigned),
+    kp AS (SELECT cluster_id, doc_id AS kept_id FROM rk WHERE rn = 1)
+    SELECT r.doc_id, r.cluster_id, r.quality, k.kept_id,
+           r.doc_id = k.kept_id AS keep
+    FROM rk r JOIN kp k USING (cluster_id)
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    # The APPLY step of near-dup dedup: within each duplicate cluster
+    # keep the HIGHEST-QUALITY member (keep-longest convention, the
+    # standard choice in pretraining dedup) instead of the min-id
+    # canonical dedup_clusters reports.  Quality here is the exact
+    # integer text length, so the (max quality, min id) argmin — a
+    # min_by over a struct — replays bit-for-bit in both engines.
+    # Scale shape: the same O(log n) connected-components rounds as
+    # dedup_clusters plus ONE cluster-keyed shuffle for the argmin
+    # (per-cluster state is a single row, never the member list).
+    from gnocchi_spark.operators.dedup import (
+        canonical_pick,
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, band_size=4, threshold=0.6
+    )
+    assigned = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    quality = docs.select(
+        "doc_id", F.length("text").cast("long").alias("quality")
+    )
+    return canonical_pick(assigned, quality).select(
+        "doc_id", "cluster_id", "quality", "kept_id", "keep"
+    )
 
 
 @query(
@@ -11823,10 +11881,14 @@ CHECK_ORDER = [
     "tsdb_calendar_week",
     "dedup_exact",
     "resource_history_union",
-    # -- 4) re-checks of this round's exactness-sweep changes --
+    # -- 4) re-checks of this round's exactness-sweep changes, plus
+    #    dedup_cluster_canonical (ADDED this round) and the M4 read, so
+    #    both carry fresh driver rows; the two swapped-out re-checks
+    #    (ewma, seasonal_decompose) both hold driver-green r05 rows and
+    #    are green in ORACLE_FULL_r06*.txt --
     "anomaly_seasonal_zscore",
-    "tsdb_ewma_smooth",
-    "tsdb_seasonal_decompose",
+    "tsdb_m4_downsample",
+    "dedup_cluster_canonical",
     "tpch_q1_pricing_summary",
     "tsdb_rollup_mean_5m",
     "tsdb_time_weighted_avg",
