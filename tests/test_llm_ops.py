@@ -586,3 +586,28 @@ def test_dedup_tuners_pinned_param_coherence(spark, docs):
     assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in got)
     b, w = autotune_simhash_params(10**9, max_hamming=3, n_bands=5)
     assert b == 5 and b * w <= 128
+
+
+def test_canonical_pick_keeps_best_quality_min_id(spark):
+    # keep = highest quality, ties -> smallest doc id; every member of
+    # the cluster points at the same kept_id
+    from gnocchi_spark.operators.dedup import canonical_pick
+
+    assigned = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4), (9, 4)],
+        "doc_id long, quality long",
+    )
+    out = {
+        r["doc_id"]: (r["kept_id"], r["keep"])
+        for r in canonical_pick(assigned, quality).collect()
+    }
+    assert out[1] == (2, False)   # 2 and 3 tie on quality; min id wins
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    assert out[7] == (7, True)    # singleton keeps itself
+    assert out[8] == (8, True)    # tie within cluster 8 -> min id
+    assert out[9] == (8, False)
