@@ -780,7 +780,15 @@ def canonical_pick(
     q = quality.select(
         F.col(id_col).alias("__qid"), F.col(quality_col).alias("__q")
     )
-    aq = assigned.join(q, F.col(id_col) == F.col("__qid")).drop("__qid")
+    # referenced twice below (the argmin aggregate and the join-back):
+    # truncate lineage so the pair generation + CC rounds upstream run
+    # once instead of once per reference (plan-audit exchange count
+    # halves; same trap as triangle_count's first audit)
+    aq = (
+        assigned.join(q, F.col(id_col) == F.col("__qid"))
+        .drop("__qid")
+        .localCheckpoint(eager=False)
+    )
     keep = aq.groupBy(cluster_col).agg(
         F.min_by(
             F.col(id_col), F.struct((-F.col("__q")).alias("nq"), id_col)
