@@ -148,7 +148,23 @@ def psi_report(
         .agg(
             F.max("n_ref").alias("n_ref"),
             F.max("n_cur").alias("n_cur"),
-            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            # order-free: the per-bin PSI terms are deterministic
+            # doubles; quantize at 1e-9 (floor form, engine-uniform)
+            # and sum as LONG so bin association order can never move
+            # the rounded statistic (contract of queries._xmean_col)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            (p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5)
+                        )
+                    ).cast("double")
+                    / F.lit(1e9)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("psi"),
         )
         .select("metric_id", "n_ref", "n_cur", "psi")
     )
@@ -207,7 +223,23 @@ def psi_from_bin_counts(
         .agg(
             F.max("n_ref").alias("n_ref"),
             F.max("n_cur").alias("n_cur"),
-            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            # order-free: the per-bin PSI terms are deterministic
+            # doubles; quantize at 1e-9 (floor form, engine-uniform)
+            # and sum as LONG so bin association order can never move
+            # the rounded statistic (contract of queries._xmean_col)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            (p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5)
+                        )
+                    ).cast("double")
+                    / F.lit(1e9)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("psi"),
         )
         .select("metric_id", "n_ref", "n_cur", "psi")
     )

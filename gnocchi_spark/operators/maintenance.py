@@ -216,7 +216,23 @@ def lateness_profile(
             F.count("*").cast("long").alias("n_points"),
             F.sum((F.col("__late_s") > 0).cast("long")).alias("n_late"),
             F.round(F.max("__late_s"), 6).alias("max_late_s"),
-            F.round(F.avg("__late_s"), 6).alias("mean_late_s"),
+            # order-free mean: lateness is a whole-microsecond value
+            # (<= 6 fractional digits), so the 1e-6 floor quantization
+            # is exact per row and the LONG sum is associative —
+            # replay-identical across partitionings and engines; the
+            # floor-form rounding cannot split on exact ties the way
+            # native round() does
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("__late_s") * F.lit(1e6) + F.lit(0.5)))
+                    .cast("double")
+                    / F.lit(1e6)
+                    / F.count("__late_s")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_late_s"),
             F.ceil(F.max("__late_s") / F.lit(float(granularity_s)))
             .cast("long")
             .alias("suggested_back_window"),

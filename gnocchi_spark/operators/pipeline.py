@@ -842,6 +842,20 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.sum("__lr") / F.count("*"), 6).alias("dsir_score"),
+            # order-free mean of the per-token log-ratios: quantize each
+            # at 1e-6 (identical pure-IEEE floor in any engine) and sum
+            # as LONG so partition scheduling cannot move the rounded
+            # score by an ulp (same contract as queries._xmean_col)
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("__lr") * F.lit(1e6) + F.lit(0.5)))
+                    .cast("double")
+                    / F.lit(1e6)
+                    / F.count("*")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dsir_score"),
         )
     )

@@ -762,20 +762,32 @@ def pq_adc_topk(
             for cb in codebooks
         ]
     )
-    approx = F.round(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + _d2(
+    # each subspace distance quantizes at 1e-9 (engine-uniform floor)
+    # and accumulates as LONG, so the 8-term ADC total is an exact
+    # integer in any association order; the final floor-form rounding
+    # at 6 dp can then never split against the oracle's identical
+    # arithmetic (the oracle long-sums its own 9-dp terms)
+    adc_scaled = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.floor(
+            _d2(
                 F.slice(F.col("__qv"), s * d + 1, d),
                 F.element_at(
                     F.element_at(cb_lit, s + 1),
                     F.element_at(F.col("codes"), s + 1) + 1,
                 ),
-            ),
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
         ),
-        6,
+    )
+    approx = (
+        F.floor(
+            adc_scaled.cast("double") / F.lit(1e9) * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6)
     )
     scored = (
         enc.join(F.broadcast(q), F.col("query_id") != F.col(id_col))

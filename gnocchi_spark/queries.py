@@ -1223,7 +1223,7 @@ def resource_history_union(spark, sf_dir):
                AS name, event_type, user_id % 20 AS shard
       FROM events)
     SELECT m.name, {_sql_bucket(3600)} AS bucket_ts,
-           round(avg(e.value), 6) AS mean
+           {_rnd_sql(_xmean_sql("e.value"))} AS mean
     FROM metrics m JOIN events e
       ON e.event_type = m.event_type AND e.user_id % 20 = m.shard
     WHERE m.name LIKE 'p%'
@@ -1252,7 +1252,7 @@ def metric_wildcard_semijoin(spark, sf_dir):
 
     return joined.groupBy(
         "name", truncate_to_bucket(F.col("ts"), 3600.0).alias("bucket_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("mean"))
+    ).agg(_rnd_col(_xmean_col("value"), 6).alias("mean"))
 
 
 @query(
@@ -1938,8 +1938,8 @@ def corpus_token_histogram(spark, sf_dir):
     "text_quality_by_lang",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(length(text)), 6) AS avg_chars,
-           round(avg(n_chars), 6) AS avg_reported_chars
+           (floor(avg(length(text)) * 1e6 + 0.5) / 1e6) AS avg_chars,
+           (floor(avg(n_chars) * 1e6 + 0.5) / 1e6) AS avg_reported_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -1947,8 +1947,8 @@ def text_quality_by_lang(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
-        F.round(F.avg("n_chars"), 6).alias("avg_reported_chars"),
+        _rnd_col(F.avg(F.length("text")), 6).alias("avg_chars"),
+        _rnd_col(F.avg("n_chars"), 6).alias("avg_reported_chars"),
     )
 
 
@@ -3255,7 +3255,9 @@ def embedding_outliers(spark, sf_dir):
       JOIN cw ON cw.s = enc.s AND cw.j = enc.code
       WHERE qs.vec_id < 10),
     adc AS (
-      SELECT query_id, neighbor_id, round(sum(t), 6) AS adc_dist
+      SELECT query_id, neighbor_id,
+             (floor(CAST(sum(CAST(floor(t * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e9 * 1e6 + 0.5) / 1e6) AS adc_dist
       FROM terms GROUP BY 1, 2)
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -4252,7 +4254,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_points,
            CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
            round(max(late_s), 6) AS max_late_s,
-           round(avg(late_s), 6) AS mean_late_s,
+           {_rnd_sql(_xmean_sql("late_s"))} AS mean_late_s,
            CAST(ceil(max(late_s) / 300.0) AS BIGINT) AS suggested_back_window
     FROM l GROUP BY 1
     """,
@@ -4614,10 +4616,10 @@ def tsdb_gap_report(spark, sf_dir):
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(n_chars), 4) AS avg_chars,
+           (floor((avg(n_tokens)) * 1e4 + 0.5) / 1e4) AS avg_tokens,
+           (floor((avg(n_chars)) * 1e4 + 0.5) / 1e4) AS avg_chars,
            CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
-           round(1 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+           (floor((1 - count(DISTINCT h) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
              AS exact_dup_ratio
     FROM d GROUP BY 1, 2
     """,
@@ -4646,12 +4648,10 @@ def corpus_report(spark, sf_dir):
     return d.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        _rnd_col(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        _rnd_col(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("h").cast("long").alias("n_distinct"),
-        F.round(
-            1 - F.countDistinct("h") / F.count("*").cast("double"), 6
-        ).alias("exact_dup_ratio"),
+        _rnd_col(1 - F.countDistinct("h") / F.count("*").cast("double"), 6).alias("exact_dup_ratio"),
     )
 
 
@@ -5358,11 +5358,11 @@ def embedding_drift_matrix(spark, sf_dir):
     SELECT key_name,
            CAST(max(n_keys) AS BIGINT) AS n_keys,
            CAST(max(total) AS BIGINT) AS n_rows,
-           round(max(CASE WHEN rn = 1 THEN cnt END)
-                 / CAST(max(total) AS DOUBLE), 6) AS top1_share,
-           round(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END)
-                 / CAST(max(total) AS DOUBLE), 6) AS top10_share,
-           round(max(total) / CAST(max(n_keys) AS DOUBLE), 4) AS mean_rows_per_key
+           (floor((max(CASE WHEN rn = 1 THEN cnt END)
+                 / CAST(max(total) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS top1_share,
+           (floor((sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END)
+                 / CAST(max(total) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS top10_share,
+           (floor((max(total) / CAST(max(n_keys) AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS mean_rows_per_key
     FROM ranked GROUP BY 1
     """,
 )
@@ -5405,19 +5405,11 @@ def join_skew_report(spark, sf_dir):
     return ranked.groupBy("key_name").agg(
         F.max("n_keys").cast("long").alias("n_keys"),
         F.max("total").cast("long").alias("n_rows"),
-        F.round(
-            F.max(F.when(F.col("rn") == 1, F.col("cnt")))
-            / F.max("total").cast("double"),
-            6,
-        ).alias("top1_share"),
-        F.round(
-            F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(0))
-            / F.max("total").cast("double"),
-            6,
-        ).alias("top10_share"),
-        F.round(
-            F.max("total") / F.max("n_keys").cast("double"), 4
-        ).alias("mean_rows_per_key"),
+        _rnd_col(F.max(F.when(F.col("rn") == 1, F.col("cnt")))
+            / F.max("total").cast("double"), 6).alias("top1_share"),
+        _rnd_col(F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(0))
+            / F.max("total").cast("double"), 6).alias("top10_share"),
+        _rnd_col(F.max("total") / F.max("n_keys").cast("double"), 4).alias("mean_rows_per_key"),
     )
 
 
@@ -8574,7 +8566,7 @@ def sample_weighted_topk(spark, sf_dir):
         ON a.label = b.label AND a.vec_id != b.vec_id),
     agg AS (
       SELECT label, va AS vec_id,
-             round(avg(cos), 5) AS mean_cos,
+             {_rnd_sql(_xmean_sql("cos"), 5)} AS mean_cos,
              CAST(count(*) AS BIGINT) + 1 AS n_members
       FROM pairs GROUP BY 1, 2),
     best AS (
@@ -8609,7 +8601,7 @@ def cluster_medoids(spark, sf_dir):
         b, (F.col("label") == F.col("lb")) & (F.col("va") != F.col("vb"))
     ).select("label", "va", cosine(F.col("ea"), F.col("eb")).alias("cos"))
     agg = pairs.groupBy("label", F.col("va").alias("vec_id")).agg(
-        F.round(F.avg("cos"), 5).alias("mean_cos"),
+        _rnd_col(_xmean_col("cos"), 5).alias("mean_cos"),
         (F.count("*") + 1).cast("long").alias("n_members"),
     )
     w = Window.partitionBy("label").orderBy(
@@ -9046,7 +9038,7 @@ def corpus_novelty_scores(spark, sf_dir):
       FROM bs, tot)
     SELECT t.doc_id, min(t.lang) AS lang,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(l.lr) / count(*), 6) AS dsir_score
+           {_rnd_sql(_xmean_sql("l.lr"))} AS dsir_score
     FROM tb t JOIN lr l USING (bucket) GROUP BY 1
     """,
 )
@@ -10545,12 +10537,13 @@ def graph_triangle_count(spark, sf_dir):
              CAST(sum(c_cur) AS BIGINT) AS n_cur
       FROM f GROUP BY 1)
     SELECT f.metric_id, max(tot.n_ref) AS n_ref, max(tot.n_cur) AS n_cur,
-           round(sum(
+           (floor(CAST(sum(CAST(floor((
              ((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0)
               - (CAST(c_cur AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0))
              * ln(((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0))
                   / ((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0)))
-           ), 6) AS psi
+           ) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+             * 1e6 + 0.5) / 1e6) AS psi
     FROM f JOIN tot ON f.metric_id = tot.metric_id
     GROUP BY 1
     """,
