@@ -83,6 +83,27 @@ def agg_expr(
     if base == "count":
         return F.count(value)
     if base == "std":
+        if exact:
+            # replay-exact sample std for <=2-dp inputs: quantize each
+            # value to an exact integer (x100), take LONG moment sums
+            # (associative, order-free), then evaluate the textbook
+            # n*S2 - S1^2 form in double — both engines compute the
+            # IDENTICAL cancellation bit-for-bit, which is what the
+            # oracle gate needs (the default Welford path stays the
+            # ACCURACY choice for production).  Long bounds: |S1| and
+            # n*S2 stay under 2^63 for buckets up to ~1e5 points of
+            # |value| <= ~5e3.
+            v100 = F.floor(value * F.lit(100.0) + F.lit(0.5))
+            s1 = F.sum(v100)
+            s2 = F.sum(v100 * v100)
+            n = F.count(value)
+            return (
+                F.sqrt(
+                    (n * s2 - s1 * s1).cast("double")
+                    / (n * (n - F.lit(1))).cast("double")
+                )
+                / F.lit(100.0)
+            )
         return F.stddev_samp(value)
     if base == "median":
         return F.percentile(value, F.lit(0.5))

@@ -204,16 +204,23 @@ def tsdb_rollup_multi_1h(spark, sf_dir):
 @query(
     "tsdb_rollup_std_1h",
     f"""
-    SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
-           round(stddev_samp(value), 6) AS std
-    FROM events GROUP BY 1, 2 HAVING count(value) > 1
+    WITH q AS (
+      SELECT event_type AS metric_id, {_sql_bucket(3600)} AS bucket_ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events)
+    SELECT metric_id, bucket_ts,
+           {_rnd_sql("sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)"
+                     " AS DOUBLE)"
+                     " / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0")}
+             AS std
+    FROM q GROUP BY 1, 2 HAVING count(*) > 1
     """,
 )
 def tsdb_rollup_std_1h(spark, sf_dir):
     # sample std with single-point buckets suppressed (carbonara.py:180-182)
-    long = rollup(_measures(spark, sf_dir), ["std"], 3600.0)
+    long = rollup(_measures(spark, sf_dir), ["std"], 3600.0, exact=True)
     return long.select(
-        "metric_id", "bucket_ts", F.round("value", 6).alias("std")
+        "metric_id", "bucket_ts", _rnd_col("value", 6).alias("std")
     )
 
 
