@@ -143,6 +143,9 @@ EXCHANGE_BUDGET = {
     "tsdb_theil_sen": 4,
     "history_grouped_usage": 5,
     "graph_triangle_count": 8,
+    # locks the r06 fan-out fix: the argmin aggregate and the join-back
+    # must not re-derive the minhash + CC upstream per reference
+    "dedup_cluster_canonical": 3,
 }
 
 _EXCH_RE = _re.compile(
