@@ -11899,12 +11899,13 @@ CHECK_ORDER = [
     "tsdb_refresh_on_read",
 ]
 
-# r05 closes the rotation: after this window every registered query has
-# at least one driver-checked green row (r01..r04 union = 131/162; the
-# 31-query backlog plus the 16 queries new in r05 complete coverage of
-# the 178-query registry).  From r06 on, windows re-check whatever
-# changed that round plus a rolling sample of the core; full-registry
-# coverage is maintained by ORACLE_FULL_r{N}.txt.
+# r06 closes the registry: after this window every registered query
+# has a driver-checked green row (the r05 union covered 178/211; the
+# 33-query backlog + this window's new-query slots complete it at
+# 212).  From r07 on, windows re-check whatever changed that round, a
+# rolling sample of rows not re-verified since r03, and the exactness
+# canaries (cusum/zscore/q1/std); full-registry coverage is maintained
+# by ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt at BOTH scales.
 
 
 def ordered_queries() -> dict:
