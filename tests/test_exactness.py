@@ -156,3 +156,40 @@ def test_xsum_col_quantizes_engine_uniformly(spark):
         "       AS DOUBLE) / 1e6 AS s FROM t"
     ).fetchone()[0]
     assert got == want
+
+
+# --- property-based: the kernel equals exact rational arithmetic and is
+# partition-invariant for arbitrary 2-dp multisets -----------------------
+
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+_cents = st.lists(
+    st.integers(min_value=-10_000, max_value=100_000),  # -100.00..1000.00
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_cents)
+def test_xmean_is_deterministic_and_ulp_exact_property(spark, cents):
+    # The contract is DETERMINISM, not correct rounding: the kernel
+    # computes fl(fl(S/1e6)/n) — two roundings — so it can sit 1 ulp
+    # from the correctly-rounded rational mean (e.g. mean([0,0,0.21])),
+    # but the value is bit-identical for every partitioning (and, per
+    # the engine tests above, across engines).
+    import math
+
+    vals = [c / 100.0 for c in cents]
+    want = float(sum(Fraction(c, 100) for c in cents) / len(cents))
+    got = {
+        _vals_df(spark, vals, parts)
+        .agg(_xmean_col("value").alias("m"))
+        .collect()[0]["m"]
+        for parts in (1, 5)
+    }
+    assert len(got) == 1, got
+    g = got.pop()
+    assert abs(g - want) <= 2 * math.ulp(max(abs(want), 1e-300)), (g, want)
