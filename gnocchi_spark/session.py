@@ -39,7 +39,12 @@ def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for the few mapInPandas paths (multimodal plumbing).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode note: the driver JVM hosts ALL executor threads, so
+        # this is the engine's entire memory budget here (32 threads at
+        # 8g spilled the MEMORY_AND_DISK persists in the dedup kernels —
+        # measured 10.6s -> 7.9s on minhash LSH at 32g).  On a real
+        # cluster executor memory is sized separately per deployment.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
