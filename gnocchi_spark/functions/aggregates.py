@@ -85,22 +85,27 @@ def agg_expr(
     if base == "std":
         if exact:
             # replay-exact sample std for <=2-dp inputs: quantize each
-            # value to an exact integer (x100), take LONG moment sums
+            # value to an exact integer (x100), take moment sums
             # (associative, order-free), then evaluate the textbook
-            # n*S2 - S1^2 form in double — both engines compute the
-            # IDENTICAL cancellation bit-for-bit, which is what the
-            # oracle gate needs (the default Welford path stays the
-            # ACCURACY choice for production).  Long bounds: |S1| and
-            # n*S2 stay under 2^63 for buckets up to ~1e5 points of
-            # |value| <= ~5e3.
+            # n*S2 - S1^2 form — both engines compute the IDENTICAL
+            # cancellation bit-for-bit, which is what the oracle gate
+            # needs (the default Welford path stays the ACCURACY choice
+            # for production).  The LONG sums alone are NOT wrap-safe at
+            # the claimed envelope (n*S2 <= n^2*(100*v)^2 ~ 2.5e21 for
+            # 1e5 points of |v|=5e3, ~270x over 2^63, and Spark's
+            # non-ANSI LONG arithmetic wraps silently while DuckDB
+            # promotes to HUGEINT), so the n*S2 - S1^2 combination runs
+            # in DECIMAL(38,0): exact for |S1| < ~1e16 / n*S2 < ~1e37,
+            # i.e. any realistic bucket, and identical across engines.
             v100 = F.floor(value * F.lit(100.0) + F.lit(0.5))
-            s1 = F.sum(v100)
-            s2 = F.sum(v100 * v100)
-            n = F.count(value)
+            dec = "decimal(38,0)"
+            s1 = F.sum(v100.cast(dec))
+            s2 = F.sum((v100 * v100).cast(dec))
+            n = F.count(value).cast(dec)
             return (
                 F.sqrt(
                     (n * s2 - s1 * s1).cast("double")
-                    / (n * (n - F.lit(1))).cast("double")
+                    / (n * (n - F.lit(1).cast(dec))).cast("double")
                 )
                 / F.lit(100.0)
             )

@@ -5001,8 +5001,8 @@ def cohort_retention(spark, sf_dir):
       FROM r GROUP BY 1, 2)
     SELECT metric_id, hod, {_rnd_sql("hod_mean")} AS hod_mean, n_buckets,
            {_rnd_sql("hod_mean / ("
-                     "CAST(sum(CAST(hod_mean AS DECIMAL(38,6)))"
-                     " OVER (PARTITION BY metric_id) AS DOUBLE)"
+                     "CAST(sum(CAST(floor(hod_mean * 1e6 + 0.5) AS BIGINT))"
+                     " OVER (PARTITION BY metric_id) AS DOUBLE) / 1e6"
                      " / count(*) OVER (PARTITION BY metric_id))")}
              AS rel_to_day
     FROM h
@@ -5025,8 +5025,13 @@ def seasonal_profile(spark, sf_dir):
         F.count("*").cast("long").alias("n_buckets"),
     )
     wp = W.partitionBy("metric_id")
+    # r07 (ADVICE): the normalizer sums floor(__hm*1e6+0.5) longs over
+    # the window — __hm is a messy mean double, and a double->decimal
+    # cast of it is tie-exposed across engines; the floor form is pure
+    # IEEE, bit-identical in both.
     day_avg = (
-        F.sum(F.col("__hm").cast("decimal(38,6)")).over(wp).cast("double")
+        F.sum(F.floor(F.col("__hm") * F.lit(1e6) + F.lit(0.5))).over(wp)
+        .cast("double") / F.lit(1e6)
         / F.count("*").over(wp)
     )
     return h.select(
@@ -5234,7 +5239,7 @@ ORACLES["split_leakage_free"] = ORACLES["split_leakage_free"].format(
       FROM r JOIN m0 ON r.metric_id = m0.metric_id),
     fit AS (
       SELECT metric_id, CAST(count(*) AS BIGINT) AS n_days,
-             (count(*) * CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
+             (count(*) * {_xsum_sql("x * y")}
                 - {_xsum_sql("x")} * {_xsum_sql("y")})
                / (count(*) * {_xsum_sql("x * x")}
                   - {_xsum_sql("x")} * {_xsum_sql("x")}) AS slope,
@@ -5267,8 +5272,10 @@ def tsdb_trend_forecast(spark, sf_dir):
     )
     n = F.count("*")
     slope = (
-        n * F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
-        .cast("double")
+        # r07 (ADVICE): x*y summed via the floor-quantized long form —
+        # tie-free by construction here (x whole days, y 6-dp), but the
+        # _xsum form is uniformly safe and identical cross-engine.
+        n * _xsum_col(F.col("x") * F.col("y"))
         - _xsum_col("x") * _xsum_col("y")
     ) / (
         n * _xsum_col(F.col("x") * F.col("x"))
@@ -5780,9 +5787,9 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     s AS (
       SELECT metric_a, metric_b, CAST(count(*) AS BIGINT) AS n_buckets,
              {_xsum_sql("va")} AS sa, {_xsum_sql("vb")} AS sb,
-             CAST(sum(CAST(va * vb AS DECIMAL(38,6))) AS DOUBLE) AS sab,
-             CAST(sum(CAST(va * va AS DECIMAL(38,6))) AS DOUBLE) AS saa,
-             CAST(sum(CAST(vb * vb AS DECIMAL(38,6))) AS DOUBLE) AS sbb
+             {_xsum_sql("va * vb")} AS sab,
+             {_xsum_sql("va * va")} AS saa,
+             {_xsum_sql("vb * vb")} AS sbb
       FROM pairs GROUP BY 1, 2)
     SELECT metric_a, metric_b, n_buckets,
            {_rnd_sql("(n_buckets * sab - sa * sb)"
@@ -5823,12 +5830,15 @@ def metric_correlation_matrix(spark, sf_dir):
             F.count("*").cast("long").alias("n_buckets"),
             _xsum_col("va").alias("sa"),
             _xsum_col("vb").alias("sb"),
-            F.sum((F.col("va") * F.col("vb")).cast("decimal(38,6)"))
-            .cast("double").alias("sab"),
-            F.sum((F.col("va") * F.col("va")).cast("decimal(38,6)"))
-            .cast("double").alias("saa"),
-            F.sum((F.col("vb") * F.col("vb")).cast("decimal(38,6)"))
-            .cast("double").alias("sbb"),
+            # r07 (ADVICE): product sums use the same floor-quantized
+            # long-sum form as the plain sums — a double->decimal CAST
+            # of a messy product double is tie-exposed (Spark rounds
+            # the shortest decimal string, DuckDB the binary-scaled
+            # value), while floor(x*1e6+0.5) is pure IEEE arithmetic,
+            # bit-identical in both engines for identical x.
+            _xsum_col(F.col("va") * F.col("vb")).alias("sab"),
+            _xsum_col(F.col("va") * F.col("va")).alias("saa"),
+            _xsum_col(F.col("vb") * F.col("vb")).alias("sbb"),
         )
     )
     nb = F.col("n_buckets")
@@ -6234,13 +6244,13 @@ def tsdb_m4_downsample(spark, sf_dir):
       FROM nxt)
     SELECT metric_id, bucket_ts,
            {_rnd_sql("CASE WHEN"
-                     " CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) > 0"
+                     " " + _xsum_sql("w") + " > 0"
                      " THEN CAST(sum(CAST(floor(value * w * 1e8 + 0.5)"
                      "      AS BIGINT)) AS DOUBLE) / 1e8"
-                     "      / CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE)"
+                     "      / " + _xsum_sql("w") +
                      " ELSE " + _xmean_sql("value") + " END")} AS twa,
            {_rnd_sql(_xmean_sql("value"))} AS point_avg,
-           round({_xsum_sql("w")}, 3) AS covered_s,
+           {_rnd_sql(_xsum_sql("w"), 3)} AS covered_s,
            CAST(count(*) AS BIGINT) AS n_points
     FROM wt GROUP BY 1, 2
     """,
@@ -6290,7 +6300,10 @@ def tsdb_time_weighted_avg(spark, sf_dir):
             6,
         ).alias("twa"),
         _rnd_col(_xmean_col("value"), 6).alias("point_avg"),
-        F.round(sw, 3).alias("covered_s"),
+        # r07 (ADVICE): w is an epoch-seconds diff (not guaranteed
+        # whole-second), so covered_s uses engine-uniform floor
+        # rounding at 3dp, not native round().
+        _rnd_col(sw, 3).alias("covered_s"),
         F.count("*").cast("long").alias("n_points"),
     )
 
@@ -7554,10 +7567,10 @@ def ab_test_ztest(spark, sf_dir):
       FROM hm h JOIN mu m ON h.metric_id = m.metric_id),
     cs AS (
       SELECT metric_id, bucket_ts, mean,
-             CAST(sum(CAST(dev AS DECIMAL(38,6)))
+             CAST(sum(CAST(floor(dev * 1e6 + 0.5) AS BIGINT))
                  OVER (PARTITION BY metric_id ORDER BY bucket_ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DOUBLE) AS s
+               AS DOUBLE) / 1e6 AS s
       FROM dev)
     SELECT metric_id, bucket_ts, (floor((mean) * 1e6 + 0.5) / 1e6) AS mean,
            (floor((s - min(s) OVER (PARTITION BY metric_id ORDER BY bucket_ts
@@ -7598,9 +7611,13 @@ def tsdb_cusum_drift(spark, sf_dir):
     run = Window.partitionBy("metric_id").orderBy("bucket_ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # r07 (ADVICE): dev = mean - mu is a messy double; the running sum
+    # quantizes per row with floor(dev*1e6+0.5) (pure IEEE, identical
+    # cross-engine) instead of a tie-exposed double->decimal cast.
     cs = dev.withColumn(
         "s",
-        F.sum(F.col("dev").cast("decimal(38,6)")).over(run).cast("double"),
+        F.sum(F.floor(F.col("dev") * F.lit(1e6) + F.lit(0.5)))
+        .over(run).cast("double") / F.lit(1e6),
     )
     return cs.select(
         "metric_id",
@@ -8314,12 +8331,10 @@ def tsdb_trimmed_mean(spark, sf_dir):
                - m.mu AS d24
       FROM hm h JOIN mu m ON h.metric_id = m.metric_id)
     SELECT metric_id,
-           {_rnd_sql("CAST(sum(CAST(d * d1 AS DECIMAL(38,6))) AS DOUBLE)"
-                     " / nullif(CAST(sum(CAST(d * d AS DECIMAL(38,6)))"
-                     " AS DOUBLE), 0)", 4)} AS acf_lag1,
-           {_rnd_sql("CAST(sum(CAST(d * d24 AS DECIMAL(38,6))) AS DOUBLE)"
-                     " / nullif(CAST(sum(CAST(d * d AS DECIMAL(38,6)))"
-                     " AS DOUBLE), 0)", 4)} AS acf_lag24,
+           {_rnd_sql(f"{_xsum_sql('d * d1')}"
+                     f" / nullif({_xsum_sql('d * d')}, 0)", 4)} AS acf_lag1,
+           {_rnd_sql(f"{_xsum_sql('d * d24')}"
+                     f" / nullif({_xsum_sql('d * d')}, 0)", 4)} AS acf_lag24,
            CAST(count(*) AS BIGINT) AS n_buckets
     FROM lagged GROUP BY 1
     """,
@@ -8351,24 +8366,16 @@ def tsdb_autocorrelation(spark, sf_dir):
         (F.lead("y", 24).over(w) - F.col("mu")).alias("d24"),
     )
     # nullif: a constant series has sum(d*d) == 0 exactly — both
-    # engines then agree on NULL instead of Spark-NULL vs DuckDB-inf
-    ss = F.nullif(
-        F.sum((F.col("d") * F.col("d")).cast("decimal(38,6)"))
-        .cast("double"),
-        F.lit(0.0),
-    )
+    # engines then agree on NULL instead of Spark-NULL vs DuckDB-inf.
+    # r07 (ADVICE): deviation products are messy doubles, so their sums
+    # use the floor-quantized long form (_xsum), not a decimal cast.
+    ss = F.nullif(_xsum_col(F.col("d") * F.col("d")), F.lit(0.0))
     return lagged.groupBy("metric_id").agg(
         _rnd_col(
-            F.sum((F.col("d") * F.col("d1")).cast("decimal(38,6)"))
-            .cast("double")
-            / ss,
-            4,
+            _xsum_col(F.col("d") * F.col("d1")) / ss, 4
         ).alias("acf_lag1"),
         _rnd_col(
-            F.sum((F.col("d") * F.col("d24")).cast("decimal(38,6)"))
-            .cast("double")
-            / ss,
-            4,
+            _xsum_col(F.col("d") * F.col("d24")) / ss, 4
         ).alias("acf_lag24"),
         F.count("*").cast("long").alias("n_buckets"),
     )
@@ -9253,8 +9260,7 @@ def user_journey_transitions(spark, sf_dir):
       FROM p GROUP BY 1, 2, 3),
     s AS (
       SELECT p.metric_a, p.metric_b, p.lag,
-             CAST(sum(CAST((p.va - m.ma) * (p.vb - m.mb)
-                           AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+             {_xsum_sql("(p.va - m.ma) * (p.vb - m.mb)")} AS sab,
              {_xdev2_sql("p.va", "m.ma")} AS saa,
              {_xdev2_sql("p.vb", "m.mb")} AS sbb
       FROM p JOIN m USING (metric_a, metric_b, lag) GROUP BY 1, 2, 3)
@@ -9308,10 +9314,9 @@ def metric_lead_lag(spark, sf_dir):
     )
     pm = p.join(F.broadcast(m), ["metric_a", "metric_b", "lag"])
     s = pm.groupBy("metric_a", "metric_b", "lag").agg(
-        F.sum(
-            ((F.col("va") - F.col("ma")) * (F.col("vb") - F.col("mb")))
-            .cast("decimal(38,6)")
-        ).cast("double").alias("sab"),
+        _xsum_col(
+            (F.col("va") - F.col("ma")) * (F.col("vb") - F.col("mb"))
+        ).alias("sab"),
         _xdev2_col("va", "ma").alias("saa"),
         _xdev2_col("vb", "mb").alias("sbb"),
     )
@@ -10244,9 +10249,9 @@ def metric_spearman_matrix(spark, sf_dir):
       FROM events GROUP BY 1, 2),
     m AS (SELECT metric_id, {_xmean_sql("v")} AS mu FROM r GROUP BY 1)
     SELECT r.metric_id, r.bucket_ts, (floor((r.v) * 1e6 + 0.5) / 1e6) AS v,
-           (floor((CAST(sum(CAST(r.v - m.mu AS DECIMAL(38,6)))
+           (floor((CAST(sum(CAST(floor((r.v - m.mu) * 1e6 + 0.5) AS BIGINT))
                    OVER (PARTITION BY r.metric_id ORDER BY r.bucket_ts)
-                 AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS cusum
+                 AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4) AS cusum
     FROM r JOIN m USING (metric_id)
     """,
 )
@@ -10261,9 +10266,11 @@ def tsdb_cusum_profile(spark, sf_dir):
     # mean is a metadata-scale broadcast.  Engine-exactness (r06): the
     # bucket mean is the decimal-exact kernel rounded to 6 dp, mu is a
     # decimal-exact mean of those 6 dp values, and the running sum
-    # accumulates DECIMAL(38,6) deviations — decimal addition is
-    # associative, so running vs segment-tree accumulation cannot
-    # diverge (the r05 driver-red half-ulp flake lived here).
+    # accumulates floor(dev*1e6+0.5) LONGS (r07: the dev is a messy
+    # double, so the former double->decimal cast was tie-exposed; the
+    # floor quantization is pure IEEE, identical cross-engine) — long
+    # addition is associative, so running vs segment-tree accumulation
+    # cannot diverge (the r05 driver-red half-ulp flake lived here).
     from pyspark.sql import Window
 
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
@@ -10283,9 +10290,12 @@ def tsdb_cusum_profile(spark, sf_dir):
         "metric_id",
         "bucket_ts",
         _rnd_col("v", 6).alias("v"),
-        _rnd_col(F.sum((F.col("v") - F.col("mu")).cast("decimal(38,6)"))
-            .over(w)
-            .cast("double"), 4).alias("cusum"),
+        _rnd_col(
+            F.sum(
+                F.floor((F.col("v") - F.col("mu")) * F.lit(1e6) + F.lit(0.5))
+            ).over(w).cast("double") / F.lit(1e6),
+            4,
+        ).alias("cusum"),
     )
 
 

@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Size the local-mode driver JVM from the machine, not a constant.
+
+    In local mode the driver JVM hosts every executor thread, so its heap
+    is the engine's entire memory budget (32 threads at 8g spilled the
+    MEMORY_AND_DISK persists in the dedup kernels — measured 10.6s ->
+    7.9s on minhash LSH at 32g).  But a fixed 32g default fails outright
+    on smaller hosts/cgroup-capped containers, so derive the default:
+    ~60% of MemTotal, clamped to [2g, 32g].  ``SPARK_GRAFT_DRIVER_MEM``
+    overrides.  On a real cluster executor memory is sized separately
+    per deployment and this default is irrelevant.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{max(2, min(32, int(total_gib * 0.6)))}g"
+
+
 def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -39,12 +67,9 @@ def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for the few mapInPandas paths (multimodal plumbing).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # local-mode note: the driver JVM hosts ALL executor threads, so
-        # this is the engine's entire memory budget here (32 threads at
-        # 8g spilled the MEMORY_AND_DISK persists in the dedup kernels —
-        # measured 10.6s -> 7.9s on minhash LSH at 32g).  On a real
-        # cluster executor memory is sized separately per deployment.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Derived from host memory (see _default_driver_mem) so small
+        # containers still start; SPARK_GRAFT_DRIVER_MEM overrides.
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
