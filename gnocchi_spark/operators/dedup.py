@@ -27,6 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Session-scoped memo for shared dedup stages (verified pair sets,
+# cluster assignments): keyed by Spark application id + corpus key +
+# pinned parameters.  Values are localCheckpoint-materialized frames a
+# few longs wide per document — metadata scale even at 100 TB corpus
+# size.  Entries die with the Spark application (the checkpoint RDDs
+# belong to its context).
+_ASSIGNMENT_CACHE: dict = {}
+
+
 def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition an input whose IO-based partitioning undersizes the
     CPU-dense work that follows.
@@ -351,6 +360,7 @@ def minhash_near_duplicates(
     num_hashes: int | None = None,
     band_size: int | None = None,
     threshold: float = 0.6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
     bands, verified with exact Jaccard >= threshold.
@@ -374,6 +384,27 @@ def minhash_near_duplicates(
       or an exact-replay oracle pin them explicitly.
     """
     from pyspark import StorageLevel
+
+    # session memo (r07): with pinned parameters and a corpus key, the
+    # verified pair set is shared across consumers (pair report +
+    # cluster_assignments) exactly like the assignment memo below —
+    # the pair set is tiny (verified near-dups), the derivation is the
+    # expensive part.
+    if cache_key is not None:
+        memo_key = (
+            docs.sparkSession.sparkContext.applicationId,
+            "mh_pairs",
+            cache_key,
+            text_col,
+            id_col,
+            k,
+            num_hashes,
+            band_size,
+            threshold,
+        )
+        hit = _ASSIGNMENT_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
 
     # array layout end to end: signatures and Jaccard are map-side
     # projections; the only shuffles left are the band self-join and
@@ -402,7 +433,11 @@ def minhash_near_duplicates(
     assert num_hashes >= band_size >= 1, (num_hashes, band_size)
     sigs = minhash_signatures_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
-    return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
+    out = jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
+    if cache_key is not None:
+        out = out.localCheckpoint(eager=True)
+        _ASSIGNMENT_CACHE[memo_key] = out
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -665,11 +700,19 @@ def connected_components(
     Convergence is detected with an order-insensitive xxhash64 checksum
     of the edge set — one scalar aggregate per round, no extra join.
     """
+    # Materialize the input edge set ONCE before iterating: the first
+    # large-star round references `edges` several times (sym is built
+    # from two self-references and joined against its own min-label
+    # aggregate), and every reference to an unmaterialized frame
+    # re-derives the whole upstream candidate-generation pipeline —
+    # measured 3-4 re-runs of a ~10 s MinHash subtree at sf0.1 (the
+    # recurring plan trap; later rounds were already protected by the
+    # per-round checkpoint).
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
 
     def _min_nbr(df):
         # m(u) = min(N(u) + {u})
@@ -684,37 +727,75 @@ def connected_components(
         ).collect()[0]
         return (row["c"] or 0, row["n"])
 
-    prev = None
-    for _ in range(max_rounds):
-        # large-star: for every neighbor v > u, connect v to m(u)
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = _min_nbr(sym)
-        edges = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star: orient large->small, connect every neighbor
-        # (and u itself) to m(u)
-        oriented = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins = _min_nbr(oriented)
-        edges = (
-            oriented.join(mins, "u")
-            .select(F.explode(F.array("u", "v")).alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        cur = _checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+    # Partition right-sizing (r07): localCheckpoint materializes the
+    # edge RDD with the full shuffle-partition width, and every map
+    # stage of the NEXT round then pays one task per partition — 64
+    # empty tasks x ~6 stages x ~8 rounds for a few hundred edges
+    # dominated the loop's wall clock.  The convergence checksum
+    # already collects the edge count, so each round (a) re-sizes the
+    # materialized layout to ~100k edges/partition (coalesce — no
+    # extra shuffle) and (b) narrows the loop's own shuffle width to
+    # match (checkpointed-RDD scans report no stats, so AQE cannot
+    # coalesce these joins itself; this is the same decision AQE makes
+    # from runtime stats, driven from the measured edge count).  Both
+    # scale back up for a 100 TB pair graph — width is proportional to
+    # edges, floored at the session default for the first round.
+    spark = pairs.sparkSession
+    max_p = spark.sparkContext.defaultParallelism
+
+    def _width(n_edges: int) -> int:
+        return max(1, min(max_p, n_edges // 100_000 + 1))
+
+    def _right_size(df, n_edges):
+        if n_edges is None:
+            return df
+        return df.coalesce(_width(n_edges))
+
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # seed the convergence state from the materialized input — also
+    # lets round 1 run at the right shuffle width instead of the
+    # session default
+    prev = _checksum(edges)
+    n_edges = prev[1]
+    edges = _right_size(edges, n_edges)
+    try:
+        for _ in range(max_rounds):
+            if n_edges is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(_width(n_edges))
+                )
+            # large-star: for every neighbor v > u, connect v to m(u)
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = _min_nbr(sym)
+            edges = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: orient large->small, connect every neighbor
+            # (and u itself) to m(u)
+            oriented = edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).distinct()
+            mins = _min_nbr(oriented)
+            edges = _right_size(
+                oriented.join(mins, "u")
+                .select(F.explode(F.array("u", "v")).alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct(),
+                n_edges,
+            ).localCheckpoint(eager=True)
+            cur = _checksum(edges)
+            n_edges = cur[1]
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     # fixpoint: edges point every non-root node at its component root
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
@@ -753,6 +834,60 @@ def near_dup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def cluster_assignments(
+    docs: DataFrame,
+    *,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The shared near-dup cluster-assignment stage: MinHash signatures
+    -> LSH band pairs -> Jaccard verify -> connected components ->
+    per-document (doc_id, cluster_id, cluster_size, is_canonical).
+
+    Every cluster-consuming operation (cluster report, quality-aware
+    canonical pick, leakage-free splitting) needs this identical
+    subplan; before r07 each re-derived it independently — the three
+    slowest gate rows (29.1/27.8/27.4 s at sf0.1, 58-66 driver jobs
+    each) were one pipeline computed three times.  With ``cache_key``
+    set (callers pass the corpus path), the materialized assignment is
+    memoized per (Spark application, key, parameters) and later
+    consumers reuse it for the cost of a localCheckpoint scan.  On a
+    real cluster the same role is played by writing the assignment to a
+    bucketed table once per dedup run.
+    """
+    if cache_key is not None:
+        memo_key = (
+            docs.sparkSession.sparkContext.applicationId,
+            cache_key,
+            num_hashes,
+            band_size,
+            threshold,
+            text_col,
+            id_col,
+        )
+        hit = _ASSIGNMENT_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
+    pairs = minhash_near_duplicates(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        cache_key=cache_key,
+    )
+    out = near_dup_clusters(docs, pairs, id_col=id_col)
+    if cache_key is not None:
+        out = out.localCheckpoint(eager=True)
+        _ASSIGNMENT_CACHE[memo_key] = out
+    return out
 
 
 def canonical_pick(

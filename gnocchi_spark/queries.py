@@ -1601,6 +1601,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         num_hashes=16,
         band_size=4,
         threshold=0.6,
+        cache_key=sf_dir,
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1635,17 +1636,15 @@ def dedup_clusters(spark, sf_dir):
     # (O(log n) shuffles — diameter-independent), singletons kept as
     # their own cluster; the keep-set is is_canonical.  The oracle
     # computes the same closure with a recursive CTE over the same
-    # pair CTEs.
-    from gnocchi_spark.operators.dedup import (
-        minhash_near_duplicates,
-        near_dup_clusters,
-    )
+    # pair CTEs.  r07: the signatures->bands->CC subplan is the shared
+    # cluster_assignments stage, derived once per session and reused by
+    # dedup_cluster_canonical / split_leakage_free.
+    from gnocchi_spark.operators.dedup import cluster_assignments
 
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
-        docs, num_hashes=16, band_size=4, threshold=0.6
+    return cluster_assignments(
+        docs, num_hashes=16, band_size=4, threshold=0.6, cache_key=sf_dir
     )
-    return near_dup_clusters(docs, pairs)
 
 
 @query(
@@ -1685,18 +1684,18 @@ def dedup_cluster_canonical(spark, sf_dir):
     # min_by over a struct — replays bit-for-bit in both engines.
     # Scale shape: the same O(log n) connected-components rounds as
     # dedup_clusters plus ONE cluster-keyed shuffle for the argmin
-    # (per-cluster state is a single row, never the member list).
+    # (per-cluster state is a single row, never the member list); r07:
+    # the CC subplan comes from the shared session-memoized
+    # cluster_assignments stage instead of a per-query re-derivation.
     from gnocchi_spark.operators.dedup import (
         canonical_pick,
-        minhash_near_duplicates,
-        near_dup_clusters,
+        cluster_assignments,
     )
 
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
-        docs, num_hashes=16, band_size=4, threshold=0.6
-    )
-    assigned = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    assigned = cluster_assignments(
+        docs, num_hashes=16, band_size=4, threshold=0.6, cache_key=sf_dir
+    ).select("doc_id", "cluster_id")
     quality = docs.select(
         "doc_id", F.length("text").cast("long").alias("quality")
     )
@@ -5190,17 +5189,14 @@ def split_leakage_free(spark, sf_dir):
     # train/val/test (the eval-leakage failure mode of naive random
     # splits).  Deterministic md5-of-cluster bucketing, reproducible
     # across runs, partitionings and engines; the cluster assignment is
-    # the same O(log n) connected components as dedup_clusters.
-    from gnocchi_spark.operators.dedup import (
-        minhash_near_duplicates,
-        near_dup_clusters,
-    )
+    # the shared session-memoized cluster_assignments stage (same
+    # O(log n) connected components as dedup_clusters, derived once).
+    from gnocchi_spark.operators.dedup import cluster_assignments
 
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
-        docs, num_hashes=16, band_size=4, threshold=0.6
+    clusters = cluster_assignments(
+        docs, num_hashes=16, band_size=4, threshold=0.6, cache_key=sf_dir
     )
-    clusters = near_dup_clusters(docs, pairs)
     b = (
         F.conv(
             F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
@@ -9639,11 +9635,12 @@ def tpch_q9_product_type_profit(spark, sf_dir):
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_3', 'NATION_7')
       GROUP BY 1),
-    tot AS (SELECT sum(CAST(v AS DECIMAL(38,6)))::DOUBLE AS t FROM val)
+    tot AS (SELECT sum(CAST(v AS DECIMAL(38,6)))::DOUBLE AS t,
+                   CAST(count(*) AS BIGINT) AS np FROM val)
     SELECT l_partkey AS p_partkey,
            (floor(v * 1e2 + 0.5) / 1e2) AS part_value
     FROM val, tot
-    WHERE v > 0.0015 * t
+    WHERE v > (3.0 / np) * t
     """,
 )
 def tpch_q11_important_stock(spark, sf_dir):
@@ -9653,9 +9650,13 @@ def tpch_q11_important_stock(spark, sf_dir):
     # national total.  The plan point is the scalar aggregate
     # broadcast — one reduce produces the 1-row total, crossJoin
     # broadcasts it, the threshold evaluates map-side; no second scan
-    # of the fact.  r06: v and t are decimal-exact sums (the inputs are
-    # 2-dp-exact products), so the 0.15%-of-total row-set threshold is
-    # bit-identical across engines — no reorder-noise margin to audit.
+    # of the fact.  r07: TPC-H scales Q11's fraction by 1/SF (a fixed
+    # fraction over-filters as the part population grows — the r06 form
+    # returned 0 rows at sf0.1, a vacuous green); the threshold is now
+    # 3x the average per-part value, i.e. (3.0/n_parts)*total, which
+    # self-scales at any SF.  v and t are exact order-free sums and
+    # 3.0/np is one IEEE division with identical operands, so the
+    # row-set threshold stays bit-identical across engines.
     li = tables.load(spark, sf_dir, "lineitem")
     s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = tables.load(spark, sf_dir, "nation").where(
@@ -9671,10 +9672,12 @@ def tpch_q11_important_stock(spark, sf_dir):
             )
         )
     )
-    tot = val.agg(_xsum_col("v").alias("t"))
+    tot = val.agg(
+        _xsum_col("v").alias("t"), F.count("*").cast("long").alias("np")
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("v") > 0.0015 * F.col("t"))
+        .where(F.col("v") > (F.lit(3.0) / F.col("np")) * F.col("t"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             _rnd_col("v", 2).alias("part_value"),
