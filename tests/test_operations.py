@@ -187,6 +187,32 @@ def test_per_group_overlap_enforcement(spark):
     assert rows == {("g1", t0), ("g1", t1), ("g2", t0), ("g2", t1), ("g2", t2)}
 
 
+def test_grouped_overlap_failure_summary_is_bounded(spark):
+    """Multiple failing groups raise ONE summary (count + deterministic
+    sample), not a per-group driver materialization (r07: the failure
+    report aggregates engine-side and collects a single row)."""
+
+    def _grouped(pts):
+        return spark.createDataFrame(
+            [Row(grp=g, ts=t, value=float(v)) for g, t, v in pts]
+        )
+
+    t0, t1 = _ts(2014, 1, 1, 12, 0, 0), _ts(2014, 1, 1, 12, 1, 0)
+    # both groups interleave with NO common timestamp -> both fail
+    a = _grouped([("g1", t0, 1), ("g2", t0, 3)])
+    b = _grouped([("g1", t1, 5), ("g2", t1, 7)])
+    with pytest.raises(UnAggregableTimeseries) as ei:
+        align_series(
+            {"a/mean": a, "b/mean": b},
+            fill=None,
+            needed_overlap=100.0,
+            partition_cols=["grp"],
+        ).collect()
+    # lexicographic-min sample (g1) plus the count of the rest
+    assert "g1" in str(ei.value)
+    assert "+1 more failing groups" in str(ei.value)
+
+
 def test_rolling_sum_div_scalar(spark):
     # test_rolling (:1427-1470): / (rolling sum 2) 2 at 5-minute mean
     m1 = [(_ts(2014, 1, 1, 12, 0, 1), 69), (_ts(2014, 1, 1, 12, 5, 31), 42),
