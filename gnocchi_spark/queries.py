@@ -9239,17 +9239,40 @@ def user_journey_transitions(spark, sf_dir):
 @query(
     "metric_lead_lag",
     f"""
-    WITH r AS (
+    WITH r AS MATERIALIZED (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS b,
              {_rnd_sql(_xmean_sql("value"))} AS v
       FROM events GROUP BY 1, 2),
+    p0 AS (
+      SELECT a.metric_id AS metric_a, bb.metric_id AS metric_b,
+             a.v AS va, bb.v AS vb
+      FROM r a JOIN r bb ON bb.b = a.b AND a.metric_id < bb.metric_id),
+    s0 AS (
+      SELECT metric_a, metric_b, CAST(count(*) AS BIGINT) AS n,
+             {_xsum_sql("va")} AS sa, {_xsum_sql("vb")} AS sb,
+             {_xsum_sql("va * vb")} AS sab,
+             {_xsum_sql("va * va")} AS saa,
+             {_xsum_sql("vb * vb")} AS sbb
+      FROM p0 GROUP BY 1, 2),
+    pre AS (
+      SELECT metric_a, metric_b,
+             abs((n * sab - sa * sb)
+                 / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))) AS a_r
+      FROM s0
+      WHERE n > 1 AND (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0),
+    keep AS (
+      SELECT metric_a, metric_b FROM (
+        SELECT metric_a, metric_b,
+               row_number() OVER (PARTITION BY metric_a
+                                  ORDER BY a_r DESC, metric_b) AS rk
+        FROM pre) t WHERE rk <= 2),
     lags AS (SELECT unnest([0, 1, 2]) AS lag),
     p AS (
-      SELECT a.metric_id AS metric_a, bb.metric_id AS metric_b, l.lag,
-             a.v AS va, bb.v AS vb
-      FROM r a CROSS JOIN lags l
-      JOIN r bb ON bb.b = a.b + to_microseconds(l.lag * 300 * 1000000)
-              AND a.metric_id < bb.metric_id),
+      SELECT k.metric_a, k.metric_b, l.lag, a.v AS va, bb.v AS vb
+      FROM keep k CROSS JOIN lags l
+      JOIN r a ON a.metric_id = k.metric_a
+      JOIN r bb ON bb.metric_id = k.metric_b
+             AND bb.b = a.b + to_microseconds(l.lag * 300 * 1000000)),
     m AS (
       SELECT metric_a, metric_b, lag, CAST(count(*) AS BIGINT) AS n,
              {_xmean_sql("va")} AS ma, {_xmean_sql("vb")} AS mb
@@ -9273,26 +9296,90 @@ def metric_lead_lag(spark, sf_dir):
     # correlation matrix.  The lagged pairing is an equi-join on the
     # SHIFTED bucket timestamp (exact integer-us arithmetic), so the
     # pair space stays (metrics x buckets x lags), never rows x rows.
-    # Moments are two-pass centered — per-(pair,lag) means broadcast
-    # back, then sums of deviation products — so no n*Sxx - Sx^2
+    # r07 scale fix (VERDICT r06 perf #2): even metrics x metrics is
+    # quadratic in fleet size, so the lagged stage only runs for the
+    # top-K=2 partners per metric by |lag-0 correlation| — the
+    # prescreen reuses the correlation matrix's five-sum kernel (one
+    # bucket-keyed join, aggregate-level pair rows), and its exact
+    # quantized-long sums make the |r| ranking bit-identical across
+    # engines (ties broken on metric_b).  Moments in the lagged stage
+    # stay two-pass centered — per-(pair,lag) means broadcast back,
+    # then sums of deviation products — so no n*Sxx - Sx^2
     # cancellation; the 1e-9 variance guards sit far above double
     # noise (genuine variances are O(1)) and identically on both
     # engines.
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
+    from pyspark.sql import Window as W
 
     ev = tables.load(spark, sf_dir, "events")
-    r = ev.groupBy(
-        F.col("event_type").alias("metric_id"),
-        truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
-    ).agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
-    lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
-    a = r.select(
-        F.col("metric_id").alias("metric_a"),
-        F.col("b"),
-        F.col("v").alias("va"),
-    ).crossJoin(F.broadcast(lags))
-    bb = r.select(
+    # fan-out point: the 5-min grid feeds the prescreen join twice and
+    # the lagged join twice — checkpoint so the raw-events rollup runs
+    # once, not per reference (the recurring plan trap)
+    r = (
+        ev.groupBy(
+            F.col("event_type").alias("metric_id"),
+            truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
+        )
+        .agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    a0 = r.select(
+        F.col("metric_id").alias("metric_a"), "b", F.col("v").alias("va")
+    )
+    b0 = r.select(
         F.col("metric_id").alias("metric_b"),
+        F.col("b").alias("b0"),
+        F.col("v").alias("vb"),
+    )
+    s0 = (
+        a0.join(
+            b0,
+            (F.col("b0") == F.col("b"))
+            & (F.col("metric_a") < F.col("metric_b")),
+        )
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _xsum_col("va").alias("sa"),
+            _xsum_col("vb").alias("sb"),
+            _xsum_col(F.col("va") * F.col("vb")).alias("sab"),
+            _xsum_col(F.col("va") * F.col("va")).alias("saa"),
+            _xsum_col(F.col("vb") * F.col("vb")).alias("sbb"),
+        )
+    )
+    nb = F.col("n")
+    var_a = nb * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = nb * F.col("sbb") - F.col("sb") * F.col("sb")
+    pre = s0.where((nb > 1) & (var_a > 0) & (var_b > 0)).select(
+        "metric_a",
+        "metric_b",
+        F.abs(
+            (nb * F.col("sab") - F.col("sa") * F.col("sb"))
+            / (F.sqrt(var_a) * F.sqrt(var_b))
+        ).alias("a_r"),
+    )
+    keep = (
+        pre.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("metric_a").orderBy(
+                    F.desc("a_r"), F.col("metric_b")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 2)
+        .select("metric_a", "metric_b")
+    )
+    lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
+    kl = F.broadcast(keep.crossJoin(lags))
+    a = kl.join(
+        r.select(
+            F.col("metric_id").alias("metric_a"), "b", F.col("v").alias("va")
+        ),
+        "metric_a",
+    )
+    bb = r.select(
+        F.col("metric_id").alias("mb2"),
         F.col("b").alias("b2"),
         F.col("v").alias("vb"),
     )
@@ -9300,8 +9387,7 @@ def metric_lead_lag(spark, sf_dir):
         F.unix_micros(F.col("b")) + F.col("lag").cast("long") * 300_000_000
     )
     p = a.join(
-        bb,
-        (F.col("b2") == shifted) & (F.col("metric_a") < F.col("metric_b")),
+        bb, (F.col("b2") == shifted) & (F.col("metric_b") == F.col("mb2"))
     )
     m = p.groupBy("metric_a", "metric_b", "lag").agg(
         F.count("*").cast("long").alias("n"),
