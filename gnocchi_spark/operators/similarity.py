@@ -140,7 +140,7 @@ def autotune_lsh_params(
     recall: float = 0.9,
     max_bands: int = 64,
     slack_bits: int = 1,
-    slope: float = 1.35,
+    slope: float = 1.6,
 ) -> tuple[int, int]:
     """Pick ``(n_bands, band_planes)`` for banded hyperplane LSH so that
     background candidate volume stays ~linear in corpus size while pairs
@@ -160,18 +160,23 @@ def autotune_lsh_params(
     const the background term b*N**2/2**r is exactly linear per corpus,
     but the band count b itself grows ~1.167**r to hold recall, so
     measured candidate growth stayed ~16x per 10x corpus at any
-    constant slack (BENCH_r04/r05 probes).  A 1.35 slope overshoots the
-    background by N**0.35, absorbing the band-count growth: measured
-    11.5x candidates at a 10x corpus with 2-3x FASTER wall (fewer
-    verifications), same pigeonhole-free probabilistic recall at the
-    0.9-cosine design point.  Beyond the max_bands cap (N ~ 500k at
-    threshold 0.9) recall decays — hyperplane LSH's shallow p1/p2 gap
-    is fundamental there, and the IVF/PQ indexes (ivf_cosine_topk,
-    ann_index.IvfIndex) are the designated scale path.  ``max_bands`` caps the map-side cost (n_bands * r dot
-    products per vector); the cap binds only for thresholds near
-    orthogonality, where hyperplane LSH is fundamentally weak (the
-    p1/p2 gap vanishes) and an IVF route (ivf_cosine_topk) is the
-    better tool.
+    constant slack (BENCH_r04/r05 probes).  The r07 two-decade probe
+    (BENCH deep_stress, 100x corpus) settled the slope: 1.35 compounds
+    to **169x candidates at 100x** (1.69x linear — the background tail
+    of moderately-correlated pairs decays slower than 2**-r), while
+    1.6 measures **77x at 100x** (0.78x linear) and 1.8 collapses to
+    0.18x linear but over-lengthens keys at small N.  1.6 is the
+    shipped default.  The trade is the recall envelope: with the
+    longer keys the max_bands cap binds earlier, so the 0.9-recall
+    design point holds to N ~ 6k items (vs ~40k at slope 1.35) and
+    decays gracefully beyond (measured ~0.68 at N = 50k).  That is the
+    documented hand-off: hyperplane LSH's shallow p1/p2 gap is
+    fundamental, and the IVF/PQ indexes (ivf_cosine_topk,
+    ann_index.IvfIndex) are the designated scale path for large-N
+    high-recall ANN; banded LSH's job here is bounded-candidate
+    near-DUP detection, where candidate linearity is the survival
+    property at 100 TB.  ``max_bands`` caps the map-side cost
+    (n_bands * r dot products per vector).
     """
     import math
 

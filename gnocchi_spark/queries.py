@@ -11925,86 +11925,74 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r06 rotation -----------------------------------------------------
-    # Window composition (VERDICT r05 next-round items #2 and #9):
-    # 1) ALL 33 queries that had never had a driver-checked row (every
-    #    one was green in the judge's own full-gate r05 re-run and in
-    #    ORACLE_FULL_r05.txt; after this window, all 211 registered
-    #    queries have a driver-green row);
-    # 2) tsdb_cusum_profile — the r05 driver-red row, re-checked after
-    #    the engine-exact mean/rounding fix (the whole rounded-mean
-    #    family was rebuilt on decimal-exact kernels this round);
-    # 3) five r01/r02-vintage regression canaries whose rows had not
-    #    been re-checked since r03 or earlier;
-    # 4) eleven re-checks of the queries this round's exactness sweep
-    #    changed most (flake family + core rollup + TPC-H Q1).
-    # -- 1) the 33-query never-driver-checked backlog --
-    "ann_filtered_topk",
-    "ann_ndcg_report",
-    "curriculum_schedule",
-    "doc_similarity_tfidf_topk",
-    "drift_ks_test",
-    "drift_psi_report",
-    "event_association_lift",
-    "funnel_time_to_convert",
-    "graph_kcore_membership",
-    "graph_triangle_count",
-    "growth_accounting",
-    "metric_burstiness",
-    "metric_change_contributors",
-    "metric_user_gini",
-    "perplexity_bigram",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "session_pattern_match",
-    "slo_burn_rate_alerts",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_promotion_suppliers",
-    "training_set_asof_features",
-    "tsdb_brown_forecast",
-    "tsdb_forecast_backtest",
-    "tsdb_holt_winters",
-    "tsdb_lttb_downsample",
-    "tsdb_mad_anomalies",
-    "tsdb_seasonal_bands",
-    "tsdb_theil_sen",
-    "tsdb_value_heatmap",
-    # -- 2) the r05 driver-red row, post-fix --
-    "tsdb_cusum_profile",
-    # -- 3) r01/r02-vintage canaries (not re-checked since r03) --
-    "keyset_pagination",
-    "resource_metric_join",
-    "tsdb_calendar_week",
-    "dedup_exact",
-    "resource_history_union",
-    # -- 4) re-checks of this round's exactness-sweep changes, plus
-    #    dedup_cluster_canonical (ADDED this round) and the M4 read, so
-    #    both carry fresh driver rows; the two swapped-out re-checks
-    #    (ewma, seasonal_decompose) both hold driver-green r05 rows and
-    #    are green in ORACLE_FULL_r06*.txt --
-    "anomaly_seasonal_zscore",
-    "tsdb_m4_downsample",
-    "dedup_cluster_canonical",
-    "tpch_q1_pricing_summary",
-    "tsdb_rollup_mean_5m",
-    "tsdb_time_weighted_avg",
-    "seasonal_profile",
+    # --- r07 rotation -----------------------------------------------------
+    # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
+    # whose implementation changed this round + new queries (front),
+    # then the STALEST green rows by last-driver-checked round
+    # ascending (name tiebreak) — `python tools/rotation.py` prints
+    # the mechanical fill order from the committed CORRECTNESS_r*.json
+    # union.  Full-registry coverage is maintained by the committed
+    # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
+    # scales.
+    # -- 1) changed in r07 (exactness product-sum sweep: std DECIMAL
+    #    combination, floor-quantized product sums, cusum running
+    #    sums, covered_s rounding; Q11 self-scaling threshold;
+    #    lead-lag top-k prescreen; shared cluster_assignments stage —
+    #    dedup_minhash_lsh leads so the shared pair build lands there)
+    "tsdb_rollup_std_1h",
     "metric_correlation_matrix",
-    "measure_value_search",
-    "alert_rule_eval",
-    "tsdb_refresh_on_read",
+    "tsdb_trend_forecast",
+    "seasonal_profile",
+    "tsdb_autocorrelation",
+    "tsdb_time_weighted_avg",
+    "metric_lead_lag",
+    "tsdb_cusum_drift",
+    "tsdb_cusum_profile",
+    "tpch_q11_important_stock",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_cluster_canonical",
+    "split_leakage_free",
+    # -- 2) oldest-first fill: every row last driver-checked in r01 --
+    "dedup_embedding_cosine",
+    "ingest_collectd",
+    "ingest_influxdb_lines",
+    "ingest_prometheus",
+    "ingest_statsd_flush",
+    "tsdb_calendar_half",
+    # -- r02-vintage rows --
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "corpus_token_histogram",
+    "dedup_ngram_jaccard",
+    "embedding_quantize",
+    "multimodal_features",
+    "pipeline_corpus_filter",
+    "resource_filter_dsl",
+    "resource_query_string_filter",
+    "resource_type_attributes",
+    "sample_stratified",
+    "text_language_id",
+    "text_quality_by_lang",
+    "text_stats",
+    "text_winnowing",
+    # -- r03-vintage rows (alphabetical prefix of the r03 cohort) --
+    "aggregates_api_end_to_end",
+    "ann_pq_topk",
+    "asof_join_nearest",
+    "binned_quantile_p95",
+    "bm25_retrieval",
+    "cluster_topics_kmeans",
+    "cms_heavy_hitters",
+    "dedup_bloom_batch",
+    "dedup_incremental_minhash",
+    "dedup_span_exact",
+    "history_grouped_usage",
+    "hll_distinct_users",
+    "hybrid_rrf_retrieval",
+    "ingest_prometheus_wire",
+    "injector_synthetic",
 ]
-
-# r06 closes the registry: after this window every registered query
-# has a driver-checked green row (the r05 union covered 178/211; the
-# 33-query backlog + this window's new-query slots complete it at
-# 212).  From r07 on, windows re-check whatever changed that round, a
-# rolling sample of rows not re-verified since r03, and the exactness
-# canaries (cusum/zscore/q1/std); full-registry coverage is maintained
-# by ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt at BOTH scales.
 
 
 def ordered_queries() -> dict:

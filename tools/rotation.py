@@ -60,6 +60,18 @@ def main() -> None:
         f"{len(CHECK_ORDER) - len(stale)} pending first check"
     )
 
+    # Standing oldest-first policy (r07, VERDICT r06 next #3): each
+    # round's window = queries whose implementation changed that round
+    # + new queries (front, ~5-15 slots), then the STALEST green rows
+    # (last-checked round ascending, name as tiebreak) filling the
+    # rest.  This list is the mechanical fill order:
+    by_staleness = sorted(
+        (q for q in registered), key=lambda q: (latest.get(q, (0, False))[0], q)
+    )
+    print("\noldest-first fill order (last-checked round, name):")
+    for q in by_staleness[:60]:
+        print(f"  r{latest.get(q, (0, False))[0]:02d} {q}")
+
 
 if __name__ == "__main__":
     main()
