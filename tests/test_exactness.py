@@ -172,6 +172,156 @@ _cents = st.lists(
 )
 
 
+# --- r07 adversarial tie injection (VERDICT r06 next #4) ----------------
+# The r06 "tie-free by construction" audit was prose over the shipped
+# testdata distribution; these properties generate HOSTILE inputs for
+# every _rnd/_xsum call class and assert Spark == DuckDB bit-for-bit.
+
+# doubles whose true decimal value is EXACTLY x.xxxxxx5 — the 7th-digit
+# tie where native round() picks opposite sides across engines
+_odd_half_micros = st.integers(
+    min_value=-(2**40), max_value=2**40
+).map(lambda k: (2 * k + 1) / 2e6)
+
+# arbitrary messy doubles (full-precision products/means territory)
+_messy = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _duck_col(vals, sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?::DOUBLE[]) AS value", [vals])
+    return con.sql(sql).fetchall()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_odd_half_micros, min_size=1, max_size=16))
+def test_rnd_engine_uniform_on_injected_7digit_ties(spark, vals):
+    # _rnd at 6dp over a corpus of EXACT 7th-digit ties: elementwise
+    # Spark == DuckDB (pure-IEEE floor form; native round() provably
+    # disagrees on a subset of these inputs)
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = sorted(
+        r["r"] for r in df.select(_rnd_col("value", 6).alias("r")).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in _duck_col(
+            vals, f"SELECT {_rnd_sql('value')} AS r FROM t"
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(_messy)
+def test_xsum_messy_doubles_order_free_and_engine_equal(spark, vals):
+    # the floor-quantized long sum on MESSY doubles: identical for any
+    # partitioning and equal to DuckDB's same formula — the property
+    # the r07 product-sum sweep (correlation sab/saa/sbb, trend x*y,
+    # autocorrelation d*d_k, cusum running dev) relies on
+    outs = set()
+    for parts in (1, 5):
+        outs.add(
+            _vals_df(spark, vals, parts)
+            .agg(_xsum_col("value").alias("s"))
+            .collect()[0]["s"]
+            .hex()
+        )
+    assert len(outs) == 1
+    want = _duck_col(
+        vals,
+        "SELECT CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 1e6 AS s FROM t",
+    )[0][0]
+    assert float.fromhex(outs.pop()) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_messy)
+def test_xsum_of_products_engine_equal(spark, vals):
+    # the product-sum call class itself: sum(floor(va*vb*1e6+0.5))
+    # where va, vb are messy doubles (vb = reversed pairing)
+    pairs = list(zip(vals, reversed(vals)))
+    df = spark.createDataFrame(pairs, "va double, vb double")
+    got = df.agg(
+        _xsum_col(F.col("va") * F.col("vb")).alias("s")
+    ).collect()[0]["s"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?::DOUBLE[]) AS va,"
+        " unnest(?::DOUBLE[]) AS vb",
+        [[a for a, _ in pairs], [b for _, b in pairs]],
+    )
+    want = con.sql(
+        "SELECT CAST(sum(CAST(floor((va * vb) * 1e6 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 1e6 AS s FROM t"
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(_cents)
+def test_native_round_is_safe_on_2dp_exact_sums(spark, cents):
+    # the SURVIVING native-round class: round(x, nd>=2) where x is a
+    # decimal-exact sum of 2-dp inputs — x's true value has exactly
+    # <= 2 fractional digits, so no round-boundary tie at nd >= 2 is
+    # reachable and both engines' differing tie rules coincide
+    vals = [c / 100.0 for c in cents]
+    got = (
+        _vals_df(spark, vals, 3)
+        .agg(F.round(_xsum_col("value"), 4).alias("s"))
+        .collect()[0]["s"]
+    )
+    want = _duck_col(
+        vals,
+        "SELECT round(CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 1e6, 4) AS s FROM t",
+    )[0][0]
+    assert got == want
+
+
+def test_exact_std_decimal_combination_survives_large_moments(spark):
+    # ADVICE r07: for 1e4 points near |v| = 5e3, n*S2 ~ 2.5e19 and
+    # S1^2 ~ 2.5e19 both exceed 2^63 — the former LONG combination
+    # silently wrapped (Spark non-ANSI) while DuckDB promoted to
+    # HUGEINT, so std went wrong AND the engines diverged.  The
+    # DECIMAL(38,0) combination matches DuckDB and exact rationals.
+    from fractions import Fraction
+    import math
+
+    vals = [round(4999.0 + 0.01 * (i % 200), 2) for i in range(10_000)]
+    got = (
+        _vals_df(spark, vals, 16)
+        .agg(agg_expr("std", exact=True).alias("s"))
+        .collect()[0]["s"]
+    )
+    want = _duck_col(
+        vals,
+        "WITH q AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v"
+        "           FROM t)"
+        " SELECT sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)"
+        "                  AS DOUBLE)"
+        "             / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0"
+        " FROM q",
+    )[0][0]
+    assert got == want
+    cs = [round(v * 100) for v in vals]
+    n = len(cs)
+    var = Fraction(n * sum(c * c for c in cs) - sum(cs) ** 2, n * (n - 1))
+    exact = math.sqrt(var) / 100.0
+    assert got == pytest.approx(exact, rel=1e-12)
+
+
 @settings(max_examples=12, deadline=None)
 @given(_cents)
 def test_xmean_is_deterministic_and_ulp_exact_property(spark, cents):
