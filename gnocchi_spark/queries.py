@@ -9371,7 +9371,7 @@ def metric_lead_lag(spark, sf_dir):
         .select("metric_a", "metric_b")
     )
     lags = spark.range(3).select(F.col("id").cast("int").alias("lag"))
-    kl = F.broadcast(keep.crossJoin(lags))
+    kl = F.broadcast(keep.crossJoin(F.broadcast(lags)))
     a = kl.join(
         r.select(
             F.col("metric_id").alias("metric_a"), "b", F.col("v").alias("va")

@@ -658,3 +658,27 @@ def test_streaming_interval_join_drops_late_probes(spark, tmp_path):
     ).parquet(out)
     pids = {r["p_pid"] for r in got.collect()}
     assert 901 not in pids and 900 not in pids
+
+
+def test_state_store_plateaus_under_skewed_late_soak(spark):
+    """Short in-process soak (VERDICT r06 next #8): the watermarked
+    rollup sink's state store must PLATEAU — bounded by keys x the
+    back-window horizon, never by cumulative traffic — under a skewed
+    key distribution (90% hot key) with injected 2h lateness.  The
+    1000-batch artifact lives in SOAK_r{N}.json (tools/soak_streaming);
+    this asserts the same curve shape at 60 batches: the tail's
+    least-squares slope is ~0 while the fill phase's is strongly
+    positive, and late rows are dropped, not buffered."""
+    from tools.soak_streaming import run_soak, tail_slope
+
+    curve = run_soak(spark, 60, 300, "rollup")
+    assert len(curve) >= 50
+    peak = max(c["state_rows"] for c in curve)
+    fill = tail_slope(curve[: len(curve) // 4], tail_frac=1.0)
+    tail = tail_slope(curve, tail_frac=0.5)
+    # fill phase grows ~keys x windows/batch; plateau is flat
+    assert fill > 5.0, (fill, peak)
+    assert abs(tail) < 3.0, (tail, peak)
+    # injected lateness (every 10th row, 2h behind a 1h watermark) is
+    # dropped by the watermark, not retained as state
+    assert sum(c["late_dropped"] for c in curve[5:]) > 0
