@@ -88,7 +88,9 @@ def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
         )
         mode = "append"
     else:
-        out = stateful_rate_stream(m.drop("seq"))
+        # the rate operator consumes the full measures contract
+        # (metric_id, ts, value, seq — seq is its in-batch tiebreak)
+        out = stateful_rate_stream(m)
         mode = "append"
     q = (
         out.writeStream.outputMode(mode)
@@ -107,6 +109,8 @@ def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
     try:
         deadline = time.time() + 3600
         while len(curve) < n_batches and time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
             for p in q.recentProgress:
                 bid = p["batchId"]
                 ops = p.get("stateOperators") or []
@@ -160,6 +164,8 @@ def main():
     for which, nb in (("rollup", n_batches), ("rate", max(100, n_batches // 4))):
         t0 = time.time()
         curve = run_soak(spark, nb, rows_per_batch, which)
+        if not curve:
+            raise RuntimeError(f"{which} soak produced no progress rows")
         slope = tail_slope(curve)
         peak = max((c["state_rows"] or 0) for c in curve)
         dropped = sum(c["late_dropped"] or 0 for c in curve)
