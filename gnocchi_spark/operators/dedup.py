@@ -1077,3 +1077,85 @@ def containment_pairs(
             F.round(F.col("shared") / small, 6).alias("containment"),
         )
     )
+
+
+def token_shingle_hashes(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct md5 hashes of every ``n``-token shingle per document:
+    (doc_id, h), one row per distinct shingle.
+
+    Entirely map-side (one array expression per row; the explode adds
+    rows, not a shuffle): whitespace tokens, positions 1..len-n+1,
+    md5 over the space-joined slice — the md5-of-canonical-string form
+    any engine reproduces byte-for-byte (same contract as the char
+    shingles in textstats).  Documents shorter than ``n`` tokens emit
+    nothing (sequence(1, 0) is DESCENDING in Spark, so the empty case
+    must be explicit).
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return spread_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("h"),
+    )
+
+
+def benchmark_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any ``n``-token shingle with an evaluation set (the GPT-3 appendix
+    C / Llama "13-gram overlap" pipeline step).  Returns one row per
+    CONTAMINATED corpus doc: (doc_id, n_shingles, n_hit, hit_frac)
+    where n_hit counts the doc's distinct shingles that appear
+    anywhere in the benchmark.
+
+    100 TB shape: the benchmark side is an eval suite — metadata scale
+    (at most ~1e7 shingles) — so its distinct hash set BROADCASTS and
+    the corpus pays exactly one map-side pass (tokenize + hash + probe)
+    and one per-doc shuffle for the counts.  No corpus self-join, no
+    pair space: cost is linear in corpus tokens regardless of how
+    contaminated it is.  Contrast containment_pairs above (corpus vs
+    corpus, df-capped postings): decontamination is the asymmetric
+    case where one side is small by construction, and the plan should
+    collapse to a broadcast probe, not a blocked self-join.
+    """
+    c = token_shingle_hashes(corpus, n, id_col, text_col)
+    b = (
+        token_shingle_hashes(benchmark, n, id_col, text_col)
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # one corpus pass: left-probe the broadcast benchmark set, then a
+    # single per-doc aggregate yields both the shingle count and the
+    # hit count
+    marked = c.join(F.broadcast(b), "h", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .where(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_shingles")).alias("hit_frac"),
+        )
+    )

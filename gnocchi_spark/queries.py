@@ -4529,6 +4529,53 @@ def dedup_containment(spark, sf_dir):
 
 
 @query(
+    "benchmark_decontamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS h
+      FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(t) - 11, 1))) AS i)),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0),
+    marked AS (
+      SELECT s.doc_id, s.h, b.h IS NOT NULL AS hit
+      FROM sh s LEFT JOIN bench b ON s.h = b.h
+      WHERE s.doc_id % 7 <> 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hit,
+           (floor((count(*) FILTER (WHERE hit)
+                   / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+             AS hit_frac
+    FROM marked
+    GROUP BY 1
+    HAVING count(*) FILTER (WHERE hit) > 0
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    # Benchmark decontamination (the GPT-3 appendix-C / Llama 13-gram
+    # step): training docs sharing any 13-token shingle with the eval
+    # suite are flagged with their overlap fraction.  The eval side
+    # here is the deterministic doc_id % 7 slice standing in for a
+    # held-out benchmark table; its distinct shingle-hash set is
+    # metadata-scale by construction, so the plan is one map-side
+    # corpus pass probing a BROADCAST hash set + one per-doc shuffle —
+    # linear in corpus tokens, no self-join, no pair space (contrast
+    # dedup_containment's corpus-vs-corpus df-capped postings).
+    from gnocchi_spark.operators.dedup import benchmark_decontamination as decon
+
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    benchmark = docs.where(F.col("doc_id") % 7 == 0)
+    out = decon(corpus, benchmark, n=13)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        _rnd_col(F.col("hit_frac"), 6).alias("hit_frac"),
+    )
+
+
+@query(
     "tsdb_gap_report",
     f"""
     WITH r AS (
@@ -11939,6 +11986,7 @@ CHECK_ORDER = [
     #    sums, covered_s rounding; Q11 self-scaling threshold;
     #    lead-lag top-k prescreen; shared cluster_assignments stage —
     #    dedup_minhash_lsh leads so the shared pair build lands there)
+    "benchmark_decontamination",
     "tsdb_rollup_std_1h",
     "metric_correlation_matrix",
     "tsdb_trend_forecast",

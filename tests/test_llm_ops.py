@@ -612,3 +612,38 @@ def test_canonical_pick_keeps_best_quality_min_id(spark):
     assert out[7] == (7, True)    # singleton keeps itself
     assert out[8] == (8, True)    # tie within cluster 8 -> min id
     assert out[9] == (8, False)
+
+
+def test_benchmark_decontamination_flags_13gram_overlap(spark):
+    """A corpus doc sharing exactly 13 consecutive tokens with the
+    benchmark is flagged; 12 shared tokens is below the shingle width
+    and passes clean; sub-13-token docs emit no shingles at all."""
+    from gnocchi_spark.operators.dedup import (
+        benchmark_decontamination,
+        token_shingle_hashes,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    run13 = " ".join(f"b{i}" for i in range(13))          # tokens b0..b12
+    run12 = " ".join(f"b{i}" for i in range(12))          # tokens b0..b11
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"x0 x1 x2 {run13} y0 y1 y2"),
+            Row(doc_id=2, text=f"x0 x1 x2 {run12} y0 y1 y2 y3"),
+            Row(doc_id=3, text="z0 z1 z2"),
+        ]
+    )
+    benchmark = spark.createDataFrame([Row(doc_id=100, text=bench_text)])
+    got = {
+        r["doc_id"]: r
+        for r in benchmark_decontamination(corpus, benchmark).collect()
+    }
+    assert set(got) == {1}
+    assert got[1]["n_hit"] == 1  # exactly the b0..b12 shingle
+    # doc 1 has 19 tokens -> 7 shingles
+    assert got[1]["n_shingles"] == 7
+    # short docs produce zero shingles (the descending-sequence guard)
+    n = token_shingle_hashes(
+        spark.createDataFrame([Row(doc_id=9, text="a b c")])
+    ).count()
+    assert n == 0
