@@ -1133,6 +1133,15 @@ def benchmark_decontamination(
     corpus, df-capped postings): decontamination is the asymmetric
     case where one side is small by construction, and the plan should
     collapse to a broadcast probe, not a blocked self-join.
+
+    Relation to pipeline.ngram_decontaminate (the word-5-gram leakage
+    check): same asymmetric broadcast discipline, but at n=13 a raw
+    gram string is ~13 tokens of text — md5-compressing shingles to 32
+    hex chars keeps the broadcast set and the probe-side explode
+    byte-bounded (~10x smaller per gram at this width), which is what
+    survives an eval suite of 1e7 grams; that op also reports per-
+    benchmark-doc attribution (n_bench_docs), this one the doc's
+    contamination fraction at the long-overlap width.
     """
     c = token_shingle_hashes(corpus, n, id_col, text_col)
     b = (
