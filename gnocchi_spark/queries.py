@@ -7943,11 +7943,18 @@ def dedup_candidate_profile(spark, sf_dir):
 
     docs = tables.load(spark, sf_dir, "documents")
     arrays = with_hash_words(doc_shingle_arrays(spread_for_compute(docs)))
-    sigs = minhash_signatures_arrays(arrays, num_hashes=16)
+    # the band self-join references sigs twice and the degree count
+    # references cand twice: without a materialization boundary each
+    # reference re-derives the whole shingle->minhash pipeline (32
+    # parquet scans audited at r07).  Lazy localCheckpoint runs the
+    # signature pipeline once; explode makes the degree count a single
+    # pass over the pair set instead of a two-branch union.
+    sigs = minhash_signatures_arrays(arrays, num_hashes=16).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sigs, num_hashes=16, band_size=4)
     deg = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("degree"))
     )
@@ -11987,6 +11994,7 @@ CHECK_ORDER = [
     #    lead-lag top-k prescreen; shared cluster_assignments stage —
     #    dedup_minhash_lsh leads so the shared pair build lands there)
     "benchmark_decontamination",
+    "dedup_candidate_profile",
     "tsdb_rollup_std_1h",
     "metric_correlation_matrix",
     "tsdb_trend_forecast",
