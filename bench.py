@@ -429,7 +429,7 @@ def _hist_cascade_on(m):
     )
 
 
-def _minhash_cand_count(spark, docs):
+def _minhash_cand_count(spark, docs, n_docs=None):
     # same autotuned banding minhash_near_duplicates defaults to —
     # r grows with log(N) so candidate volume stays ~linear
     from gnocchi_spark.operators.dedup import (
@@ -441,7 +441,11 @@ def _minhash_cand_count(spark, docs):
     )
 
     arrays = with_hash_words(doc_shingle_arrays(docs))
-    nh, r = autotune_minhash_params(docs.count())
+    # callers pass the already-materialized corpus count: docsD is a
+    # 30-100-way replicated union whose count() is a full extra pass
+    nh, r = autotune_minhash_params(
+        n_docs if n_docs is not None else docs.count()
+    )
     n = lsh_candidate_pairs(
         minhash_signatures_arrays(arrays, nh), nh, r
     ).count()
@@ -449,7 +453,7 @@ def _minhash_cand_count(spark, docs):
     return n
 
 
-def _simhash_cand_count(spark, docs, split_out=None):
+def _simhash_cand_count(spark, docs, split_out=None, n_docs=None):
     # band-collision pairs BEFORE the hamming filter, at the same
     # autotuned banding production uses — split by hamming so the
     # growth attribution is visible: background (uncorrelated)
@@ -461,7 +465,8 @@ def _simhash_cand_count(spark, docs, split_out=None):
         simhash_band_candidates,
     )
 
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     b, w = autotune_simhash_params(n_docs)
     cut = (b * w) // 4
     split = {
@@ -481,14 +486,18 @@ def _simhash_cand_count(spark, docs, split_out=None):
     return split.get("low", 0) + split.get("background", 0)
 
 
-def _emb_cand_count(spark, emb, params=None):
+def _emb_cand_count(spark, emb, params=None, n_items=None):
     from gnocchi_spark.operators.similarity import (
         autotune_lsh_params,
         embedding_near_duplicates,
     )
 
     bands, bits = (
-        params if params is not None else autotune_lsh_params(emb.count())
+        params
+        if params is not None
+        else autotune_lsh_params(
+            n_items if n_items is not None else emb.count()
+        )
     )
     n = embedding_near_duplicates(
         emb, threshold=-1.0, n_bands=bands, band_planes=bits
@@ -540,13 +549,17 @@ def deep_stress(spark, sf_dir):
     candidates = {}
     for name, fn, in1, inD, c_n1, c_nD, fac in [
         ("minhash", _minhash_cand_count, docs1, docsD, n1, nD, fac_txt),
-        ("tfidf_pairs", _tfidf_cand_count, docs1, docsD, n1, nD, fac_txt),
-        ("simhash",
-         lambda s, d: _simhash_cand_count(s, d, split),
+        ("tfidf_pairs",
+         lambda s, d, n: _tfidf_cand_count(s, d),
          docs1, docsD, n1, nD, fac_txt),
-        ("embedding_lsh", _emb_cand_count, emb1, embD, ne1, neD, fac_emb),
+        ("simhash",
+         lambda s, d, n: _simhash_cand_count(s, d, split, n_docs=n),
+         docs1, docsD, n1, nD, fac_txt),
+        ("embedding_lsh",
+         lambda s, d, n: _emb_cand_count(s, d, n_items=n),
+         emb1, embD, ne1, neD, fac_emb),
     ]:
-        c1, cD = fn(spark, in1), fn(spark, inD)
+        c1, cD = fn(spark, in1, c_n1), fn(spark, inD, c_nD)
         growth = round(cD / c1, 2) if c1 else None
         candidates[name] = {
             "n_items": [c_n1, c_nD],
@@ -554,7 +567,7 @@ def deep_stress(spark, sf_dir):
             "cand1": c1,
             "cand_deep": cD,
             "cand_growth": growth,
-            "vs_linear": round(growth / fac, 2) if growth else None,
+            "vs_linear": round(growth / fac, 2) if growth is not None else None,
         }
     if split:
         s1, sD = split.get(n1, {}), split.get(nD, {})
@@ -580,7 +593,7 @@ def deep_stress(spark, sf_dir):
             "t_deep": round(tD, 3),
             "factor": fac_txt,
             "wall_growth": growth,
-            "vs_linear": round(growth / fac_txt, 2) if growth else None,
+            "vs_linear": round(growth / fac_txt, 2) if growth is not None else None,
         }
 
     return {
@@ -723,13 +736,19 @@ def scale_stress(spark, sf_dir, factor=10):
     simhash_hamming_split = {}
     for name, fn, in1, in10, n1, n10 in [
         ("minhash", _minhash_cand_count, docs1, docs10, n_docs1, n_docs10),
-        ("tfidf_pairs", _tfidf_cand_count, docs1, docs10, n_docs1, n_docs10),
-        ("simhash",
-         lambda s, d: _simhash_cand_count(s, d, simhash_hamming_split),
+        ("tfidf_pairs",
+         lambda s, d, n: _tfidf_cand_count(s, d),
          docs1, docs10, n_docs1, n_docs10),
-        ("embedding_lsh", _emb_cand_count, emb1, emb10, n_emb1, n_emb10),
+        ("simhash",
+         lambda s, d, n: _simhash_cand_count(
+             s, d, simhash_hamming_split, n_docs=n
+         ),
+         docs1, docs10, n_docs1, n_docs10),
+        ("embedding_lsh",
+         lambda s, d, n: _emb_cand_count(s, d, n_items=n),
+         emb1, emb10, n_emb1, n_emb10),
     ]:
-        c1, c10 = fn(spark, in1), fn(spark, in10)
+        c1, c10 = fn(spark, in1, n1), fn(spark, in10, n10)
         candidates[name] = {
             "n_items": [n1, n10],
             "cand1": c1,

@@ -46,13 +46,19 @@ def agg_expr(
     ``exact=True`` switches mean/sum to replay-exact arithmetic: each
     value quantizes to floor(x*1e6 + 0.5) (an engine-uniform pure-IEEE
     rounding, exact for inputs with <= 6 fractional digits) and sums
-    as LONG — integer addition is associative, so the result cannot
-    depend on partition scheduling, and long accumulators stay inside
-    whole-stage codegen where decimal ones do not.  |sum|*1e6 must
-    stay below 2^53 for the final conversion.  Use it when results
-    must be bit-reproducible across runs/engines (the oracle-parity
-    query surface); the default double partials remain the throughput
-    path for the production rollup cascade.
+    in DECIMAL(38,0) — integer addition is associative, so the result
+    cannot depend on partition scheduling, and the decimal accumulator
+    cannot wrap below 1e38 where a LONG sum would silently wrap past
+    2^63 in non-ANSI Spark while DuckDB promotes to HUGEINT (r07
+    review; quantizing in codegen'd double math first and only casting
+    the LONG to decimal for the sum measures at parity with the pure
+    long form — the r06 2x regression came from DECIMAL(38,6) VALUE
+    arithmetic, not from a decimal accumulator).  Past 2^53 the final
+    decimal->double conversion rounds to nearest identically in both
+    engines.  Use it when results must be bit-reproducible across
+    runs/engines (the oracle-parity query surface); the default double
+    partials remain the throughput path for the production rollup
+    cascade.
     """
     value = F.col(value) if isinstance(value, str) else value
     ts = F.col(ts) if isinstance(ts, str) else ts
@@ -62,7 +68,11 @@ def agg_expr(
     if base == "mean":
         if exact:
             return (
-                F.sum(F.floor(value * F.lit(1e6) + F.lit(0.5)))
+                F.sum(
+                    F.floor(value * F.lit(1e6) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                )
                 .cast("double")
                 / F.lit(1e6)
                 / F.count(value)
@@ -71,7 +81,11 @@ def agg_expr(
     if base == "sum":
         if exact:
             return (
-                F.sum(F.floor(value * F.lit(1e6) + F.lit(0.5)))
+                F.sum(
+                    F.floor(value * F.lit(1e6) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                )
                 .cast("double")
                 / F.lit(1e6)
             )
@@ -100,7 +114,11 @@ def agg_expr(
             v100 = F.floor(value * F.lit(100.0) + F.lit(0.5))
             dec = "decimal(38,0)"
             s1 = F.sum(v100.cast(dec))
-            s2 = F.sum((v100 * v100).cast(dec))
+            # square in DECIMAL: v100 is LONG, and a LONG*LONG square
+            # wraps at |v100| > ~3e9 (|value| > ~3e7) BEFORE any cast
+            # could widen it — inside the envelope the combination
+            # below claims (r07 review finding)
+            s2 = F.sum(v100.cast(dec) * v100.cast(dec))
             n = F.count(value).cast(dec)
             return (
                 F.sqrt(

@@ -32,7 +32,16 @@ from pyspark.sql import functions as F
 # pinned parameters.  Values are localCheckpoint-materialized frames a
 # few longs wide per document — metadata scale even at 100 TB corpus
 # size.  Entries die with the Spark application (the checkpoint RDDs
-# belong to its context).
+# belong to its context).  CONSTRAINTS (r07 review): the corpus behind
+# a cache key is assumed IMMUTABLE within one application — rewriting
+# the parquet at the same path and re-deriving in the same session
+# would return the prior corpus's assignments (true for the read-only
+# testdata and any sane production snapshot discipline; a pipeline
+# that mutates its input in place must clear() this dict) — and
+# entries are not evicted, which is by design: each (corpus, params)
+# combination a session touches is a frame worth keeping for its
+# lifetime, and the count of such combinations is small by
+# construction.
 _ASSIGNMENT_CACHE: dict = {}
 
 
@@ -740,6 +749,12 @@ def connected_components(
     # from runtime stats, driven from the measured edge count).  Both
     # scale back up for a 100 TB pair graph — width is proportional to
     # edges, floored at the session default for the first round.
+    # CONSTRAINT: spark.sql.shuffle.partitions is session-global state;
+    # setting it per round assumes no CONCURRENT queries share this
+    # SparkSession while the loop runs (true for the driver gate, the
+    # bench, and the test suite, which execute queries sequentially) —
+    # the finally-restore below puts the session width back either way.
+    # A concurrent deployment should run CC on its own session.
     spark = pairs.sparkSession
     max_p = spark.sparkContext.defaultParallelism
 

@@ -76,18 +76,27 @@ def _sql_bucket(seconds: int, col: str = "ts") -> str:
 # partials; this kernel is the oracle-parity surface).  The resulting
 # mean DOUBLE is therefore bit-identical across engines, and every
 # downstream per-row window computation on it stays deterministic.
-# Implementation note (r06 perf pass): the order-free sum is an
-# INTEGER sum of floor(x*1e6 + 0.5) per row — the engine-uniform 1e-6
-# quantization — rather than a DECIMAL(38,6) cast.  Semantically
-# identical for the ≤2-dp inputs (the cast is exact there), but long
-# sums stay inside whole-stage codegen where Int128 decimal
-# accumulators do not: measured 1.70s -> ~0.8s on TPC-H Q1 at sf0.1.
-# The per-row floor form is also STRONGER than a decimal cast: it is
-# bit-identical across engines even for tie-valued doubles, where
-# engine cast-rounding rules disagree.  Exactness bound: |sum|*1e6
-# must stay below 2^53 for the final integer->double conversion
-# (true through sf1 for every kernel using this; the production
-# rollup path keeps native double partials regardless).
+# Implementation note (r06 perf pass, r07 accumulator widening): the
+# order-free sum is a sum of floor(x*1e6 + 0.5) per row — the
+# engine-uniform 1e-6 quantization in pure double math — NOT a
+# DECIMAL(38,6) value cast.  Semantically identical for the ≤2-dp
+# inputs (the cast is exact there), but the quantization stays inside
+# whole-stage codegen where Int128 decimal VALUE arithmetic does not
+# (measured 1.70s -> ~0.8s on TPC-H Q1 at sf0.1), and the per-row
+# floor form is STRONGER than a decimal cast: bit-identical across
+# engines even for tie-valued doubles, where engine cast-rounding
+# rules disagree.  The ACCUMULATOR, however, is DECIMAL(38,0) on the
+# Spark side (r07 review): summing the quantized longs as LONG wraps
+# silently past 2^63 in non-ANSI Spark while DuckDB's sum(BIGINT)
+# promotes to HUGEINT — exactly the divergence this kernel exists to
+# prevent, and product sums (x*y, squares) reach 2^63 at realistic
+# magnitudes.  Casting the already-quantized long to decimal for the
+# sum alone measures at parity with the pure long form (0.43s vs
+# 0.43s warm on the Q1 shape).  Exactness: the decimal sum is exact
+# below 1e38; past 2^53 the final decimal->double (Spark) and
+# HUGEINT->double (DuckDB) conversions both round the same exact
+# integer to nearest — still bit-identical.  The production rollup
+# path keeps native double partials regardless.
 def _xmean_sql(expr: str) -> str:
     return (
         f"(CAST(sum(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)"
@@ -104,13 +113,13 @@ def _xsum_sql(expr: str) -> str:
 
 def _xmean_col(col) -> "F.Column":
     c = F.col(col) if isinstance(col, str) else col
-    q = F.floor(c * F.lit(1e6) + F.lit(0.5))
+    q = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
     return F.sum(q).cast("double") / F.lit(1e6) / F.count(c)
 
 
 def _xsum_col(col) -> "F.Column":
     c = F.col(col) if isinstance(col, str) else col
-    q = F.floor(c * F.lit(1e6) + F.lit(0.5))
+    q = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
     return F.sum(q).cast("double") / F.lit(1e6)
 
 
@@ -148,7 +157,9 @@ def _xdev2_sql(val: str, mu: str) -> str:
 def _xdev2_col(val, mu) -> "F.Column":
     v = F.col(val) if isinstance(val, str) else val
     m = F.col(mu) if isinstance(mu, str) else mu
-    q = F.floor((v - m) * (v - m) * F.lit(1e6) + F.lit(0.5))
+    q = F.floor((v - m) * (v - m) * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     return F.sum(q).cast("double") / F.lit(1e6)
 
 
@@ -12046,9 +12057,17 @@ CHECK_ORDER = [
     "history_grouped_usage",
     "hll_distinct_users",
     "hybrid_rrf_retrieval",
-    "ingest_prometheus_wire",
-    "injector_synthetic",
+    # ingest_prometheus_wire + injector_synthetic were displaced past
+    # slot 50 by the two r07 changed-first additions — they LEAD the
+    # r08 oldest-first fill (the driver checks exactly the first 50
+    # entries; ordered_queries() asserts the window length so an
+    # overflow can never again silently drop scheduled re-checks)
 ]
+
+# exactly the driver's window: entries past 50 are not checked, so a
+# longer list silently un-schedules its tail (r07 review finding)
+_DRIVER_WINDOW = 50
+assert len(CHECK_ORDER) <= _DRIVER_WINDOW, len(CHECK_ORDER)
 
 
 def ordered_queries() -> dict:

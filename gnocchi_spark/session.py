@@ -21,23 +21,40 @@ def _default_driver_mem() -> str:
     MEMORY_AND_DISK persists in the dedup kernels — measured 10.6s ->
     7.9s on minhash LSH at 32g).  But a fixed 32g default fails outright
     on smaller hosts/cgroup-capped containers, so derive the default:
-    ~60% of MemTotal, clamped to [2g, 32g].  ``SPARK_GRAFT_DRIVER_MEM``
-    overrides.  On a real cluster executor memory is sized separately
-    per deployment and this default is irrelevant.
+    ~60% of available memory, clamped to [2g, 32g] — where "available"
+    is min(MemTotal, cgroup limit): /proc/meminfo reports the HOST's
+    memory inside a memory-capped container (r07 review), so reading
+    it alone re-creates the OOM-kill the derivation exists to avoid.
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides.  On a real cluster executor
+    memory is sized separately per deployment and this default is
+    irrelevant.
     """
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
+    total_gib = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     total_gib = int(line.split()[1]) / (1024 * 1024)
                     break
-            else:
-                return "8g"
     except OSError:
+        pass
+    if total_gib is None:
         return "8g"
+    # cgroup v2 then v1; "max" / absent / unreadable mean uncapped
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+            if raw.isdigit():
+                total_gib = min(total_gib, int(raw) / (1024**3))
+        except OSError:
+            continue
     return f"{max(2, min(32, int(total_gib * 0.6)))}g"
 
 

@@ -163,7 +163,7 @@ def test_xsum_col_quantizes_engine_uniformly(spark):
 
 from fractions import Fraction
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 _cents = st.lists(
     st.integers(min_value=-10_000, max_value=100_000),  # -100.00..1000.00
@@ -248,6 +248,10 @@ def test_xsum_messy_doubles_order_free_and_engine_equal(spark, vals):
 
 @settings(max_examples=10, deadline=None)
 @given(_messy)
+@example([1e6] * 24)   # sum of quantized products = 2.4e19 > 2^63: a
+@example([-1e6] * 24)  # LONG accumulator wraps here (r07 review
+#   finding) while DuckDB promotes to HUGEINT — the DECIMAL(38,0)
+#   accumulator must agree with DuckDB on the exact value
 def test_xsum_of_products_engine_equal(spark, vals):
     # the product-sum call class itself: sum(floor(va*vb*1e6+0.5))
     # where va, vb are messy doubles (vb = reversed pairing)

@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -92,16 +94,14 @@ def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
         # (metric_id, ts, value, seq — seq is its in-batch tiebreak)
         out = stateful_rate_stream(m)
         mode = "append"
+    # fresh checkpoint per CALL (not per pid): reusing a previous run's
+    # committed offsets would resume at the plateau and break the
+    # fill-phase assertion; the dir is removed on exit either way
+    ckpt = tempfile.mkdtemp(prefix=f"soak_ckpt_{which}_")
     q = (
         out.writeStream.outputMode(mode)
         .format("noop")
-        .option(
-            "checkpointLocation",
-            os.path.join(
-                os.environ.get("TMPDIR", "/tmp"),
-                f"soak_ckpt_{which}_{os.getpid()}",
-            ),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -124,6 +124,7 @@ def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
             time.sleep(0.1)
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return [dict(batch=b, **curve[b]) for b in sorted(curve)]
 
 
