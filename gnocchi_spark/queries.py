@@ -5082,12 +5082,20 @@ def seasonal_profile(spark, sf_dir):
         F.count("*").cast("long").alias("n_buckets"),
     )
     wp = W.partitionBy("metric_id")
-    # r07 (ADVICE): the normalizer sums floor(__hm*1e6+0.5) longs over
-    # the window — __hm is a messy mean double, and a double->decimal
-    # cast of it is tie-exposed across engines; the floor form is pure
-    # IEEE, bit-identical in both.
+    # r07 (ADVICE): the normalizer sums floor(__hm*1e6+0.5) over the
+    # window — __hm is a messy mean double, and a double->decimal cast
+    # of it is tie-exposed across engines; the floor form is pure IEEE,
+    # bit-identical in both.  r08 (ADVICE): the quantized values
+    # ACCUMULATE in decimal(38,0) like every group-by kernel — Spark's
+    # non-ANSI window sum of LONGs wraps silently past 2^63 where the
+    # DuckDB oracle promotes to HUGEINT (same divergence class the r07
+    # sweep closed for agg accumulators).
     day_avg = (
-        F.sum(F.floor(F.col("__hm") * F.lit(1e6) + F.lit(0.5))).over(wp)
+        F.sum(
+            F.floor(F.col("__hm") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).over(wp)
         .cast("double") / F.lit(1e6)
         / F.count("*").over(wp)
     )
@@ -6342,10 +6350,14 @@ def tsdb_time_weighted_avg(spark, sf_dir):
         _rnd_col(
             F.when(
                 sw > 0,
+                # r08 (ADVICE): quantized product sums accumulate in
+                # decimal(38,0) — value*w*1e8 is ~4e13 per row, so a
+                # LONG accumulator wraps within ~2e5 rows per bucket
+                # while DuckDB promotes to HUGEINT.
                 F.sum(
                     F.floor(
                         F.col("value") * F.col("w") * F.lit(1e8) + F.lit(0.5)
-                    )
+                    ).cast("decimal(38,0)")
                 )
                 .cast("double")
                 / F.lit(1e8)
@@ -7668,9 +7680,16 @@ def tsdb_cusum_drift(spark, sf_dir):
     # r07 (ADVICE): dev = mean - mu is a messy double; the running sum
     # quantizes per row with floor(dev*1e6+0.5) (pure IEEE, identical
     # cross-engine) instead of a tie-exposed double->decimal cast.
+    # r08 (ADVICE): the quantized longs accumulate in decimal(38,0) —
+    # Spark's non-ANSI window sum wraps past 2^63 where DuckDB
+    # promotes to HUGEINT.
     cs = dev.withColumn(
         "s",
-        F.sum(F.floor(F.col("dev") * F.lit(1e6) + F.lit(0.5)))
+        F.sum(
+            F.floor(F.col("dev") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
         .over(run).cast("double") / F.lit(1e6),
     )
     return cs.select(
@@ -10420,11 +10439,12 @@ def tsdb_cusum_profile(spark, sf_dir):
     # mean is a metadata-scale broadcast.  Engine-exactness (r06): the
     # bucket mean is the decimal-exact kernel rounded to 6 dp, mu is a
     # decimal-exact mean of those 6 dp values, and the running sum
-    # accumulates floor(dev*1e6+0.5) LONGS (r07: the dev is a messy
-    # double, so the former double->decimal cast was tie-exposed; the
-    # floor quantization is pure IEEE, identical cross-engine) — long
-    # addition is associative, so running vs segment-tree accumulation
-    # cannot diverge (the r05 driver-red half-ulp flake lived here).
+    # accumulates floor(dev*1e6+0.5) integers in DECIMAL(38,0) (r07:
+    # the dev is a messy double, so the former double->decimal cast
+    # was tie-exposed; the floor quantization is pure IEEE, identical
+    # cross-engine) — integer addition is associative, so running vs
+    # segment-tree accumulation cannot diverge (the r05 driver-red
+    # half-ulp flake lived here).
     from pyspark.sql import Window
 
     from gnocchi_spark.functions.timeutil import truncate_to_bucket
@@ -10445,8 +10465,12 @@ def tsdb_cusum_profile(spark, sf_dir):
         "bucket_ts",
         _rnd_col("v", 6).alias("v"),
         _rnd_col(
+            # r08 (ADVICE): decimal(38,0) accumulator — non-ANSI window
+            # sum of LONGs wraps silently where DuckDB goes HUGEINT
             F.sum(
-                F.floor((F.col("v") - F.col("mu")) * F.lit(1e6) + F.lit(0.5))
+                F.floor(
+                    (F.col("v") - F.col("mu")) * F.lit(1e6) + F.lit(0.5)
+                ).cast("decimal(38,0)")
             ).over(w).cast("double") / F.lit(1e6),
             4,
         ).alias("cusum"),
@@ -12065,18 +12089,28 @@ CHECK_ORDER = [
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a
-# longer list silently un-schedules its tail (r07 review finding)
+# longer list silently un-schedules its tail (r07 review finding).
+# A hard raise, not assert — `python -O` strips asserts, which would
+# silently re-enable the exact tail-drop failure this guards against
+# (r08 ADVICE).
 _DRIVER_WINDOW = 50
-assert len(CHECK_ORDER) <= _DRIVER_WINDOW, len(CHECK_ORDER)
+if len(CHECK_ORDER) > _DRIVER_WINDOW:
+    raise RuntimeError(
+        f"CHECK_ORDER has {len(CHECK_ORDER)} entries; the driver checks "
+        f"only the first {_DRIVER_WINDOW} — trim the window or entries "
+        "past the limit are never re-checked"
+    )
 
 
 def ordered_queries() -> dict:
     """QUERIES reordered so CHECK_ORDER comes first, then the rest in
     registration order.  Raises if CHECK_ORDER references a missing or
     duplicate name, so a rename cannot silently shrink the checked set."""
-    assert len(set(CHECK_ORDER)) == len(CHECK_ORDER), "duplicate in CHECK_ORDER"
+    if len(set(CHECK_ORDER)) != len(CHECK_ORDER):
+        raise RuntimeError("duplicate in CHECK_ORDER")
     missing = [n for n in CHECK_ORDER if n not in QUERIES]
-    assert not missing, f"CHECK_ORDER names not registered: {missing}"
+    if missing:
+        raise RuntimeError(f"CHECK_ORDER names not registered: {missing}")
     out = {n: QUERIES[n] for n in CHECK_ORDER}
     out.update({n: f for n, f in QUERIES.items() if n not in out})
     return out

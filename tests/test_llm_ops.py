@@ -647,3 +647,101 @@ def test_benchmark_decontamination_flags_13gram_overlap(spark):
         spark.createDataFrame([Row(doc_id=9, text="a b c")])
     ).count()
     assert n == 0
+
+
+def test_assignment_memo_eviction_staleness_and_clear(spark, tmp_path):
+    """The dedup stage memo (r08): bounded LRU that unpersists evicted
+    entries' checkpoint blocks, keyed by an input-file fingerprint so a
+    rewritten corpus misses instead of serving stale assignments, and
+    clearable."""
+    from gnocchi_spark.operators import dedup as D
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def write_corpus(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c"))
+        return spark.read.parquet(str(tmp_path / "c"))
+
+    D.clear_assignment_cache()
+    base_entries = len(D._ASSIGNMENT_CACHE)
+    assert base_entries == 0
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    v1 = write_corpus([(i, text_a) for i in range(1, 5)] + [(9, "unrelated words only here")])
+    key = str(tmp_path / "c")
+    a1 = D.cluster_assignments(
+        v1, num_hashes=8, band_size=4, threshold=0.6, cache_key=key
+    )
+    # all four identical docs land in one cluster rooted at min id
+    got1 = {r["doc_id"]: r["cluster_id"] for r in a1.collect()}
+    assert got1 == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+    assert len(D._ASSIGNMENT_CACHE) == 2  # pair set + assignment
+
+    # memo hit returns the same materialized frame
+    a1b = D.cluster_assignments(
+        v1, num_hashes=8, band_size=4, threshold=0.6, cache_key=key
+    )
+    assert a1b is a1
+
+    # STALENESS: rewrite the parquet at the same path -> the fingerprint
+    # changes, the memo misses, and the NEW corpus's clusters come back
+    import time
+
+    time.sleep(0.05)  # mtime_ns granularity guard
+    v2 = write_corpus([(i, text_a) for i in (7, 8)] + [(5, "different words entirely now")])
+    a2 = D.cluster_assignments(
+        v2, num_hashes=8, band_size=4, threshold=0.6, cache_key=key
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in a2.collect()}
+    assert got2 == {7: 7, 8: 7, 5: 5}
+
+    # EVICTION: sweeping parameters stays within the LRU bound and the
+    # evicted entries' checkpoint blocks are unpersisted (the persisted
+    # count plateaus at the bound + build leftovers, not one per sweep)
+    before = n_persisted()
+    for th in (0.3, 0.4, 0.5, 0.7, 0.8):
+        D.cluster_assignments(
+            v2, num_hashes=8, band_size=4, threshold=th, cache_key=key
+        ).count()
+    assert len(D._ASSIGNMENT_CACHE) <= D._ASSIGNMENT_CACHE.max_entries
+    # 5 sweeps x 2 stages each = 10 checkpoints created; without
+    # eviction persisted would grow by ~10
+    assert n_persisted() - before <= D._ASSIGNMENT_CACHE.max_entries + 2
+
+    # CLEAR: everything the memo owns is dropped and unpersisted
+    owned = D._ASSIGNMENT_CACHE.owned_ids()
+    assert owned
+    D.clear_assignment_cache()
+    assert len(D._ASSIGNMENT_CACHE) == 0
+    live = {
+        rid
+        for rid in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+    assert not (owned & live)
+
+
+def test_connected_components_isolates_session_conf(spark):
+    """The CC loop narrows shuffle width on a CLONED session (r08
+    ADVICE): the caller's spark.sql.shuffle.partitions never changes,
+    and the returned frame is bound to the caller's session so it joins
+    caller-side tables."""
+    from gnocchi_spark.operators.dedup import connected_components
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(pairs)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    # caller-session usability: join against a caller-session frame
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long")
+    joined = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id", "component"
+    )
+    got = {r["doc_id"]: r["component"] for r in joined.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: None}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
