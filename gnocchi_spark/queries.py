@@ -12014,7 +12014,7 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r07 rotation -----------------------------------------------------
+    # --- r08 rotation -----------------------------------------------------
     # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
     # whose implementation changed this round + new queries (front),
     # then the STALEST green rows by last-driver-checked round
@@ -12023,69 +12023,66 @@ CHECK_ORDER = [
     # union.  Full-registry coverage is maintained by the committed
     # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
     # scales.
-    # -- 1) changed in r07 (exactness product-sum sweep: std DECIMAL
-    #    combination, floor-quantized product sums, cusum running
-    #    sums, covered_s rounding; Q11 self-scaling threshold;
-    #    lead-lag top-k prescreen; shared cluster_assignments stage —
-    #    dedup_minhash_lsh leads so the shared pair build lands there)
-    "benchmark_decontamination",
-    "dedup_candidate_profile",
-    "tsdb_rollup_std_1h",
-    "metric_correlation_matrix",
-    "tsdb_trend_forecast",
-    "seasonal_profile",
-    "tsdb_autocorrelation",
-    "tsdb_time_weighted_avg",
-    "metric_lead_lag",
-    "tsdb_cusum_drift",
+    # -- 1) changed in r08 (window-sum DECIMAL(38,0) accumulators:
+    #    cusum profile/drift, seasonal_profile, time-weighted-avg
+    #    product sum; binary decontamination shingle hashes; dedup
+    #    memo LRU/staleness + CC cloned-session isolation — the whole
+    #    cluster family re-checks)
     "tsdb_cusum_profile",
-    "tpch_q11_important_stock",
+    "tsdb_cusum_drift",
+    "seasonal_profile",
+    "tsdb_time_weighted_avg",
+    "benchmark_decontamination",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_cluster_canonical",
     "split_leakage_free",
-    # -- 2) oldest-first fill: every row last driver-checked in r01 --
-    "dedup_embedding_cosine",
-    "ingest_collectd",
-    "ingest_influxdb_lines",
-    "ingest_prometheus",
-    "ingest_statsd_flush",
-    "tsdb_calendar_half",
-    # -- r02-vintage rows --
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "corpus_token_histogram",
-    "dedup_ngram_jaccard",
-    "embedding_quantize",
-    "multimodal_features",
-    "pipeline_corpus_filter",
-    "resource_filter_dsl",
-    "resource_query_string_filter",
-    "resource_type_attributes",
-    "sample_stratified",
-    "text_language_id",
-    "text_quality_by_lang",
-    "text_stats",
-    "text_winnowing",
-    # -- r03-vintage rows (alphabetical prefix of the r03 cohort) --
-    "aggregates_api_end_to_end",
-    "ann_pq_topk",
-    "asof_join_nearest",
-    "binned_quantile_p95",
-    "bm25_retrieval",
-    "cluster_topics_kmeans",
-    "cms_heavy_hitters",
-    "dedup_bloom_batch",
-    "dedup_incremental_minhash",
-    "dedup_span_exact",
-    "history_grouped_usage",
-    "hll_distinct_users",
-    "hybrid_rrf_retrieval",
-    # ingest_prometheus_wire + injector_synthetic were displaced past
-    # slot 50 by the two r07 changed-first additions — they LEAD the
-    # r08 oldest-first fill (the driver checks exactly the first 50
-    # entries; ordered_queries() asserts the window length so an
-    # overflow can never again silently drop scheduled re-checks)
+    # -- 2) the two tail re-checks displaced when CHECK_ORDER hit 52
+    #    in r07 (28f8f8f note) --
+    "ingest_prometheus_wire",
+    "injector_synthetic",
+    # -- 3) oldest-first fill: the remaining r03 cohort --
+    "maintenance_inactivity",
+    "maintenance_retention",
+    "metric_backlog",
+    "metric_wildcard_semijoin",
+    "multimodal_frame_sample",
+    "pack_sequences_512",
+    "pii_redact",
+    "policy_rule_assignment",
+    "resource_groupby_aggregates",
+    "sessionize_gap",
+    "tpch_q10_returned_items",
+    "tsdb_calendar_sunday_week",
+    "tsdb_fill_bfill",
+    "tsdb_fill_ffill",
+    "tsdb_multi_granularity_read",
+    "tsdb_ops_aggregate_mean",
+    "tsdb_ops_aggregate_rate",
+    "tsdb_ops_arith_fill0",
+    "tsdb_ops_clip_compare",
+    "tsdb_ops_fmax_mod_pow",
+    "tsdb_ops_rateofchange",
+    "tsdb_ops_rateofchangesec",
+    "tsdb_ops_resample_form",
+    "tsdb_ops_rolling_mean4",
+    "tsdb_ops_unary_math",
+    "tsdb_rate_mean_1h",
+    "tsdb_read_window",
+    "tsdb_resample_5m_to_1h",
+    "tsdb_rollup_first_last_1h",
+    "tsdb_rollup_multi_1h",
+    "tsdb_rollup_pct_1d",
+    # -- r04-vintage rows (alphabetical prefix of the r04 cohort;
+    #    the remainder leads the r09 fill) --
+    "ab_test_ztest",
+    "ann_index_roundtrip",
+    "ann_recall_report",
+    "decontaminate_ngram",
+    "dedup_semantic",
+    "histogram_quantile_cascade",
+    "hll_cascade_merge",
+    "ingest_csv_measures",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a
