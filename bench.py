@@ -596,10 +596,41 @@ def deep_stress(spark, sf_dir):
             "vs_linear": round(growth / fac_txt, 2) if growth is not None else None,
         }
 
+    # r08 (VERDICT r07 next #5): the text generators' SECOND decade —
+    # factor 100 on the sf0.01 base (500 -> 50k docs), counts only
+    # (candidate volume is deterministic, so this probe is
+    # load-insensitive; wall figures belong to the big-base probe
+    # above).  The embedding generator already runs factor 100 above.
+    text100 = {}
+    small_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if small_dir != sf_dir and os.path.isdir(small_dir):
+        fac2 = int(os.environ.get("SPARK_GRAFT_DEEP_FACTOR_TEXT2", "100"))
+        s1 = tables.load(spark, small_dir, "documents")
+        sD = _replicated_docs(spark, small_dir, fac2)
+        sn1, snD = s1.count(), sD.count()
+        for name, fn in [
+            ("minhash", _minhash_cand_count),
+            ("tfidf_pairs", lambda s, d, n: _tfidf_cand_count(s, d)),
+            ("simhash", lambda s, d, n: _simhash_cand_count(s, d, n_docs=n)),
+        ]:
+            c1, cD = fn(spark, s1, sn1), fn(spark, sD, snD)
+            growth = round(cD / c1, 2) if c1 else None
+            text100[name] = {
+                "n_items": [sn1, snD],
+                "factor": fac2,
+                "cand1": c1,
+                "cand_deep": cD,
+                "cand_growth": growth,
+                "vs_linear": round(growth / fac2, 2)
+                if growth is not None
+                else None,
+            }
+
     return {
         "factor_text": fac_txt,
         "factor_emb": fac_emb,
         "candidates": candidates,
+        "text_100x": text100,
         "queries": queries,
         "emb_lsh_params": {
             "x1": dict(
@@ -905,6 +936,10 @@ def main() -> None:
                 for k, v in deep.get("candidates", {}).items()
             },
         }
+        if deep.get("text_100x"):
+            compact["deep_stress"]["text_100x_vs_linear"] = {
+                k: v["vs_linear"] for k, v in deep["text_100x"].items()
+            }
     # degrade gracefully toward the 2000-char window: start with the 8
     # slowest queries, halve until the document fits with margin
     for n_slow in (8, 4, 2, 0):

@@ -682,3 +682,54 @@ def test_state_store_plateaus_under_skewed_late_soak(spark):
     # injected lateness (every 10th row, 2h behind a 1h watermark) is
     # dropped by the watermark, not retained as state
     assert sum(c["late_dropped"] for c in curve[5:]) > 0
+
+
+def test_streaming_dedup_state_linear_in_distinct_and_ttl_bounded(spark):
+    """r08 soak extension (VERDICT r07 next #7): the streaming exact
+    dedup operator's state follows DISTINCT CONTENT exactly — a live
+    short soak over an unbounded vocabulary must grow at precisely the
+    new-hash rate (the documented linear-by-design trade) — while the
+    committed 1000-batch artifact (SOAK_r8.json) must show the
+    TTL-bounded mode PLATEAUING under the same vocabulary (state ~
+    new-hash rate x TTL, tail slope ~0 where exact mode's is +50)."""
+    import json
+    import os
+
+    from tools.soak_streaming import run_soak, tail_slope
+
+    curve = run_soak(spark, 40, 100, "dedup_exact")
+    assert len(curve) >= 30
+    slope = tail_slope(curve, tail_frac=1.0)
+    # soaked_docs emits exactly rows_per_batch/2 = 50 never-seen hashes
+    # per batch; exact state must track them 1:1
+    assert 45.0 <= slope <= 55.0, slope
+
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "SOAK_r8.json")
+    ) as fh:
+        soak = json.load(fh)
+    ttl = soak["dedup_ttl"]
+    new_rate = ttl["rows_per_batch"] / 2
+    # plateau: the tail slope is ~0 against a +new_rate unbounded
+    # baseline, and peak state sits far below cumulative distinct
+    assert abs(ttl["tail_slope_rows_per_batch"]) < 0.1 * new_rate
+    assert ttl["peak_state_rows"] < 0.5 * ttl["batches"] * new_rate
+    exact = soak["dedup_exact"]
+    assert 0.9 <= exact["slope_vs_distinct_rate"] <= 1.1
+
+
+def test_streaming_sessions_state_plateaus(spark):
+    """r08 soak extension: the native session_window sink's state is
+    bounded by open sessions per key (the skewed key gets ONE session,
+    not 90% of state) and late rows are dropped by the watermark."""
+    from tools.soak_streaming import run_soak, tail_slope
+
+    curve = run_soak(spark, 60, 300, "sessions")
+    assert len(curve) >= 50
+    peak = max(c["state_rows"] for c in curve)
+    tail = tail_slope(curve, tail_frac=0.5)
+    # 51 live keys -> one open (ever-merging) session each, plus the
+    # per-trigger merge buffer; state must track keys, never traffic
+    assert peak < 200, peak
+    assert abs(tail) < 1.0, tail
+    assert sum(c["late_dropped"] for c in curve[5:]) > 0

@@ -72,6 +72,26 @@ def soaked_measures(spark, rows_per_batch: int):
     )
 
 
+def soaked_docs(spark, rows_per_batch: int, repeat: int = 2):
+    """Deterministic UNBOUNDED-vocabulary document stream: every
+    ``repeat`` consecutive doc_ids share one content hash, so each
+    batch introduces rows_per_batch/repeat never-seen-before hashes
+    forever — the adversarial input for exact streaming dedup (state
+    must grow linearly in distinct content) and the case the TTL mode
+    exists to bound."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return src.select(
+        F.col("value").alias("doc_id"),
+        F.md5(F.floor(F.col("value") / repeat).cast("string")).alias(
+            "text_hash"
+        ),
+    )
+
+
 def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
     """Run one soak; returns the per-batch curve.
 
@@ -79,21 +99,54 @@ def run_soak(spark, n_batches: int, rows_per_batch: int, which: str = "rollup"):
     back-window (streaming_rollup — the append/merge sinks' shape).
     which = 'rate': the applyInPandasWithState per-metric rate operator
     (state = one row per live metric, processing-time TTL).
+    which = 'dedup_ttl' / 'dedup_exact': the streaming exact-dedup
+    operator over an unbounded vocabulary, with a 1-minute TTL
+    (state must plateau at ~new-hash rate x TTL) vs exact forever
+    semantics (state must track cumulative distinct — linear by
+    DESIGN, the documented trade ttl_minutes exists for).
+    which = 'sessions': the native session_window sink over the skewed
+    + late measure stream (state = open sessions per key, bounded by
+    key count, not traffic).
     """
-    from gnocchi_spark.streaming.ingest import streaming_rollup
-    from gnocchi_spark.streaming.stateful import stateful_rate_stream
+    from gnocchi_spark.streaming.ingest import (
+        streaming_rollup,
+        streaming_session_stats,
+    )
+    from gnocchi_spark.streaming.stateful import (
+        stateful_rate_stream,
+        streaming_dedup_stream,
+    )
 
-    m = soaked_measures(spark, rows_per_batch)
+    mode = "append"
     if which == "rollup":
         out = streaming_rollup(
-            m, ["mean", "count"], 300.0, back_window_seconds=3600.0
+            soaked_measures(spark, rows_per_batch),
+            ["mean", "count"],
+            300.0,
+            back_window_seconds=3600.0,
         )
-        mode = "append"
-    else:
+    elif which == "rate":
         # the rate operator consumes the full measures contract
         # (metric_id, ts, value, seq — seq is its in-batch tiebreak)
-        out = stateful_rate_stream(m)
-        mode = "append"
+        out = stateful_rate_stream(soaked_measures(spark, rows_per_batch))
+    elif which == "dedup_ttl":
+        out = streaming_dedup_stream(
+            soaked_docs(spark, rows_per_batch), ttl_minutes=1
+        )
+    elif which == "dedup_exact":
+        out = streaming_dedup_stream(
+            soaked_docs(spark, rows_per_batch), ttl_minutes=None
+        )
+    elif which == "sessions":
+        out = streaming_session_stats(
+            soaked_measures(spark, rows_per_batch),
+            ["metric_id"],
+            gap_seconds=1800.0,
+            watermark="1 hour",
+            value_col="value",
+        )
+    else:
+        raise ValueError(which)
     # fresh checkpoint per CALL (not per pid): reusing a previous run's
     # committed offsets would resume at the plateau and break the
     # fill-phase assertion; the dir is removed on exit either way
@@ -162,9 +215,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {"n_batches": n_batches, "rows_per_batch": rows_per_batch}
-    for which, nb in (("rollup", n_batches), ("rate", max(100, n_batches // 4))):
+    plan = (
+        ("rollup", n_batches, rows_per_batch),
+        ("rate", max(100, n_batches // 4), rows_per_batch),
+        # r08 (VERDICT r07 next #7): the remaining stateful sinks.
+        # dedup runs at a smaller batch so the 1-min-TTL plateau level
+        # (~new-hash rate x TTL) stays a readable curve, and long
+        # enough to cross several TTL horizons
+        ("dedup_ttl", n_batches, max(50, rows_per_batch // 5)),
+        ("dedup_exact", max(200, n_batches // 3), max(50, rows_per_batch // 5)),
+        ("sessions", max(300, n_batches // 2), rows_per_batch),
+    )
+    for which, nb, rpb in plan:
         t0 = time.time()
-        curve = run_soak(spark, nb, rows_per_batch, which)
+        curve = run_soak(spark, nb, rpb, which)
         if not curve:
             raise RuntimeError(f"{which} soak produced no progress rows")
         slope = tail_slope(curve)
@@ -174,12 +238,21 @@ def main():
         thin = [c for i, c in enumerate(curve) if i % 10 == 0] + curve[-1:]
         out[which] = {
             "batches": len(curve),
+            "rows_per_batch": rpb,
             "wall_s": round(time.time() - t0, 1),
             "peak_state_rows": peak,
             "tail_slope_rows_per_batch": round(slope, 4),
             "late_rows_dropped": dropped,
             "curve_every_10th": thin,
         }
+        if which == "dedup_exact":
+            # exact semantics: state IS cumulative distinct content —
+            # the slope must equal the new-hash rate (rpb/2 per batch,
+            # see soaked_docs), the linear-by-design case the TTL mode
+            # is documented to bound
+            expected = rpb / 2
+            out[which]["distinct_per_batch"] = expected
+            out[which]["slope_vs_distinct_rate"] = round(slope / expected, 4)
         print(
             f"{which}: {len(curve)} batches, peak state {peak}, "
             f"tail slope {slope:.4f} rows/batch, late dropped {dropped}",
