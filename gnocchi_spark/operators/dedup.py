@@ -51,11 +51,21 @@ class _AssignmentMemo:
     - **Clearable**: :func:`clear_assignment_cache` unpersists
       everything (e.g. between unrelated pipelines sharing a session).
 
+    **Lifetime contract** (the price of bounding): evicting an entry
+    unpersists its localCheckpoint blocks, and a truncated-lineage
+    frame cannot be recomputed — so a DataFrame returned by a memoized
+    builder is only guaranteed actionable until ``max_entries``
+    further distinct memoized builds have run.  The engine's own
+    consumers (gate queries, bench) derive-then-consume immediately; a
+    caller holding results across a long parameter sweep must persist
+    or write them out (or raise ``max_entries``).  The default holds
+    four corpora's pair + assignment stages.
+
     Entries otherwise die with the Spark application (the checkpoint
     RDDs belong to its context).
     """
 
-    def __init__(self, max_entries: int = 4):
+    def __init__(self, max_entries: int = 8):
         from collections import OrderedDict
 
         self.max_entries = max_entries
@@ -159,42 +169,20 @@ def _tracked_local_checkpoint(df: DataFrame):
     return out, handles
 
 
-def _persistent_ids(df: DataFrame) -> set:
-    """Ids of every currently persisted RDD in the DataFrame's
-    SparkContext."""
-    jsc = df.sparkSession.sparkContext._jsc
-    return set(jsc.getPersistentRDDs().keySet().toArray())
-
-
-def _free_build_intermediates(df: DataFrame, before_ids: set, keep) -> None:
-    """Unpersist every RDD persisted since ``before_ids`` that is not
-    (a) one of ``keep``'s handles or (b) owned by a live memo entry.
-
-    A memoized derivation (minhash pair build, CC loop) eagerly
-    persists intermediates — the shingle-array cache, one
-    localCheckpoint per CC round — that are dead the moment the final
-    result is checkpoint-materialized.  Without this sweep every
-    ``cluster_assignments`` call leaked O(rounds) checkpoint block sets
-    for the application lifetime.  Runs only on the memoized path,
-    after the result is eagerly materialized, so nothing freed here is
-    ever recomputed."""
-    jsc = df.sparkSession.sparkContext._jsc
-    reg = jsc.getPersistentRDDs()
-    keep_ids = _ASSIGNMENT_CACHE.owned_ids()
-    for h in keep:
+def _unpersist_handles(handles) -> None:
+    """Best-effort unpersist of a list of JavaRDD handles (checkpoint
+    blocks a finished derivation owns and no longer needs).  Ownership
+    is EXPLICIT — only handles captured by `_tracked_local_checkpoint`
+    around this derivation's own materializations are ever passed
+    here, never a registry diff (an r08 review found a diff-based
+    sweep co-attributes a caller's cache or a concurrent thread's
+    checkpoint materialized inside the build window, and an
+    unpersisted truncated-lineage checkpoint cannot be rebuilt)."""
+    for h in handles:
         try:
-            keep_ids.add(h.id())
+            h.unpersist(False)
         except Exception:
             pass
-    for rid in set(reg.keySet().toArray()) - set(before_ids):
-        if rid in keep_ids:
-            continue
-        h = reg.get(rid)
-        if h is not None:
-            try:
-                h.unpersist(False)
-            except Exception:
-                pass
 
 
 def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
@@ -522,6 +510,7 @@ def minhash_near_duplicates(
     band_size: int | None = None,
     threshold: float = 0.6,
     cache_key: str | None = None,
+    _input_fp: tuple | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
     bands, verified with exact Jaccard >= threshold.
@@ -556,7 +545,9 @@ def minhash_near_duplicates(
             docs.sparkSession.sparkContext.applicationId,
             "mh_pairs",
             cache_key,
-            _input_fingerprint(docs),
+            # accept a caller-computed fingerprint so the nested
+            # cluster_assignments path lists/stats the input once
+            _input_fp if _input_fp is not None else _input_fingerprint(docs),
             text_col,
             id_col,
             k,
@@ -567,7 +558,6 @@ def minhash_near_duplicates(
         hit = _ASSIGNMENT_CACHE.get(memo_key)
         if hit is not None:
             return hit
-        build_base = _persistent_ids(docs)
 
     # array layout end to end: signatures and Jaccard are map-side
     # projections; the only shuffles left are the band self-join and
@@ -601,8 +591,9 @@ def minhash_near_duplicates(
         out, handles = _tracked_local_checkpoint(out)
         _ASSIGNMENT_CACHE.put(memo_key, out, handles)
         # the shingle-array persist is dead once the pair set is
-        # checkpoint-materialized
-        _free_build_intermediates(out, build_base, handles)
+        # checkpoint-materialized; explicit unpersist of OUR OWN frame
+        # only (never a registry sweep — see _unpersist_handles)
+        arrays.unpersist(False)
     return out
 
 
@@ -849,6 +840,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = 25,
+    _handles_out: list | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: returns
     one row per node appearing in ``pairs`` with its component id (the
@@ -1009,6 +1001,12 @@ def connected_components(
             prev = cur
     finally:
         spark.catalog.dropGlobalTempView(view)
+    # the final round's checkpoint blocks back the returned frames for
+    # as long as the caller keeps them; a caller that eagerly
+    # re-materializes downstream (the memoized cluster_assignments
+    # path) can reclaim them through ``_handles_out``
+    if _handles_out is not None:
+        _handles_out.extend(prev_handles)
     # re-bind the fixpoint edge set to the CALLER's session (same view
     # trick in reverse): downstream consumers join it against full-size
     # tables and should shuffle at the caller's width, and a frame that
@@ -1034,13 +1032,14 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    _handles_out: list | None = None,
 ) -> DataFrame:
     """Cluster assignment for every document: transitive closure of the
     near-duplicate ``pairs`` graph, singletons as their own cluster.
     Output: (doc_id, cluster_id, cluster_size, is_canonical) — the
     keep-set of a dedup pipeline is ``is_canonical`` (the minimum doc id
     of each cluster survives)."""
-    cc = connected_components(pairs, id_a, id_b)
+    cc = connected_components(pairs, id_a, id_b, _handles_out=_handles_out)
     assigned = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(cc, F.col("doc_id") == F.col("node"), "left")
@@ -1080,16 +1079,22 @@ def cluster_assignments(
     slowest gate rows (29.1/27.8/27.4 s at sf0.1, 58-66 driver jobs
     each) were one pipeline computed three times.  With ``cache_key``
     set (callers pass the corpus path), the materialized assignment is
-    memoized per (Spark application, key, parameters) and later
-    consumers reuse it for the cost of a localCheckpoint scan.  On a
-    real cluster the same role is played by writing the assignment to a
-    bucketed table once per dedup run.
+    memoized per (Spark application, key, input fingerprint,
+    parameters) and later consumers reuse it for the cost of a
+    localCheckpoint scan.  On a real cluster the same role is played by
+    writing the assignment to a bucketed table once per dedup run.
+
+    Memo lifetime: the returned frame stays actionable until the LRU
+    evicts its entry (``_AssignmentMemo.max_entries`` further memoized
+    builds) — persist or write out results held across long parameter
+    sweeps (see the memo's lifetime contract).
     """
+    fp = _input_fingerprint(docs) if cache_key is not None else None
     if cache_key is not None:
         memo_key = (
             docs.sparkSession.sparkContext.applicationId,
             cache_key,
-            _input_fingerprint(docs),
+            fp,
             num_hashes,
             band_size,
             threshold,
@@ -1099,7 +1104,6 @@ def cluster_assignments(
         hit = _ASSIGNMENT_CACHE.get(memo_key)
         if hit is not None:
             return hit
-        build_base = _persistent_ids(docs)
     pairs = minhash_near_duplicates(
         docs,
         text_col=text_col,
@@ -1108,15 +1112,21 @@ def cluster_assignments(
         band_size=band_size,
         threshold=threshold,
         cache_key=cache_key,
+        _input_fp=fp,
     )
-    out = near_dup_clusters(docs, pairs, id_col=id_col)
+    cc_handles: list = []
+    out = near_dup_clusters(
+        docs,
+        pairs,
+        id_col=id_col,
+        _handles_out=cc_handles if cache_key is not None else None,
+    )
     if cache_key is not None:
         out, handles = _tracked_local_checkpoint(out)
         _ASSIGNMENT_CACHE.put(memo_key, out, handles)
-        # free the CC loop's per-round checkpoints (everything built
-        # since the miss except this entry's and the inner pair
-        # entry's own blocks)
-        _free_build_intermediates(out, build_base, handles)
+        # the CC fixpoint's own checkpoint is dead once the assignment
+        # is checkpoint-materialized; reclaim exactly those blocks
+        _unpersist_handles(cc_handles)
     return out
 
 

@@ -747,7 +747,7 @@ def test_connected_components_isolates_session_conf(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
 
 
-def test_lsh_ivf_recall_handoff(spark):
+def test_lsh_ivf_recall_handoff(spark, sf_dir_mid):
     """The r08 recall gate (VERDICT r07 next #1): measured recall
     against brute-force ground truth for the banded-LSH -> IVF
     hand-off, via planted near-dup pairs at controlled cosine
@@ -771,7 +771,7 @@ def test_lsh_ivf_recall_handoff(spark):
         planted_corpus,
     )
 
-    corpus, truth = planted_corpus(spark, "/root/testdata/sf0.01", 10)
+    corpus, truth = planted_corpus(spark, sf_dir_mid, 10)
     lsh = lsh_pair_recall(spark, corpus, truth)
     ivf = ivf_partner_recall(spark, corpus, truth)
     assert lsh["n_true_pairs"] > 400

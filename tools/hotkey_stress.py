@@ -129,6 +129,10 @@ def main():
     }
     print("rollup:", out["rollup"], file=sys.stderr)
 
+    # warm up the CC loop's operators too, so one-time JIT/codegen
+    # cost is not billed to whichever variant runs first (r08 review)
+    _wall_cc(spark, synth_edges(spark, n_edges // 10, None))
+
     t_uni, n_uni = _wall_cc(spark, synth_edges(spark, n_edges, None))
     t_hot, n_hot = _wall_cc(spark, synth_edges(spark, n_edges, 0.5))
     out["connected_components"] = {
