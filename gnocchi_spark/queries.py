@@ -9084,9 +9084,17 @@ def corpus_novelty_scores(spark, sf_dir):
     from gnocchi_spark.operators.pipeline import with_token_ngrams
 
     docs = tables.load(spark, sf_dir, "documents")
+    # grams travel as 16-byte binary md5 (r08, same as
+    # duplicated_ngram_coverage): both gram-keyed shuffles shrink
+    # ~3-4x on-heap and the join key is fixed-width
     grams = with_token_ngrams(
         spread_for_compute(docs), 5, "text", distinct=True
-    ).select("doc_id", F.explode("__grams").alias("gram"))
+    ).select(
+        "doc_id",
+        F.explode(
+            F.transform(F.col("__grams"), lambda g: F.unhex(F.md5(g)))
+        ).alias("gram"),
+    )
     fo = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(fo, "gram")
