@@ -29,6 +29,18 @@ from gnocchi_spark.operators.sampling import sample_key
 from gnocchi_spark.operators.textstats import tokens
 
 
+def hashed_grams(col: Column) -> Column:
+    """Word-gram array -> array of 16-byte binary md5 hashes — the ONE
+    gram-key discipline every gram-join operator shares (r08): raw
+    grams are ~25-50 chars plus Java string overhead, so hashing
+    shrinks broadcast/shuffle payloads ~3-4x on-heap and makes join
+    keys fixed-width; full 128 bits keeps counts collision-free in
+    practice (~1e-15 at 1e12 grams).  Cooperating gram operators MUST
+    share this helper — two ops hashing differently would silently
+    live in disjoint key spaces."""
+    return F.transform(col, lambda g: F.unhex(F.md5(g)))
+
+
 def token_ngrams(col: Column, n: int) -> Column:
     """Array of space-joined word ``n``-grams from a MATERIALIZED token
     array column.  Documents with fewer than ``n`` tokens yield an
@@ -102,9 +114,6 @@ def ngram_decontaminate(
     """
     from gnocchi_spark.operators.dedup import spread_for_compute
 
-    def hashed(col):
-        return F.transform(col, lambda g: F.unhex(F.md5(g)))
-
     # gram explosion is ~100x the input bytes: spread a scan whose
     # IO-sized partitioning would run it on a few cores (no-op when the
     # scan already carries enough partitions)
@@ -112,15 +121,17 @@ def ngram_decontaminate(
     train_grams = with_token_ngrams(train, n, text_col, distinct=True).select(
         F.col(id_col).alias("doc_id"),
         F.size("__grams").alias("n_grams"),
-        F.explode(hashed(F.col("__grams"))).alias("gram"),
+        F.explode(hashed_grams(F.col("__grams"))).alias("gram"),
     )
-    bench_grams = (
-        with_token_ngrams(bench, n, text_col, distinct=True)
-        .select(
-            F.col(id_col).alias("bench_doc"),
-            F.explode(hashed(F.col("__grams"))).alias("gram"),
-        )
-        .distinct()
+    # no .distinct() on the benchmark side: grams are array_distinct
+    # per doc before the explode, so (bench_doc, gram) rows are already
+    # unique for unique benchmark ids — and the downstream counts are
+    # countDistinct either way, so even duplicate benchmark ids cannot
+    # inflate a result (r08 review: the former distinct was a full
+    # exchange + aggregate doing nothing)
+    bench_grams = with_token_ngrams(bench, n, text_col, distinct=True).select(
+        F.col(id_col).alias("bench_doc"),
+        F.explode(hashed_grams(F.col("__grams"))).alias("gram"),
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "gram")
@@ -501,10 +512,14 @@ def duplicated_ngram_coverage(
         with_token_ngrams(docs, n, text_col, distinct=True)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.transform(F.col("__grams"), lambda g: F.unhex(F.md5(g)))
-            ).alias("gram"),
+            F.explode(hashed_grams(F.col("__grams"))).alias("gram"),
         )
+        # referenced by BOTH the df aggregate and the join probe: the
+        # partial-agg exchange cannot be reused for the probe side, so
+        # without a materialization boundary the scan+tokenize+gram+md5
+        # subtree executes twice (the recurring plan trap — see
+        # dedup_candidate_profile)
+        .localCheckpoint(eager=False)
     )
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
     return (

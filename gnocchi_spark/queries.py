@@ -9083,17 +9083,20 @@ def corpus_novelty_scores(spark, sf_dir):
     from gnocchi_spark.operators.dedup import spread_for_compute
     from gnocchi_spark.operators.pipeline import with_token_ngrams
 
+    from gnocchi_spark.operators.pipeline import hashed_grams
+
     docs = tables.load(spark, sf_dir, "documents")
-    # grams travel as 16-byte binary md5 (r08, same as
-    # duplicated_ngram_coverage): both gram-keyed shuffles shrink
-    # ~3-4x on-heap and the join key is fixed-width
-    grams = with_token_ngrams(
-        spread_for_compute(docs), 5, "text", distinct=True
-    ).select(
-        "doc_id",
-        F.explode(
-            F.transform(F.col("__grams"), lambda g: F.unhex(F.md5(g)))
-        ).alias("gram"),
+    # grams travel as 16-byte binary md5 (r08, the shared hashed_grams
+    # discipline): both gram-keyed shuffles shrink ~3-4x on-heap and
+    # the join key is fixed-width.  Lazy checkpoint: grams feeds both
+    # the first-occurrence aggregate and the join probe (the recurring
+    # double-derivation plan trap).
+    grams = (
+        with_token_ngrams(spread_for_compute(docs), 5, "text", distinct=True)
+        .select(
+            "doc_id", F.explode(hashed_grams(F.col("__grams"))).alias("gram")
+        )
+        .localCheckpoint(eager=False)
     )
     fo = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
