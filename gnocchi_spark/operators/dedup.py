@@ -565,9 +565,27 @@ def minhash_near_duplicates(
     # the signature subtree and both verify sides; the count()
     # materializes the cache EAGERLY — lazily, the three consumer
     # stages race to build uncached partitions concurrently and each
-    # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s)
+    # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s).
+    # The persisted "shingles" column carries the 64-bit (a,b) fold of
+    # each shingle's md5, NOT the raw k-gram string (r08): the strings
+    # exist only to be hashed — signatures read __ab and the Jaccard
+    # verify needs set identity, which the 64-bit fold preserves
+    # (distinct-per-doc survives; a cross-engine value flip would need
+    # two distinct shingles in one pair's union to share 64 md5-prefix
+    # bits, ~1e-13 at this shingle volume).  Wall measured AT PARITY
+    # with the string form at sf0.1 (min-of-3 A/B: verify 2.90 vs
+    # 2.93 s — the intersect is not element-compare-bound here); the
+    # win is the persisted cache, roughly halved per shingle, which is
+    # what spills first at 100 TB (see the driver-memory note in
+    # SCALE.md).
     arrays = with_hash_words(
         doc_shingle_arrays(spread_for_compute(docs), text_col, id_col, k)
+    ).select(
+        "doc_id",
+        "__ab",
+        F.transform(
+            "__ab", lambda x: x["a"] * F.lit(4294967296) + x["b"]
+        ).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = arrays.count()
     if num_hashes is None or band_size is None:
