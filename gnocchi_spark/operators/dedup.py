@@ -149,24 +149,33 @@ def _input_fingerprint(df: DataFrame) -> tuple:
 
 
 def _tracked_local_checkpoint(df: DataFrame):
-    """``localCheckpoint(eager=True)`` that also returns JavaRDD
-    handles for the checkpoint blocks it persisted, so the memo can
-    unpersist them on eviction.  Handles are found by diffing the
-    context's persistent-RDD registry around the materialization —
-    exact under the memo's sequential-build discipline (one derivation
-    at a time per session; a concurrently-persisting query would be
-    co-attributed, which only ever over-frees a cache someone can
-    rebuild)."""
+    """``localCheckpoint(eager=True)`` that also returns RDD handles
+    for the checkpoint blocks it persisted, so the memo can unpersist
+    them on eviction.
+
+    Attribution is EXACT (r08 hardening): the result's analyzed plan
+    is the ``LogicalRDD`` wrapping the checkpointed RDD, so the handle
+    is read straight off the plan — no registry diffing, hence nothing
+    a concurrent thread persists can ever be co-attributed.  Falls
+    back to a registry diff only if a Spark version changes the plan
+    shape (and then inherits that approach's sequential-build caveat).
+    """
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
-    after = jsc.getPersistentRDDs()
-    handles = [
-        after.get(rid)
-        for rid in set(after.keySet().toArray()) - before
-        if after.get(rid) is not None
-    ]
-    return out, handles
+    try:
+        plan = out._jdf.queryExecution().analyzed()
+        rdd = plan.rdd()  # LogicalRDD.rdd(): the checkpointed RDD itself
+        rdd.getStorageLevel()  # raises if the plan shape is unexpected
+        return out, [rdd]
+    except Exception:
+        after = jsc.getPersistentRDDs()
+        handles = [
+            after.get(rid)
+            for rid in set(after.keySet().toArray()) - before
+            if after.get(rid) is not None
+        ]
+        return out, handles
 
 
 def _unpersist_handles(handles) -> None:
