@@ -862,6 +862,39 @@ def simhash_near_duplicates(
         docs, text_col, id_col, max_hamming, n_bands, band_bits
     ).where(F.col("hamming") <= max_hamming)
 
+# one cloned loop session per Spark application (not per CC call): the
+# clone exists to isolate the loop's narrow shuffle widths from the
+# caller's conf, and hundreds of CC calls in a long-lived service
+# would otherwise each register a fresh SessionState.  Two CC loops
+# running CONCURRENTLY share this clone and may observe each other's
+# width — a perf wobble only, never correctness (shuffle width does
+# not affect results), and strictly better than the pre-r08 state
+# where they raced the CALLER's conf.
+_CC_LOOP_SESSION: dict = {}
+
+
+def _cc_loop_session(spark):
+    key = spark.sparkContext.applicationId
+    loop = _CC_LOOP_SESSION.get(key)
+    if loop is None:
+        loop = spark.newSession()
+        _CC_LOOP_SESSION[key] = loop
+    # newSession re-seeds SQL confs from the SparkConf; re-copy the
+    # semantics-bearing runtime values each call in case the caller
+    # adjusted them after session creation
+    for conf_key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+    ):
+        try:
+            loop.conf.set(conf_key, spark.conf.get(conf_key))
+        except Exception:
+            pass
+    return loop
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -946,20 +979,7 @@ def connected_components(
 
     import uuid
 
-    loop = spark.newSession()
-    # newSession re-seeds SQL confs from the SparkConf; re-copy the
-    # semantics-bearing runtime values in case the caller adjusted them
-    # after session creation
-    for key in (
-        "spark.sql.session.timeZone",
-        "spark.sql.ansi.enabled",
-        "spark.sql.adaptive.enabled",
-        "spark.sql.shuffle.partitions",
-    ):
-        try:
-            loop.conf.set(key, spark.conf.get(key))
-        except Exception:
-            pass
+    loop = _cc_loop_session(spark)
     view = "cc_edges_" + uuid.uuid4().hex
     # hand the materialized edge set to the clone: a global temp view
     # stores the analyzed plan (here a scan of the checkpointed RDD —
