@@ -80,11 +80,29 @@ class _AssignmentMemo:
         return hit[0]
 
     def put(self, key, df, handles):
+        """Insert and return the CANONICAL frame for ``key``.
+
+        Same-key insert is FIRST-WINS (r09, ADVICE): two concurrent
+        builds of one memo key both reach ``put``, but the first
+        entry's frame may already be in a racing caller's hands — an
+        evict-and-overwrite would unpersist the truncated-lineage
+        checkpoint blocks under that caller (unrebuildable).  Instead
+        the existing entry stays, the NEW handles (owned by nobody
+        else) are released, and the existing frame is returned — so
+        callers must use the return value, not the ``df`` they passed.
+        """
         if key in self._entries:
-            self._evict(key)
+            self._entries.move_to_end(key)
+            for h in handles:
+                try:
+                    h.unpersist(False)
+                except Exception:
+                    pass
+            return self._entries[key][0]
         while len(self._entries) >= max(1, self.max_entries):
             self._evict(next(iter(self._entries)))
         self._entries[key] = (df, tuple(handles))
+        return df
 
     def _evict(self, key):
         _, handles = self._entries.pop(key)
@@ -575,13 +593,14 @@ def minhash_near_duplicates(
     # materializes the cache EAGERLY — lazily, the three consumer
     # stages race to build uncached partitions concurrently and each
     # recomputes the explode (measured 2x wall-clock, 22 s vs 12 s).
-    # The persisted "shingles" column carries the 64-bit (a,b) fold of
-    # each shingle's md5, NOT the raw k-gram string (r08): the strings
+    # The persisted "shingles" column carries the (a,b) fold of each
+    # shingle's md5, NOT the raw k-gram string (r08): the strings
     # exist only to be hashed — signatures read __ab and the Jaccard
-    # verify needs set identity, which the 64-bit fold preserves
+    # verify needs set identity, which the fold preserves
     # (distinct-per-doc survives; a cross-engine value flip would need
-    # two distinct shingles in one pair's union to share 64 md5-prefix
-    # bits, ~1e-13 at this shingle volume).  Wall measured AT PARITY
+    # two distinct shingles in one pair's union to share the fold's
+    # 63 distinguishing md5-prefix bits — b's low bit is pinned to 1
+    # by with_hash_words — ~1e-13 at this shingle volume).  Wall measured AT PARITY
     # with the string form at sf0.1 (min-of-3 A/B: verify 2.90 vs
     # 2.93 s — the intersect is not element-compare-bound here); the
     # win is the persisted cache, roughly halved per shingle, which is
@@ -592,8 +611,16 @@ def minhash_near_duplicates(
     ).select(
         "doc_id",
         "__ab",
+        # concatenate the two 32-bit words bitwise (shiftleft + xor on
+        # disjoint bit ranges == a*2^32 + b) instead of arithmetic: the
+        # product form overflows signed long for a >= 2^31 — fine under
+        # the repo's pinned non-ANSI conf (wraps deterministically,
+        # still injective mod 2^64) but a library consumer running
+        # ANSI mode (the Spark 4 default) would get runtime
+        # ARITHMETIC_OVERFLOW.  Bitwise ops are ANSI-safe and identical
+        # bit-for-bit to the wrapped product.
         F.transform(
-            "__ab", lambda x: x["a"] * F.lit(4294967296) + x["b"]
+            "__ab", lambda x: F.shiftleft(x["a"], 32).bitwiseXOR(x["b"])
         ).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = arrays.count()
@@ -616,7 +643,9 @@ def minhash_near_duplicates(
     out = jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
     if cache_key is not None:
         out, handles = _tracked_local_checkpoint(out)
-        _ASSIGNMENT_CACHE.put(memo_key, out, handles)
+        # use the memo's canonical frame: on a same-key race the
+        # existing entry wins and OUR handles were just released
+        out = _ASSIGNMENT_CACHE.put(memo_key, out, handles)
         # the shingle-array persist is dead once the pair set is
         # checkpoint-materialized; explicit unpersist of OUR OWN frame
         # only (never a registry sweep — see _unpersist_handles)
@@ -862,39 +891,6 @@ def simhash_near_duplicates(
         docs, text_col, id_col, max_hamming, n_bands, band_bits
     ).where(F.col("hamming") <= max_hamming)
 
-# one cloned loop session per Spark application (not per CC call): the
-# clone exists to isolate the loop's narrow shuffle widths from the
-# caller's conf, and hundreds of CC calls in a long-lived service
-# would otherwise each register a fresh SessionState.  Two CC loops
-# running CONCURRENTLY share this clone and may observe each other's
-# width — a perf wobble only, never correctness (shuffle width does
-# not affect results), and strictly better than the pre-r08 state
-# where they raced the CALLER's conf.
-_CC_LOOP_SESSION: dict = {}
-
-
-def _cc_loop_session(spark):
-    key = spark.sparkContext.applicationId
-    loop = _CC_LOOP_SESSION.get(key)
-    if loop is None:
-        loop = spark.newSession()
-        _CC_LOOP_SESSION[key] = loop
-    # newSession re-seeds SQL confs from the SparkConf; re-copy the
-    # semantics-bearing runtime values each call in case the caller
-    # adjusted them after session creation
-    for conf_key in (
-        "spark.sql.session.timeZone",
-        "spark.sql.ansi.enabled",
-        "spark.sql.adaptive.enabled",
-        "spark.sql.shuffle.partitions",
-    ):
-        try:
-            loop.conf.set(conf_key, spark.conf.get(conf_key))
-        except Exception:
-            pass
-    return loop
-
-
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -952,119 +948,95 @@ def connected_components(
     # stage of the NEXT round then pays one task per partition — 64
     # empty tasks x ~6 stages x ~8 rounds for a few hundred edges
     # dominated the loop's wall clock.  The convergence checksum
-    # already collects the edge count, so each round (a) re-sizes the
-    # materialized layout to ~100k edges/partition (coalesce — no
-    # extra shuffle) and (b) narrows the loop's own shuffle width to
-    # match (checkpointed-RDD scans report no stats, so AQE cannot
-    # coalesce these joins itself; this is the same decision AQE makes
-    # from runtime stats, driven from the measured edge count).  Both
-    # scale back up for a 100 TB pair graph — width is proportional to
-    # edges, floored at the session default for the first round.
-    # ISOLATION (r08, ADVICE): the per-round shuffle width is set on a
-    # CLONED SparkSession (same SparkContext, isolated SQL conf), and
-    # each round's frame crosses into the clone through a global temp
-    # view over its checkpointed RDD — a concurrent query on the
-    # caller's session can never observe the narrowed width (the
-    # previous conf-set/finally-restore raced with concurrent readers).
+    # already collects the edge count, so each round re-sizes to
+    # ~100k edges/partition (checkpointed-RDD scans report no stats,
+    # so AQE cannot right-size these joins itself; this is the same
+    # decision AQE makes from runtime stats, driven from the measured
+    # edge count).  Width scales back up for a 100 TB pair graph —
+    # proportional to edges, capped at the context parallelism.
+    # ISOLATION (r09, completing the r08 ADVICE shape): the width is a
+    # PLAN property — explicit repartition(width, keys) on every
+    # shuffle input inside the loop — not session conf.  No conf is
+    # read or written during the loop, so concurrent queries AND
+    # concurrent CC loops on the same session are fully unaffected
+    # (the r08 per-application cloned session protected the caller's
+    # conf but let two concurrent loops observe each other's width).
+    # Each repartition lands exactly where the loop's natural shuffle
+    # sat: the hash-partitioned output satisfies the downstream
+    # aggregate/join distribution, so no second exchange is inserted.
     spark = pairs.sparkSession
     max_p = spark.sparkContext.defaultParallelism
 
     def _width(n_edges: int) -> int:
         return max(1, min(max_p, n_edges // 100_000 + 1))
 
-    def _right_size(df, n_edges):
-        if n_edges is None:
-            return df
-        return df.coalesce(_width(n_edges))
-
-    import uuid
-
-    loop = _cc_loop_session(spark)
-    view = "cc_edges_" + uuid.uuid4().hex
-    # hand the materialized edge set to the clone: a global temp view
-    # stores the analyzed plan (here a scan of the checkpointed RDD —
-    # self-contained), and resolving it from `loop` re-binds execution
-    # to the clone's conf
-    edges.createOrReplaceGlobalTempView(view)
-    edges = loop.table(f"global_temp.{view}")
-
     # seed the convergence state from the materialized input — also
-    # lets round 1 run at the right shuffle width instead of the
-    # session default
+    # lets round 1 run at the right width instead of the session
+    # default; the coalesce narrows the materialized layout without a
+    # shuffle
     prev = _checksum(edges)
     n_edges = prev[1]
-    edges = _right_size(edges, n_edges)
+    edges = edges.coalesce(_width(n_edges))
     # per-round checkpoint hygiene: once round k is materialized, round
     # k-1's checkpoint blocks are dead — free them instead of leaking
     # O(rounds) block sets per call (the final round's blocks stay: the
     # returned frames read them); the input edge checkpoint is round 0
     prev_handles: list = input_handles
-    try:
-        for _ in range(max_rounds):
-            if n_edges is not None:
-                loop.conf.set(
-                    "spark.sql.shuffle.partitions", str(_width(n_edges))
-                )
-            # large-star: for every neighbor v > u, connect v to m(u)
-            sym = edges.unionByName(
-                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            mins = _min_nbr(sym)
-            edges = (
-                sym.join(mins, "u")
-                .where(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .where(F.col("u") != F.col("v"))
-                .distinct()
-            )
-            # small-star: orient large->small, connect every neighbor
-            # (and u itself) to m(u)
-            oriented = edges.select(
+    for _ in range(max_rounds):
+        w = _width(n_edges)
+        # large-star: for every neighbor v > u, connect v to m(u).
+        # sym's repartition is the round's one wide exchange on u; the
+        # min aggregate and the join both reuse its partitioning.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(w, "u")
+        mins = _min_nbr(sym)
+        edges = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .repartition(w, "u", "v")
+            .distinct()
+        )
+        # small-star: orient large->small, connect every neighbor
+        # (and u itself) to m(u)
+        oriented = (
+            edges.select(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            ).distinct()
-            mins = _min_nbr(oriented)
-            edges, handles = _tracked_local_checkpoint(
-                _right_size(
-                    oriented.join(mins, "u")
-                    .select(
-                        F.explode(F.array("u", "v")).alias("u"),
-                        F.col("m").alias("v"),
-                    )
-                    .where(F.col("u") != F.col("v"))
-                    .distinct(),
-                    n_edges,
-                )
             )
-            for h in prev_handles:
-                try:
-                    h.unpersist(False)
-                except Exception:
-                    pass
-            prev_handles = handles
-            cur = _checksum(edges)
-            n_edges = cur[1]
-            if cur == prev:
-                break
-            prev = cur
-    finally:
-        spark.catalog.dropGlobalTempView(view)
+            .repartition(w, "u", "v")
+            .distinct()
+            .repartition(w, "u")
+        )
+        mins = _min_nbr(oriented)
+        edges, handles = _tracked_local_checkpoint(
+            oriented.join(mins, "u")
+            .select(
+                F.explode(F.array("u", "v")).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .repartition(w, "u", "v")
+            .distinct()
+        )
+        for h in prev_handles:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
+        prev_handles = handles
+        cur = _checksum(edges)
+        n_edges = cur[1]
+        if cur == prev:
+            break
+        prev = cur
     # the final round's checkpoint blocks back the returned frames for
     # as long as the caller keeps them; a caller that eagerly
     # re-materializes downstream (the memoized cluster_assignments
     # path) can reclaim them through ``_handles_out``
     if _handles_out is not None:
         _handles_out.extend(prev_handles)
-    # re-bind the fixpoint edge set to the CALLER's session (same view
-    # trick in reverse): downstream consumers join it against full-size
-    # tables and should shuffle at the caller's width, and a frame that
-    # outlives this call must not pin the loop session
-    out_view = "cc_out_" + uuid.uuid4().hex
-    edges.createOrReplaceGlobalTempView(out_view)
-    try:
-        edges = spark.table(f"global_temp.{out_view}")
-        edges.schema  # force analysis before the view goes away
-    finally:
-        spark.catalog.dropGlobalTempView(out_view)
     # fixpoint: edges point every non-root node at its component root
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
@@ -1170,7 +1142,9 @@ def cluster_assignments(
     )
     if cache_key is not None:
         out, handles = _tracked_local_checkpoint(out)
-        _ASSIGNMENT_CACHE.put(memo_key, out, handles)
+        # use the memo's canonical frame: on a same-key race the
+        # existing entry wins and OUR handles were just released
+        out = _ASSIGNMENT_CACHE.put(memo_key, out, handles)
         # the CC fixpoint's own checkpoint is dead once the assignment
         # is checkpoint-materialized; reclaim exactly those blocks
         _unpersist_handles(cc_handles)

@@ -794,11 +794,14 @@ def test_lsh_ivf_recall_handoff(spark, sf_dir_mid):
 
 
 def test_connected_components_concurrent_queries_unaffected(spark):
-    """The r08 ADVICE concern, tested directly: a query running
-    CONCURRENTLY with the CC loop (which narrows shuffle width on its
-    cloned session) must see the caller session's own shuffle width
-    and produce correct results — the pre-r08 conf-set/finally-restore
-    raced exactly here."""
+    """The r08 ADVICE concern, tested directly and extended for r09:
+    the CC loop's narrow shuffle width is now a PLAN property
+    (explicit repartition on the loop's join inputs) rather than any
+    session conf, so (a) a query running CONCURRENTLY with the loop
+    must see the caller session's own shuffle width and produce exact
+    results, and (b) TWO CC loops running concurrently on the SAME
+    session must each converge correctly — the r08 cloned-session
+    design let concurrent loops observe each other's width."""
     import threading
 
     from pyspark.sql import functions as F
@@ -808,34 +811,50 @@ def test_connected_components_concurrent_queries_unaffected(spark):
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     chains = [(i * 10 + j, i * 10 + j + 1) for i in range(200) for j in range(4)]
     pairs = spark.createDataFrame(chains, "doc_a long, doc_b long")
+    # a second, differently-shaped graph for the concurrent loop: 50
+    # stars of 9 leaves each (converges in fewer rounds than the
+    # chains, so the two loops genuinely interleave mid-iteration)
+    stars = [
+        (100_000 + i * 100, 100_000 + i * 100 + j)
+        for i in range(50)
+        for j in range(1, 10)
+    ]
+    pairs2 = spark.createDataFrame(stars, "doc_a long, doc_b long")
 
     results = {}
 
-    def run_cc():
-        cc = connected_components(pairs)
-        results["cc"] = cc.count()
+    def run_cc(name, p):
+        cc = connected_components(p)
+        results[name] = cc.count()
 
-    t = threading.Thread(target=run_cc)
+    t = threading.Thread(target=run_cc, args=("cc", pairs))
+    t2 = threading.Thread(target=run_cc, args=("cc2", pairs2))
     t.start()
-    # concurrent aggregation on the MAIN session while the loop runs:
-    # its shuffle must use the session width, its result must be exact
+    t2.start()
+    # concurrent aggregation on the MAIN session while the loops run:
+    # its shuffle must use the session width, its result must be exact.
+    # Do-while shape (r09 ADVICE): run at least one aggregate
+    # unconditionally so `widths` is never empty when the loop
+    # finishes before the first poll on a fast machine.
     widths, sums = [], []
     df = spark.range(100_000).select(
         (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
     )
-    while t.is_alive():
+    while True:
         agg = df.groupBy("k").agg(F.sum("v").alias("s"))
         widths.append(agg.rdd.getNumPartitions())
         sums.append(agg.agg(F.sum("s")).collect()[0][0])
+        if not (t.is_alive() or t2.is_alive()):
+            break
     t.join()
+    t2.join()
     assert results["cc"] == 1000  # 200 chains x 5 nodes
+    assert results["cc2"] == 500  # 50 stars x 10 nodes
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
     expected = 100_000 * 99_999 // 2
     assert all(s == expected for s in sums), sums[:3]
     # every concurrent aggregate ran at the session width, never the
-    # loop's narrowed width (1-2 partitions for this tiny edge set).
-    # AQE may coalesce below the configured width, so assert the floor:
-    # at least one concurrent run must exceed the CC loop's width, and
-    # none may fail — with the old conf flip, runs interleaved at
-    # width 1 were the failure signature.
+    # loops' narrowed width (1 partition for these tiny edge sets);
+    # with the old conf flip, runs interleaved at width 1 were the
+    # failure signature.
     assert widths, "no concurrent query completed during the CC loop"
