@@ -166,10 +166,12 @@ def _input_fingerprint(df: DataFrame) -> tuple:
     return tuple(out)
 
 
-def _tracked_local_checkpoint(df: DataFrame):
-    """``localCheckpoint(eager=True)`` that also returns RDD handles
-    for the checkpoint blocks it persisted, so the memo can unpersist
-    them on eviction.
+def _tracked_local_checkpoint(df: DataFrame, eager: bool = True):
+    """``localCheckpoint`` that also returns RDD handles for the
+    checkpoint blocks it persisted, so the memo can unpersist them on
+    eviction.  ``eager=False`` marks the RDD (storage level is set at
+    mark time, so the handle is valid immediately) and materializes on
+    the first action.
 
     Attribution is EXACT (r08 hardening): the result's analyzed plan
     is the ``LogicalRDD`` wrapping the checkpointed RDD, so the handle
@@ -180,7 +182,7 @@ def _tracked_local_checkpoint(df: DataFrame):
     """
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     try:
         plan = out._jdf.queryExecution().analyzed()
         rdd = plan.rdd()  # LogicalRDD.rdd(): the checkpointed RDD itself
@@ -210,6 +212,44 @@ def _unpersist_handles(handles) -> None:
             h.unpersist(False)
         except Exception:
             pass
+
+
+def registered_local_checkpoint(df: DataFrame, *key_parts) -> DataFrame:
+    """Lazy ``localCheckpoint`` whose blocks are REGISTERED with the
+    bounded assignment memo instead of leaking for the application
+    lifetime (r09, ADVICE): materialization-boundary checkpoints inside
+    query builders (e.g. the corpus-scale exploded gram tables in
+    ``duplicated_ngram_coverage`` / ``corpus_novelty_scores``) have no
+    post-action hook to unpersist at, so they are handed to the LRU —
+    at most ``max_entries`` such block sets stay live, and the sweep
+    reclaims older ones.
+
+    For file-backed inputs the memo key is (application, key_parts,
+    input fingerprint) and repeat calls on the same inputs REUSE the
+    materialized frame — the same discipline as the memoized dedup
+    stages.  Non-file-backed inputs cannot be fingerprinted safely, so
+    they register under a unique key: reclaim-only, never reused.
+
+    Lifetime contract is the memo's: the returned frame stays
+    actionable until the LRU evicts its entry.
+    """
+    fp = _input_fingerprint(df)
+    memo_key: tuple = (
+        df.sparkSession.sparkContext.applicationId,
+        "__registered_ckpt__",
+        key_parts,
+        fp,
+    )
+    if fp:
+        hit = _ASSIGNMENT_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
+    else:
+        import uuid
+
+        memo_key = memo_key + (uuid.uuid4().hex,)
+    out, handles = _tracked_local_checkpoint(df, eager=False)
+    return _ASSIGNMENT_CACHE.put(memo_key, out, handles)
 
 
 def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:

@@ -508,18 +508,26 @@ def duplicated_ngram_coverage(
     ngram_decontaminate); 128 bits keeps the counts collision-free in
     practice.
     """
-    grams = (
-        with_token_ngrams(docs, n, text_col, distinct=True)
-        .select(
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+
+    grams = registered_local_checkpoint(
+        with_token_ngrams(docs, n, text_col, distinct=True).select(
             F.col(id_col).alias("doc_id"),
             F.explode(hashed_grams(F.col("__grams"))).alias("gram"),
-        )
+        ),
         # referenced by BOTH the df aggregate and the join probe: the
         # partial-agg exchange cannot be reused for the probe side, so
         # without a materialization boundary the scan+tokenize+gram+md5
         # subtree executes twice (the recurring plan trap — see
-        # dedup_candidate_profile)
-        .localCheckpoint(eager=False)
+        # dedup_candidate_profile).  Registered (not bare) checkpoint:
+        # the exploded gram table is corpus-scale and a bare lazy
+        # localCheckpoint leaked one such RDD per call for the
+        # application lifetime (r09, ADVICE) — the memo's LRU sweep now
+        # bounds and reclaims these blocks.
+        "duplicated_ngram_coverage",
+        n,
+        id_col,
+        text_col,
     )
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
     return (

@@ -9088,15 +9088,21 @@ def corpus_novelty_scores(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     # grams travel as 16-byte binary md5 (r08, the shared hashed_grams
     # discipline): both gram-keyed shuffles shrink ~3-4x on-heap and
-    # the join key is fixed-width.  Lazy checkpoint: grams feeds both
-    # the first-occurrence aggregate and the join probe (the recurring
-    # double-derivation plan trap).
-    grams = (
+    # the join key is fixed-width.  Registered lazy checkpoint: grams
+    # feeds both the first-occurrence aggregate and the join probe
+    # (the recurring double-derivation plan trap), and the exploded
+    # gram table is corpus-scale — the memo's LRU sweep bounds and
+    # reclaims the blocks instead of leaking one per call (r09,
+    # ADVICE).
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+
+    grams = registered_local_checkpoint(
         with_token_ngrams(spread_for_compute(docs), 5, "text", distinct=True)
         .select(
             "doc_id", F.explode(hashed_grams(F.col("__grams"))).alias("gram")
-        )
-        .localCheckpoint(eager=False)
+        ),
+        "corpus_novelty_scores",
+        sf_dir,
     )
     fo = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (

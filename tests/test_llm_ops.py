@@ -724,11 +724,52 @@ def test_assignment_memo_eviction_staleness_and_clear(spark, tmp_path):
     assert not (owned & live)
 
 
+def test_registered_local_checkpoint_reuse_and_bounding(spark, tmp_path):
+    """registered_local_checkpoint (r09, ADVICE): materialization
+    boundaries inside query builders register their blocks with the
+    bounded memo — file-backed inputs are reused on repeat calls,
+    non-file inputs register reclaim-only, and the LRU sweep bounds
+    the live block count instead of leaking one RDD per call."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators import dedup as D
+
+    D.clear_assignment_cache()
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], "a long, b long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    filebacked = spark.read.parquet(str(tmp_path / "t")).withColumn(
+        "c", F.col("a") + F.col("b")
+    )
+
+    c1 = D.registered_local_checkpoint(filebacked, "k1")
+    assert c1.count() == 100
+    # same file-backed input + key -> the SAME materialized frame
+    c2 = D.registered_local_checkpoint(filebacked, "k1")
+    assert c2 is c1
+    # different key -> a distinct entry
+    c3 = D.registered_local_checkpoint(filebacked, "k2")
+    assert c3 is not c1
+    assert len(D._ASSIGNMENT_CACHE) == 2
+
+    # non-file-backed input: never reused (unique key), but registered
+    mem = spark.range(50).select(F.col("id").alias("a"))
+    m1 = D.registered_local_checkpoint(mem, "k1")
+    m2 = D.registered_local_checkpoint(mem, "k1")
+    assert m1 is not m2
+    assert len(D._ASSIGNMENT_CACHE) == 4
+
+    # bounding: a sweep of registrations stays within the LRU bound
+    for i in range(D._ASSIGNMENT_CACHE.max_entries + 4):
+        D.registered_local_checkpoint(mem, "sweep", i).count()
+    assert len(D._ASSIGNMENT_CACHE) <= D._ASSIGNMENT_CACHE.max_entries
+    D.clear_assignment_cache()
+
+
 def test_connected_components_isolates_session_conf(spark):
-    """The CC loop narrows shuffle width on a CLONED session (r08
-    ADVICE): the caller's spark.sql.shuffle.partitions never changes,
-    and the returned frame is bound to the caller's session so it joins
-    caller-side tables."""
+    """The CC loop's narrow shuffle width is a plan property (r09 —
+    explicit repartition on the loop's join inputs, no session conf
+    reads or writes): the caller's spark.sql.shuffle.partitions never
+    changes, and the returned frame joins caller-side tables."""
     from gnocchi_spark.operators.dedup import connected_components
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
