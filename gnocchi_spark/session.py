@@ -58,6 +58,44 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(32, int(total_gib * 0.6)))}g"
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> bool:
+    """Configure RocksDB as the streaming state-store backend — the
+    PRODUCTION DEFAULT for the stateful operators (streaming/stateful
+    .py, the dedup/session/sketch sinks in streaming/ingest.py).
+
+    Why it matters at scale (the SOAK_r8 arithmetic, see SCALE.md):
+    the default HDFSBackedStateStoreProvider keeps every key's state
+    ON-HEAP per executor — the soak-measured plateaus (~5.5k rows per
+    TTL window for the dedup sink, rows = distinct keys for the
+    TTL-off exact mode) multiply by key-shard cardinality and land in
+    executor heap, where a 100 TB stream with a churning key
+    population turns state into GC pressure and OOM risk.  RocksDB
+    keeps state off-heap on local SSD with incremental checkpointing
+    to the cluster store: state size is bounded by disk, not heap,
+    and snapshot upload cost is incremental in CHANGED keys.
+
+    Returns True when the provider class is on the classpath and the
+    conf was set (the pyspark binary distribution bundles rocksdbjni;
+    a trimmed deployment may not) — False leaves the default provider
+    untouched so callers can fall back gracefully.  The conf is read
+    at STREAM START: set it before ``writeStream...start()``; running
+    queries keep the provider recorded in their checkpoint.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB_STATE_PROVIDER)
+    except Exception:
+        return False
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    return True
+
+
 def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:

@@ -797,7 +797,7 @@ def test_lsh_ivf_recall_handoff(spark, sf_dir_mid):
 
     Live at N ~ 5.5k: the autotuned LSH holds the 0.9-recall design
     point and IVF partner-retrieval is ~1.  The committed 55k curve
-    (RECALL_r8.json) must show the documented decay with the band cap
+    (RECALL_r9.json) must show the documented decay with the band cap
     binding while IVF holds >= 0.9 — the SCALE.md hand-off claim as
     evidence, not prose.
     """
@@ -822,16 +822,57 @@ def test_lsh_ivf_recall_handoff(spark, sf_dir_mid):
     assert ivf["partner_recall"] >= 0.9, ivf
 
     # the committed large-N curve: LSH decays (cap binds), IVF holds
-    path = os.path.join(os.path.dirname(__file__), "..", "RECALL_r8.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "RECALL_r9.json")
     with open(path) as fh:
         curve = json.load(fh)
     big = [p for p in curve["points"] if p["lsh"]["n_items"] >= 50_000]
-    assert big, "RECALL_r8.json must carry the 50k+ point"
+    assert big, "RECALL_r9.json must carry the 50k+ point"
     p = big[0]
     assert p["lsh"]["n_bands"] == 64  # the cap binds
     at_threshold = p["lsh"]["recall_by_cosine_band"]["[0.90,0.92)"]
     assert at_threshold < 0.85  # the documented decay, measured
     assert p["ivf"]["partner_recall"] >= 0.9  # the hand-off holds
+
+
+def test_ivf_clustered_recall_gate_and_probe_autotune(spark):
+    """The r09 serving gate (VERDICT r08 next #1): on a corpus with
+    REAL cluster structure (planted mixture-of-Gaussians — the uniform
+    synthetic corpus is the pathological structureless case), IVF
+    top-k at the AUTOTUNED probe depth reaches recall@10 >= 0.9, and
+    PQ with exact shortlist refinement reaches it too.
+
+    Live at N=5.5k; the committed RECALL_r9.json must carry the 55k
+    point with the same gates — note the autotuned probe FRACTION
+    falls with N (4.1% -> 1.7%), which is the IVF scaling story.
+    """
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.recall_profile import clustered_ivf_pq_point
+
+    row = clustered_ivf_pq_point(spark, 5_500)
+    assert row["ivf_recall_at_k"] >= 0.9, row
+    assert row["pq_recall_at_k"] >= 0.9, row
+    # the autotuner picks a SMALL probe depth from the measured
+    # coverage curve — the whole point over a fixed 15% rule
+    assert row["autotuned_n_probe"] <= 8, row
+    assert row["probe_fraction"] <= 0.12, row
+    # code-only PQ is honestly bad within clusters; refinement is load-
+    # bearing and its depth stays a small corpus fraction
+    assert row["pq_code_only_recall_at_k"] < 0.5, row
+    assert row["pq_refine_fraction"] <= 0.05, row
+
+    path = os.path.join(os.path.dirname(__file__), "..", "RECALL_r9.json")
+    with open(path) as fh:
+        committed = json.load(fh)
+    big = [p for p in committed["clustered"] if p["n_items"] >= 50_000]
+    assert big, "RECALL_r9.json must carry the 55k clustered point"
+    p = big[0]
+    assert p["ivf_recall_at_k"] >= 0.9, p
+    assert p["pq_recall_at_k"] >= 0.9, p
+    assert p["probe_fraction"] <= 0.05, p
 
 
 def test_connected_components_concurrent_queries_unaffected(spark):

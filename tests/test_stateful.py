@@ -198,3 +198,66 @@ def test_streaming_dedup_within_and_across_batches(spark, ddirs):
     _write_docs(spark, ddirs["landing"], [(7, "hello world"), (8, "fresh")])
     kept2 = _run_dedup(spark, ddirs)
     assert set(kept2) == {1, 2, 8}
+
+
+def test_stateful_rate_under_rocksdb_provider(spark, dirs):
+    """enable_rocksdb_state (r09, VERDICT r08 next #5): the production
+    state-backend configuration actually drives the stateful operators
+    on this build — the rate stream runs under the RocksDB provider
+    when the class is on the classpath (the pyspark distribution
+    bundles rocksdbjni) and produces the same results as the default
+    provider."""
+    import pytest as _pytest
+
+    from gnocchi_spark.session import ROCKSDB_STATE_PROVIDER, enable_rocksdb_state
+
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        if not enable_rocksdb_state(spark):
+            _pytest.skip("RocksDB state store provider not on classpath")
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_STATE_PROVIDER
+        )
+        _write_batch(
+            spark,
+            dirs["landing"],
+            [
+                ("m1", _t(0, 0), 1.0, 1),
+                ("m1", _t(0, 30), 4.0, 2),
+                ("m2", _t(0, 0), 10.0, 3),
+            ],
+        )
+        rows = _run(spark, dirs)
+        got = {
+            (r["metric_id"], r["ts"].replace(tzinfo=None)): r["rate"]
+            for r in rows
+            if r["ts"] is not None
+        }
+        assert got == {("m1", _t(0, 30)): 3.0}
+        # cross-micro-batch state carried by the RocksDB store
+        _write_batch(
+            spark,
+            dirs["landing"],
+            [("m1", _t(1, 0), 6.0, 4), ("m2", _t(1, 0), 13.0, 5)],
+        )
+        rows = _run(spark, dirs)
+        got = {
+            (r["metric_id"], r["ts"].replace(tzinfo=None)): r["rate"]
+            for r in rows
+            if r["ts"] is not None
+        }
+        assert got == {
+            ("m1", _t(0, 30)): 3.0,
+            ("m1", _t(1, 0)): 2.0,
+            ("m2", _t(1, 0)): 3.0,
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )

@@ -241,8 +241,109 @@ def ivf_topk_recall(spark, corpus, k=10, n_queries=100):
     }
 
 
+def clustered_corpus(spark, n, dim=64, n_clusters=50, sigma=0.5):
+    """Planted mixture-of-Gaussians corpus (r09, VERDICT r08 next #1):
+    the uniform synthetic corpus is the pathological ANN case (true
+    neighbors scatter structurelessly), so the general serving claim
+    needs a corpus with REAL cluster structure.  ``n_clusters`` centers
+    with uniform[-1,1] coordinates, members = center + sigma *
+    uniform[-1,1] noise — at sigma=0.5 within-cluster cosines land
+    ~0.8 and cross-cluster ~0, the shape of real embedding corpora.
+    Fully deterministic (xxhash-seeded columns, no RNG state)."""
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    cl = F.pmod(F.xxhash64(F.col("vec_id"), F.lit("cluster")), F.lit(n_clusters))
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def u(*seed):  # uniform in [-1, 1], deterministic per seed tuple
+        return (
+            F.pmod(F.xxhash64(*seed), F.lit(2001)) - 1000
+        ).cast("double") / 1000.0
+
+    center = F.transform(dims, lambda d: u(cl, d, F.lit("center")))
+    noise = F.transform(dims, lambda d: u(F.col("vec_id"), d, F.lit("noise")))
+    emb = F.zip_with(
+        center, noise, lambda c, x: (c + F.lit(float(sigma)) * x).cast("float")
+    )
+    return ids.select(
+        "vec_id", emb.alias("embedding"), cl.cast("int").alias("label")
+    ).localCheckpoint(eager=True)
+
+
+def clustered_ivf_pq_point(spark, n, k=10, n_queries=100, target_recall=0.9):
+    """The clustered-corpus serving gate: recall@k of ivf_cosine_topk
+    at the AUTOTUNED probe depth (autotune_ivf_probe picks n_probe from
+    the measured coverage curve of a disjoint tuning sample) and of
+    pq_adc_topk, both against exact brute-force ground truth on a
+    held-out query sample."""
+    from gnocchi_spark.operators.similarity import (
+        autotune_ivf_probe,
+        cosine_topk,
+        ivf_cosine_topk,
+        pq_adc_topk,
+        pq_deterministic_codebooks,
+    )
+
+    corpus = clustered_corpus(spark, n)
+    n_centroids = max(8, int(math.isqrt(n)))
+    n_probe, curve = autotune_ivf_probe(
+        corpus, n_centroids, k=k, target_recall=target_recall
+    )
+    queries = (
+        corpus.where(F.col("vec_id") % 97 == 1).limit(n_queries)
+    ).localCheckpoint(eager=True)
+    exact = cosine_topk(corpus, queries, k=k).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    ivf = ivf_cosine_topk(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+    ).select("query_id", "neighbor_id")
+    ivf_hit = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+
+    codebooks = pq_deterministic_codebooks(corpus, m=8, k=16, dim=64)
+    # PQ codes alone cannot rank within-cluster neighbours (32-bit
+    # budget; measured 0.18 recall@10 here) — measure BOTH the honest
+    # code-only number and the production two-stage shape: exact
+    # refine of the ADC shortlist, depth ~2x the mean cluster
+    # occupancy so the shortlist covers the true neighbours' cells
+    pq_plain = pq_adc_topk(corpus, queries, codebooks, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    pq_plain_hit = exact.join(
+        pq_plain, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    refine = max(200, 2 * n // 50)
+    pq = pq_adc_topk(corpus, queries, codebooks, k=k, refine=refine).select(
+        "query_id", "neighbor_id"
+    )
+    pq_hit = exact.join(pq, ["query_id", "neighbor_id"], "left_semi").count()
+
+    return {
+        "n_items": corpus.count(),
+        "n_clusters": 50,
+        "sigma": 0.5,
+        "k": k,
+        "n_queries": queries.count(),
+        "n_centroids": n_centroids,
+        "autotuned_n_probe": n_probe,
+        "probe_fraction": round(n_probe / n_centroids, 4),
+        "target_recall": target_recall,
+        "tune_curve_head": {
+            str(p): curve[p] for p in sorted(curve)[:12]
+        },
+        "ivf_recall_at_k": round(ivf_hit / n_exact, 4) if n_exact else None,
+        "pq_code_only_recall_at_k": (
+            round(pq_plain_hit / n_exact, 4) if n_exact else None
+        ),
+        "pq_refine_depth": refine,
+        "pq_refine_fraction": round(refine / n, 4),
+        "pq_recall_at_k": round(pq_hit / n_exact, 4) if n_exact else None,
+    }
+
+
 def profile(spark, sf_dir, factors=(10, 100)):
-    out = {"sf_dir": sf_dir, "threshold": 0.9, "points": []}
+    out = {"sf_dir": sf_dir, "threshold": 0.9, "points": [], "clustered": []}
     for fac in factors:
         t0 = time.time()
         corpus, truth = planted_corpus(spark, sf_dir, fac)
@@ -256,6 +357,16 @@ def profile(spark, sf_dir, factors=(10, 100)):
         out["points"].append(row)
         print(json.dumps(row), flush=True)
         spark.catalog.clearCache()
+    # r09: the general-purpose serving gate on a corpus with real
+    # cluster structure (the uniform corpus above is the honest hard
+    # case; this is the claim users rely on for RAG-style retrieval)
+    for n in (5_500, 55_000):
+        t0 = time.time()
+        row = clustered_ivf_pq_point(spark, n)
+        row["wall_s"] = round(time.time() - t0, 1)
+        out["clustered"].append(row)
+        print(json.dumps(row), flush=True)
+        spark.catalog.clearCache()
     return out
 
 
@@ -267,7 +378,7 @@ def main():
     res = profile(spark, sf_dir)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "RECALL_r8.json",
+        "RECALL_r9.json",
     )
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)

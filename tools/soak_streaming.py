@@ -213,8 +213,18 @@ def main():
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
     spark = get_spark("gnocchi-spark-soak")
     spark.sparkContext.setLogLevel("ERROR")
+    # production state backend when available (r09): the soak's row
+    # curves are backend-independent, but running them under RocksDB
+    # exercises the configuration the 100 TB deployment would use
+    from gnocchi_spark.session import enable_rocksdb_state
 
-    out = {"n_batches": n_batches, "rows_per_batch": rows_per_batch}
+    rocksdb = enable_rocksdb_state(spark)
+
+    out = {
+        "n_batches": n_batches,
+        "rows_per_batch": rows_per_batch,
+        "rocksdb_state_store": rocksdb,
+    }
     plan = (
         ("rollup", n_batches, rows_per_batch),
         ("rate", max(100, n_batches // 4), rows_per_batch),
