@@ -12031,7 +12031,7 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r08 rotation -----------------------------------------------------
+    # --- r09 rotation -----------------------------------------------------
     # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
     # whose implementation changed this round + new queries (front),
     # then the STALEST green rows by last-driver-checked round
@@ -12040,66 +12040,65 @@ CHECK_ORDER = [
     # union.  Full-registry coverage is maintained by the committed
     # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
     # scales.
-    # -- 1) changed in r08 (window-sum DECIMAL(38,0) accumulators:
-    #    cusum profile/drift, seasonal_profile, time-weighted-avg
-    #    product sum; binary decontamination shingle hashes; dedup
-    #    memo LRU/staleness + CC cloned-session isolation — the whole
-    #    cluster family re-checks)
-    "tsdb_cusum_profile",
-    "tsdb_cusum_drift",
-    "seasonal_profile",
-    "tsdb_time_weighted_avg",
-    "benchmark_decontamination",
+    # -- 1) changed in r09, traced through the call graph (r08 ADVICE:
+    #    operator-touched queries belong in this section too): the
+    #    shingle-fold shiftleft/xor change + memo first-wins + CC
+    #    per-plan repartition (the whole minhash/cluster family),
+    #    registered_local_checkpoint (gram-table queries), and the
+    #    ivf_assign/pq_adc_topk extensions (ANN family)
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_cluster_canonical",
+    "dedup_incremental_minhash",
+    "dedup_candidate_profile",
     "split_leakage_free",
-    # -- 2) the two tail re-checks displaced when CHECK_ORDER hit 52
-    #    in r07 (28f8f8f note) --
-    "ingest_prometheus_wire",
-    "injector_synthetic",
-    # -- 3) oldest-first fill: the remaining r03 cohort --
-    "maintenance_inactivity",
-    "maintenance_retention",
-    "metric_backlog",
-    "metric_wildcard_semijoin",
-    "multimodal_frame_sample",
-    "pack_sequences_512",
-    "pii_redact",
-    "policy_rule_assignment",
-    "resource_groupby_aggregates",
-    "sessionize_gap",
-    "tpch_q10_returned_items",
-    "tsdb_calendar_sunday_week",
-    "tsdb_fill_bfill",
-    "tsdb_fill_ffill",
-    "tsdb_multi_granularity_read",
-    "tsdb_ops_aggregate_mean",
-    "tsdb_ops_aggregate_rate",
-    "tsdb_ops_arith_fill0",
-    "tsdb_ops_clip_compare",
-    "tsdb_ops_fmax_mod_pow",
-    "tsdb_ops_rateofchange",
-    "tsdb_ops_rateofchangesec",
-    "tsdb_ops_resample_form",
-    "tsdb_ops_rolling_mean4",
-    "tsdb_ops_unary_math",
-    "tsdb_rate_mean_1h",
-    "tsdb_read_window",
-    "tsdb_resample_5m_to_1h",
-    "tsdb_rollup_first_last_1h",
-    "tsdb_rollup_multi_1h",
-    "tsdb_rollup_pct_1d",
-    # -- r04-vintage rows (alphabetical prefix of the r04 cohort;
-    #    the remainder leads the r09 fill) --
-    "ab_test_ztest",
+    "dedup_ngram_coverage",
+    "corpus_novelty_scores",
+    "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_index_roundtrip",
-    "ann_recall_report",
-    "decontaminate_ngram",
+    "cluster_topics_kmeans",
     "dedup_semantic",
-    "histogram_quantile_cascade",
-    "hll_cascade_merge",
-    "ingest_csv_measures",
+    # -- 2) oldest-first fill: the remaining r04 cohort --
+    "ingest_rest_batch_json",
+    "metric_user_entropy",
+    "mmr_diversified_topk",
+    "pretrain_prep_end_to_end",
+    "quality_gopher_rules",
+    "resource_point_in_time",
+    "resource_scd2_apply",
+    "rollup_anomaly_zscore",
+    "rollup_consistency_audit",
+    "rollup_invalidation_plan",
+    "select_token_budget",
+    "slo_burn_rate",
+    "store_snapshot_roundtrip",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_returns",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tsdb_counter_increase",
+    "tsdb_fill_linear",
+    "tsdb_gap_report",
+    "tsdb_percent_rank",
+    "tsdb_stl_decompose",
+    "tsdb_trimmed_mean",
+    "user_pagerank",
+    "wau_rolling_hll",
+    # -- 3) head of the r05 cohort (next-stalest after r04; the two
+    #    r05 gram queries already sit in section 1) --
+    "ann_lsh_topk",
+    "calendar_extract_profile",
+    "chunk_documents_rag",
+    "cluster_medoids",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a
