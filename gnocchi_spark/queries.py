@@ -3303,6 +3303,87 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @query(
+    "ann_pq_refine_topk",
+    f"""
+    WITH cw AS (
+      SELECT s, e.vec_id AS j,
+             list_transform(e.embedding[s*8+1 : s*8+8],
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings e, range(0, 8) t(s) WHERE e.vec_id < 16),
+    sub AS (
+      SELECT v.vec_id, s,
+             list_transform(v.embedding[s*8+1 : s*8+8],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings v, range(0, 8) t(s)),
+    dists AS (
+      SELECT sub.vec_id, sub.s, cw.j,
+             round(list_sum(list_transform(range(1, 9),
+                     i -> (sub.sv[i] - cw.c[i]) ** 2)), 9) AS d2
+      FROM sub JOIN cw ON sub.s = cw.s),
+    enc AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, j) AS rn
+            FROM dists)
+      WHERE rn = 1),
+    terms AS (
+      SELECT qs.vec_id AS query_id, enc.vec_id AS neighbor_id, qs.s,
+             list_sum(list_transform(range(1, 9),
+               i -> (qs.sv[i] - cw.c[i]) ** 2)) AS t
+      FROM sub qs
+      JOIN enc ON enc.s = qs.s AND enc.vec_id != qs.vec_id
+      JOIN cw ON cw.s = enc.s AND cw.j = enc.code
+      WHERE qs.vec_id < 10),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             (floor(CAST(sum(CAST(floor(t * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e9 * 1e6 + 0.5) / 1e6) AS adc_dist
+      FROM terms GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+      WHERE rn <= 50),
+    refined AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+               AS cosine
+      FROM shortlist sl
+      JOIN embeddings q ON q.vec_id = sl.query_id
+      JOIN embeddings c ON c.vec_id = sl.neighbor_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT)
+             AS rank,
+           neighbor_id, cosine
+    FROM refined
+    QUALIFY rank <= 5
+    """,
+)
+def ann_pq_refine_topk(spark, sf_dir):
+    # two-stage PQ serving (r09): ADC shortlist (top-50 by quantized
+    # distance — the index prunes the scan) then exact cosine re-rank
+    # of only the shortlisted rows, the FAISS IVFPQ+refine shape.  The
+    # oracle replays encode, ADC, shortlist AND refine, so the hash
+    # match checks the full two-stage pipeline.  Motivation is
+    # measured in RECALL_r9.json: code-only PQ cannot rank
+    # within-cluster neighbours (0.18 recall@10) while the true top-k
+    # survives into the ADC shortlist (refined recall ~1.0).
+    from gnocchi_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_deterministic_codebooks,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pq_deterministic_codebooks(emb, m=8, k=16, dim=64)
+    return pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 10), cbs, k=5, refine=50
+    )
+
+
+@query(
     "asof_join_nearest",
     """
     WITH lo AS (
@@ -12056,6 +12137,7 @@ CHECK_ORDER = [
     "corpus_novelty_scores",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_pq_refine_topk",  # NEW in r09 (two-stage PQ refine serving)
     "ann_index_roundtrip",
     "cluster_topics_kmeans",
     "dedup_semantic",
@@ -12098,7 +12180,6 @@ CHECK_ORDER = [
     "ann_lsh_topk",
     "calendar_extract_profile",
     "chunk_documents_rag",
-    "cluster_medoids",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a

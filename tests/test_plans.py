@@ -20,6 +20,7 @@ from gnocchi_spark.queries import QUERIES
 BNL_ALLOWED = {
     "ann_cosine_topk",  # broadcast 10 query vectors against the corpus
     "ann_pq_topk",      # same shape: broadcast probe set, corpus streams
+    "ann_pq_refine_topk",  # same ADC stage; refine adds equi joins only
     "tfidf_keywords",   # broadcast 1-row corpus-size scalar (cross)
     "bm25_retrieval",   # broadcast 1-row (N, avgdl) scalar (cross)
     "perplexity_unigram",     # broadcast 1-row vocab-total scalar (cross)
