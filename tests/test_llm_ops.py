@@ -940,3 +940,113 @@ def test_connected_components_concurrent_queries_unaffected(spark):
     # with the old conf flip, runs interleaved at width 1 were the
     # failure signature.
     assert widths, "no concurrent query completed during the CC loop"
+
+
+def test_repeated_span_report_planted_spans(spark):
+    """ExactSubstr span semantics on a planted corpus: a 10-token run
+    shared by two docs becomes one maximal span in each (start/end
+    exact), a within-doc self-repeat counts, and a doc with no
+    recurring window emits nothing."""
+    from gnocchi_spark.operators.pipeline import repeated_span_report
+
+    shared = "q w e r t y u i o p"  # 10 tokens, n=4 windows 1..7
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared run at positions 3..12
+            (1, "a1 b1 " + shared + " c1 d1"),
+            # doc 2: shared run at positions 1..10
+            (2, shared + " e2 f2 g2"),
+            # doc 3: self-repeat of a 4-token window at 1..4 and 8..11
+            (3, "m n o p x3 y3 z3 m n o p"),
+            # doc 4: all-unique tokens, no repeats
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_report(docs, n=4).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["span_start"], out[1]["span_end"]) == (3, 12)
+    assert (out[2]["span_start"], out[2]["span_end"]) == (1, 10)
+    assert out[1]["span_tokens"] == 10 and out[1]["n_anchors"] == 7
+    # doc 3: anchors at 1 and 8 (gap 7 > n=4 would split; here the
+    # two window starts differ by 7 > 4, so TWO spans of 4 tokens)
+    rows3 = [
+        r
+        for r in repeated_span_report(docs, n=4).collect()
+        if r["doc_id"] == 3
+    ]
+    assert sorted((r["span_start"], r["span_end"]) for r in rows3) == [
+        (1, 4),
+        (8, 11),
+    ]
+
+
+def test_repeated_span_report_merges_adjacent_windows(spark):
+    """Two recurring windows whose starts differ by exactly n are
+    contiguous token ranges and merge into one maximal span."""
+    from gnocchi_spark.operators.pipeline import repeated_span_report
+
+    # doc 1 repeats doc 2's tokens in two back-to-back 3-token runs
+    # separated by tokens that themselves recur, so anchors are dense
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_span_report(docs, n=3).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r["span_start"], r["span_end"], r["span_tokens"]) == (1, 6, 6)
+
+
+def test_nb_domain_classifier_learns_separable_vocab(spark):
+    """Closed-form NB training must recover a vocabulary-separable
+    domain: positives draw from one word set, negatives from another,
+    and every doc must be classified correctly (weights are pure
+    class-evidence log-ratios, so disjoint vocabularies separate)."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "alpha bravo charlie alpha delta", 1))
+        else:
+            rows.append((i, "xray yankee zulu xray whiskey", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, t int")
+    out = nb_domain_classifier(docs, F.col("t") == 1)
+    got = out.collect()
+    assert len(got) == 40
+    assert all(r["correct"] == 1 for r in got)
+    # margins carry class sign
+    assert all(
+        (r["score"] > 0) == (r["label"] == 1) for r in got
+    )
+
+
+def test_nb_domain_classifier_prior_breaks_empty_docs(spark):
+    """A document whose tokens give zero net evidence falls back to
+    the class prior: with a 3:1 positive corpus the prior is positive,
+    so the neutral doc predicts +1."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+
+    rows = [
+        (1, "p p p", 1),
+        (2, "p p", 1),
+        (3, "p", 1),
+        (4, "n n n", 0),
+        # shared-evidence doc: one p and one n occurrence each — token
+        # evidence nearly cancels, prior ln(4/2) > 0 dominates
+        (5, "p n", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, t int")
+    out = {r["doc_id"]: r for r in nb_domain_classifier(docs, F.col("t") == 1).collect()}
+    assert out[5]["predicted"] == 1

@@ -48,6 +48,7 @@ BNL_ALLOWED = {
     "ann_ndcg_report",  # broadcast 10-query slice (exact + LSH sides)
     "ann_filtered_topk",  # broadcast 5-query slice against filtered corpus
     "metric_change_contributors",  # broadcast 1-row last-hour scalar (cross)
+    "quality_nb_classifier",  # broadcast 1-row totals + 1-row prior scalars (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
