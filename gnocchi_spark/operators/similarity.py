@@ -660,6 +660,79 @@ def ivf_train_kmeans(
     return _as_df(cent_rows)
 
 
+def ivf_probe_curve(
+    corpus: DataFrame,
+    sample: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The empirical IVF probe-depth coverage curve as a DataFrame —
+    the measured object :func:`autotune_ivf_probe` picks ``n_probe``
+    from, exposed so serving configuration is itself a queryable,
+    oracle-checkable result (r09).
+
+    For each (query, true-top-``k``-neighbour) pair over the
+    ``sample`` queries: the cell the neighbour lives in (map-only
+    primary assignment) and that cell's rank in the query's own
+    centroid-distance order.  Output is one row per OBSERVED probe
+    rank: (probe_rank, n_hits, cum_hits, total_pairs, recall) where
+    ``recall`` = cum_hits / total_pairs is exactly recall@k when
+    serving probes the top ``probe_rank`` cells.
+
+    Scale shape: one exact-scoring corpus pass for the sample
+    (broadcast), two map-only assignments, one hash-key count; the
+    sample-sized pair/rank tables broadcast against the corpus-sized
+    cell map, and the cumulative sum + total attach on the
+    <= n_centroids-row curve (a bounded global window + a 1-row
+    broadcast — metadata scale, never data).
+    """
+    n_cent = centroids.count()
+    exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("__cell")
+    )
+    qranks = ivf_assign(
+        sample, centroids, id_col, vec_col, n_probe=n_cent, with_rank=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "probe_rank",
+        F.col("centroid_id").alias("__cell"),
+    )
+    hits = (
+        cells.join(
+            F.broadcast(exact.select("query_id", "neighbor_id")), "neighbor_id"
+        )
+        .join(F.broadcast(qranks), ["query_id", "__cell"])
+        .groupBy("probe_rank")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    total = exact.agg(F.count("*").cast("long").alias("total_pairs"))
+    w = Window.orderBy("probe_rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hits.withColumn("cum_hits", F.sum("n_hits").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("probe_rank").cast("int").alias("probe_rank"),
+            "n_hits",
+            F.col("cum_hits").cast("long").alias("cum_hits"),
+            "total_pairs",
+            (
+                F.floor(
+                    F.col("cum_hits")
+                    / F.col("total_pairs").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("recall"),
+        )
+    )
+
+
 def autotune_ivf_probe(
     corpus: DataFrame,
     n_centroids: int,
@@ -712,29 +785,14 @@ def autotune_ivf_probe(
         .limit(n_sample)
         .localCheckpoint(eager=True)
     )
-    exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
-    cells = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
-        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("__cell")
-    )
-    qranks = ivf_assign(
-        sample, centroids, id_col, vec_col, n_probe=n_centroids, with_rank=True
-    ).select(
-        F.col(id_col).alias("query_id"),
-        "probe_rank",
-        F.col("centroid_id").alias("__cell"),
-    )
-    # exact pairs and the query-side rank table are both sample-sized:
-    # broadcast them against the corpus-sized cell map
-    hit_ranks = (
-        cells.join(F.broadcast(exact.select("query_id", "neighbor_id")), "neighbor_id")
-        .join(F.broadcast(qranks), ["query_id", "__cell"])
-        .groupBy("probe_rank")
-        .agg(F.count("*").alias("n"))
+    rows = (
+        ivf_probe_curve(
+            corpus, sample, centroids, k=k, id_col=id_col, vec_col=vec_col
+        )
         .orderBy("probe_rank")
         .collect()
     )
-    total = exact.count()
-    cum = 0
+    total = rows[0]["total_pairs"] if rows else 0
     curve: dict[int, float] = {}
     n_probe = n_centroids
     # the curve is estimated from n_sample*k pairs; picking the depth
@@ -751,9 +809,12 @@ def autotune_ivf_probe(
         else 0.0
     )
     need = min(1.0, target_recall + margin)
-    for r in hit_ranks:
-        cum += r["n"]
-        curve[int(r["probe_rank"])] = round(cum / total, 4) if total else 1.0
+    for r in rows:
+        # re-derived from the exact integer cum_hits, so the picked
+        # depth is bit-identical to the pre-refactor driver-side fold
+        curve[int(r["probe_rank"])] = (
+            round(r["cum_hits"] / total, 4) if total else 1.0
+        )
     for p in sorted(curve):
         if curve[p] >= need:
             n_probe = p

@@ -2100,6 +2100,83 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_probe_curve",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 32),
+    q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 97 = 1 ORDER BY vec_id LIMIT 50),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
+                 DESC, c.vec_id) AS rn
+      FROM embeddings c, q WHERE q.vec_id != c.vec_id
+      QUALIFY rn <= 5),
+    cells AS (
+      SELECT e.vec_id AS neighbor_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a="e.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY rn = 1),
+    qranks AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS.format(a="q.embedding", b="c.centroid")}, 6)
+                 DESC, c.centroid_id) AS probe_rank
+      FROM q CROSS JOIN cent c),
+    hits AS (
+      SELECT r.probe_rank, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact x
+      JOIN cells m USING (neighbor_id)
+      JOIN qranks r ON r.query_id = x.query_id
+                   AND r.centroid_id = m.centroid_id
+      GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_pairs FROM exact),
+    curve AS (
+      SELECT probe_rank, n_hits,
+             CAST(sum(n_hits) OVER (ORDER BY probe_rank
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_hits
+      FROM hits)
+    SELECT CAST(probe_rank AS INT) AS probe_rank, n_hits, cum_hits,
+           total_pairs,
+           floor(cum_hits / CAST(total_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS recall
+    FROM curve, tot
+    """,
+)
+def ann_probe_curve(spark, sf_dir):
+    # the measured IVF probe-depth coverage curve as a FIRST-CLASS
+    # query result (r09): recall@5 at every probe depth over a
+    # deterministic query sample against 32 first-by-id centroids —
+    # the object autotune_ivf_probe picks n_probe from, now
+    # oracle-checked end to end (exact top-k, primary cell assignment,
+    # per-query centroid rank order, cumulative hit fold).  The oracle
+    # replays all four stages, so a drift in any of them (assignment
+    # tiebreak, rank rounding, the cumulative window) hash-mismatches.
+    from gnocchi_spark.operators.similarity import ivf_probe_curve
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    sample = emb.where(F.col("vec_id") % 97 == 1).orderBy("vec_id").limit(50)
+    return ivf_probe_curve(emb, sample, centroids, k=5)
+
+
 def _bucket_sql(planes, msb_first: bool = True) -> str:
     """DuckDB expression computing the same integer bucket id as
     similarity.lsh_bucket for the given hyperplanes: bit p set when
@@ -12259,6 +12336,7 @@ CHECK_ORDER = [
     "ann_pq_refine_topk",  # NEW in r09 (two-stage PQ refine serving)
     "dedup_repeated_spans",  # NEW in r09 (ExactSubstr maximal spans)
     "quality_nb_classifier",  # NEW in r09 (in-plan NB domain classifier)
+    "ann_probe_curve",  # NEW in r09 (oracle-checked autotune coverage curve)
     "ann_index_roundtrip",
     "cluster_topics_kmeans",
     "dedup_semantic",
@@ -12296,10 +12374,9 @@ CHECK_ORDER = [
     "tsdb_trimmed_mean",
     "user_pagerank",
     "wau_rolling_hll",
-    # -- 3) head of the r05 cohort (next-stalest after r04; the two
-    #    r05 gram queries already sit in section 1; two more r05 rows
-    #    displaced by the late-r09 additions above, per policy) --
-    "ann_lsh_topk",
+    # (the r05-cohort fill rows that led this section were displaced
+    # one by one by the three late-r09 additions above, per the
+    # changed/new-first policy; the r05 cohort heads the r10 fill)
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a

@@ -1050,3 +1050,43 @@ def test_nb_domain_classifier_prior_breaks_empty_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, t int")
     out = {r["doc_id"]: r for r in nb_domain_classifier(docs, F.col("t") == 1).collect()}
     assert out[5]["predicted"] == 1
+
+
+def test_ivf_probe_curve_invariants(spark):
+    """The probe-coverage curve is a valid CDF of the exact top-k hit
+    ranks: cum_hits monotone, every row shares one total, and the
+    deepest observed rank covers ALL pairs (every true neighbour's
+    cell has some rank, so the curve ends at recall 1.0)."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.similarity import ivf_probe_curve
+
+    corpus = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d, F.lit("v")), F.lit(1000))
+                / 500.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    centroids = corpus.limit(6).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    sample = corpus.where(F.col("vec_id") % 7 == 1)
+    rows = (
+        ivf_probe_curve(corpus, sample, centroids, k=3)
+        .orderBy("probe_rank")
+        .collect()
+    )
+    assert rows, "curve must not be empty"
+    totals = {r["total_pairs"] for r in rows}
+    assert len(totals) == 1
+    cums = [r["cum_hits"] for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r["n_hits"] for r in rows) == rows[-1]["cum_hits"]
+    assert rows[-1]["cum_hits"] == rows[-1]["total_pairs"]
+    assert rows[-1]["recall"] == 1.0

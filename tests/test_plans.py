@@ -49,6 +49,7 @@ BNL_ALLOWED = {
     "ann_filtered_topk",  # broadcast 5-query slice against filtered corpus
     "metric_change_contributors",  # broadcast 1-row last-hour scalar (cross)
     "quality_nb_classifier",  # broadcast 1-row totals + 1-row prior scalars (cross)
+    "ann_probe_curve",  # broadcast 50-query slice + 1-row total-pairs scalar (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
@@ -69,6 +70,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # top-10 window runs over the per-user two-hour contributor table
     # (bounded by keys active in two hourly buckets, not traffic)
     "metric_change_contributors",
+    # cumulative-recall window runs over the <= n_centroids-row probe
+    # curve (metadata scale), never the corpus
+    "ann_probe_curve",
 }
 
 
