@@ -1063,6 +1063,14 @@ def nb_domain_classifier(
         .agg(F.count("*").cast("long").alias("cnt")),
         "nb_features",
         n_buckets,
+        # the label predicate MUST key the memo: the input-file
+        # fingerprint alone is identical for two calls with different
+        # ``is_target`` on the same corpus, and the memoized frame
+        # carries the labels — without this a second call would reuse
+        # the first call's labeling.  Column repr is deterministic for
+        # a given expression tree; differing reprs of equal predicates
+        # only forfeit reuse, never correctness.
+        str(is_target),
     )
     b = F.lit(float(n_buckets))
     q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")

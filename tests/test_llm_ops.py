@@ -1090,3 +1090,28 @@ def test_ivf_probe_curve_invariants(spark):
     assert sum(r["n_hits"] for r in rows) == rows[-1]["cum_hits"]
     assert rows[-1]["cum_hits"] == rows[-1]["total_pairs"]
     assert rows[-1]["recall"] == 1.0
+
+
+def test_nb_domain_classifier_memo_keys_on_predicate(spark, tmp_path):
+    """Two NB trainings over the SAME parquet input but different
+    target predicates must not share the memoized labeled feature
+    table (the input-file fingerprint is identical; only the label
+    predicate distinguishes them)."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 == 0 else "gamma delta", i % 2)
+         for i in range(20)],
+        "doc_id long, text string, t int",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    a = {r["doc_id"]: r["label"]
+         for r in nb_domain_classifier(docs, F.col("t") == 0).collect()}
+    b = {r["doc_id"]: r["label"]
+         for r in nb_domain_classifier(docs, F.col("t") == 1).collect()}
+    # opposite predicates -> opposite labels on every doc; a shared
+    # memo entry would make them identical instead
+    assert all(a[d] == -b[d] for d in a)
