@@ -1119,3 +1119,84 @@ def nb_domain_classifier(
             .alias("correct"),
         )
     )
+
+
+def repeated_span_apply(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY step for :func:`repeated_span_report` — the ExactSubstr
+    CUT (Lee et al. 2022): remove every token covered by a recurring
+    ``n``-token window whose occurrence is NOT the corpus-first one,
+    and rebuild the cleaned text.  Keep-first convention: for each
+    distinct window hash, the lexicographically first (doc_id,
+    position) occurrence is the owner and survives; every other
+    occurrence's window is cut.  A token covered by both an owner
+    window and a cut window is removed (cut wins — matches "drop the
+    second occurrence of the duplicated substring" at token
+    granularity).
+
+    Returns one row per non-empty document: (doc_id, n_tokens,
+    n_removed, text_clean) — text_clean is the space-joined surviving
+    tokens of the normalized-whitespace tokenization, possibly ''.
+
+    100 TB shape: token and positional-window tables are one row per
+    corpus token; the owner is an exact-integer min (doc_id * 2^20 +
+    position — positions bounded by the 2^20-token document cap) that
+    partial-aggregates map-side on the hash key; cut windows explode
+    to exactly ``n`` covered positions each (constant fan-out); the
+    keep-filter is one (doc, position)-keyed anti join and the rebuild
+    is one doc-keyed aggregation whose per-group state is bounded by
+    document length.  All four exchanges are key-partitioned and
+    linear; nothing pairwise, nothing driver-side.
+    """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    d = spread_for_compute(docs).where(F.length(F.col(text_col)) > 0)
+    toks = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__p0", "tok"),
+    ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("p"), "tok")
+    anchors = (
+        with_token_ngrams(d, n, text_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(hashed_grams(F.col("__grams"))).alias("__p0", "h"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__p0") + 1).cast("long").alias("p"),
+            "h",
+            (F.col("doc_id") * F.lit(1048576) + F.col("__p0") + 1).alias("__k"),
+        )
+    )
+    owners = anchors.groupBy("h").agg(F.min("__k").alias("__owner"))
+    cut = anchors.join(owners, "h").where(F.col("__k") != F.col("__owner"))
+    covered = cut.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("p")
+    ).distinct()
+    marked = toks.join(
+        covered.withColumn("__cut", F.lit(1)), ["doc_id", "p"], "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__cut").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cut").isNull(),
+                            F.struct(F.col("p"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

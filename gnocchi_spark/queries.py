@@ -3323,6 +3323,49 @@ def dedup_repeated_spans(spark, sf_dir):
 
 
 @query(
+    "dedup_repeated_span_apply",
+    f"""
+    WITH {_gram_sql(8, distinct=False)},
+    tok AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+    eg AS (
+      SELECT doc_id, i AS p, g[i] AS gram
+      FROM grams, unnest(range(1, len(g) + 1)) AS r(i)),
+    own AS (SELECT gram, min(doc_id * 1048576 + p) AS k FROM eg GROUP BY 1),
+    cut AS (
+      SELECT e.doc_id, e.p FROM eg e JOIN own o USING (gram)
+      WHERE e.doc_id * 1048576 + e.p != o.k),
+    cov AS (
+      SELECT DISTINCT doc_id, pos AS p
+      FROM cut, unnest(range(p, p + 8)) AS s(pos)),
+    m AS (
+      SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS is_cut
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT is_cut THEN tok END,
+                               ' ' ORDER BY p), '') AS text_clean
+    FROM m GROUP BY 1
+    """,
+)
+def dedup_repeated_span_apply(spark, sf_dir):
+    # the ExactSubstr CUT: tokens covered by a recurring 8-token window
+    # whose occurrence is not the corpus-first one are removed and the
+    # text rebuilt (keep-first convention on the exact integer
+    # (doc_id, position) key).  The oracle replays owner selection,
+    # coverage explosion and the ordered rebuild, so the cleaned TEXT
+    # itself is hash-compared — the strongest possible check on the
+    # apply semantics.
+    from gnocchi_spark.operators.pipeline import repeated_span_apply
+
+    return repeated_span_apply(
+        tables.load(spark, sf_dir, "documents"), n=8
+    )
+
+
+@query(
     "quality_nb_classifier",
     f"""
     WITH norm AS (
@@ -12335,6 +12378,7 @@ CHECK_ORDER = [
     "ann_pq_topk",
     "ann_pq_refine_topk",  # NEW in r09 (two-stage PQ refine serving)
     "dedup_repeated_spans",  # NEW in r09 (ExactSubstr maximal spans)
+    "dedup_repeated_span_apply",  # NEW in r09 (ExactSubstr keep-first cut)
     "quality_nb_classifier",  # NEW in r09 (in-plan NB domain classifier)
     "ann_probe_curve",  # NEW in r09 (oracle-checked autotune coverage curve)
     "ann_index_roundtrip",
@@ -12373,7 +12417,8 @@ CHECK_ORDER = [
     "tsdb_stl_decompose",
     "tsdb_trimmed_mean",
     "user_pagerank",
-    "wau_rolling_hll",
+    # wau_rolling_hll displaced by the fourth late-r09 addition; it
+    # heads the r10 oldest-first fill with the rest of the r04/r05 tail
     # (the r05-cohort fill rows that led this section were displaced
     # one by one by the three late-r09 additions above, per the
     # changed/new-first policy; the r05 cohort heads the r10 fill)

@@ -1115,3 +1115,28 @@ def test_nb_domain_classifier_memo_keys_on_predicate(spark, tmp_path):
     # opposite predicates -> opposite labels on every doc; a shared
     # memo entry would make them identical instead
     assert all(a[d] == -b[d] for d in a)
+
+
+def test_repeated_span_apply_keep_first_cut(spark):
+    """ExactSubstr apply semantics: the corpus-first occurrence of a
+    repeated window survives, every later occurrence's tokens are cut,
+    and untouched docs rebuild to their normalized text verbatim."""
+    from gnocchi_spark.operators.pipeline import repeated_span_apply
+
+    shared = "q w e r t y u i o p"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 " + shared + " c1 d1"),  # owner (lowest doc_id)
+            (2, shared + " e2 f2 g2"),          # later occurrence: cut
+            (3, "u1 u2 u3 u4 u5"),              # no repeats: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_apply(docs, n=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == "a1 b1 " + shared + " c1 d1"
+    # doc 2 loses exactly the 10 shared tokens, keeps its tail
+    assert out[2]["n_removed"] == 10
+    assert out[2]["text_clean"] == "e2 f2 g2"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == "u1 u2 u3 u4 u5"
