@@ -1031,36 +1031,11 @@ def nb_domain_classifier(
     the per-doc margin sum is the only other corpus-sized exchange.
     Nothing iterates, nothing reaches the driver.
     """
-    from gnocchi_spark.operators.dedup import (
-        registered_local_checkpoint,
-        spread_for_compute,
-    )
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
 
-    base = (
-        spread_for_compute(docs)
-        .where(F.length(F.col(text_col)) > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.when(is_target, F.lit(1)).otherwise(F.lit(-1))
-            .cast("int")
-            .alias("label"),
-            F.col(text_col).alias("__text"),
-        )
-    )
+    tok_feats, base = nb_features(docs, is_target, n_buckets, id_col, text_col)
     feats = registered_local_checkpoint(
-        base.select(
-            "doc_id", "label", F.explode(tokens(F.col("__text"))).alias("__tok")
-        )
-        .select(
-            "doc_id",
-            "label",
-            (
-                F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
-                % n_buckets
-            ).alias("bucket"),
-        )
-        .groupBy("doc_id", "label", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt")),
+        tok_feats,
         "nb_features",
         n_buckets,
         # the label predicate MUST key the memo: the input-file
@@ -1072,30 +1047,15 @@ def nb_domain_classifier(
         # only forfeit reuse, never correctness.
         str(is_target),
     )
-    b = F.lit(float(n_buckets))
-    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
-    cstats = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("label") == 1, F.col("cnt")).otherwise(0)).alias("cp"),
-        F.sum(F.when(F.col("label") == -1, F.col("cnt")).otherwise(0)).alias("cn"),
-    )
-    totals = cstats.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
-    llr = cstats.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        q(
-            F.log((F.col("cp") + 1.0) / (F.col("tp") + b))
-            - F.log((F.col("cn") + 1.0) / (F.col("tn") + b))
-        ).alias("w"),
-    )
-    prior = base.agg(
-        q(
-            F.log(
-                F.sum(F.when(F.col("label") == 1, 1).otherwise(0)) + F.lit(1.0)
-            )
-            - F.log(
-                F.sum(F.when(F.col("label") == -1, 1).otherwise(0)) + F.lit(1.0)
-            )
-        ).alias("p")
-    )
+    # class counts in the SHARED (bucket, cp, cn) contract: token rows
+    # for buckets >= 0 plus the bucket == -1 sentinel carrying per-class
+    # DOCUMENT counts — the same table the streaming refresh sink
+    # (streaming/ingest.streaming_nb_counts) maintains incrementally,
+    # so batch and streaming provably share the weight derivation
+    counts = nb_class_counts(feats, base)
+    wdf = nb_weights_from_counts(counts, n_buckets)
+    llr = wdf.where(F.col("bucket") >= 0)
+    prior = wdf.where(F.col("bucket") == -1).select(F.col("w").alias("p"))
     return (
         feats.join(F.broadcast(llr), "bucket")
         .groupBy("doc_id", "label")
@@ -1200,3 +1160,108 @@ def repeated_span_apply(
             " ",
         ).alias("text_clean"),
     )
+
+
+def nb_class_counts(feats: DataFrame, base: DataFrame) -> DataFrame:
+    """Fold labeled NB features into the (bucket, cp, cn) class-count
+    contract: per-bucket positive/negative TOKEN counts for buckets
+    >= 0 plus one bucket == -1 sentinel row carrying per-class
+    DOCUMENT counts (the prior's inputs).  ``feats`` is the
+    (doc_id, label, bucket, cnt) table, ``base`` one row per labeled
+    document.  The table is sum-mergeable by construction — two
+    corpora (or two stream windows) combine by summing cp/cn per
+    bucket — which is what makes the streaming refresh sink exact."""
+    tok = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("label") == -1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cn"),
+    )
+    docs_row = base.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("label") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("cn"),
+    ).select("bucket", "cp", "cn")
+    return tok.unionByName(docs_row)
+
+
+def nb_weights_from_counts(counts: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Closed-form NB weight derivation from the (bucket, cp, cn)
+    class-count contract (see :func:`nb_class_counts`): Laplace-
+    smoothed log-likelihood-ratio weights for token buckets, the
+    class-prior intercept from the bucket == -1 document-count
+    sentinel, all quantized at 1e-6 into integer ``w`` — the SERVE
+    step shared by the batch trainer and the streaming refresh sink
+    (merge stored windows by summing cp/cn, then call this).
+
+    Returns (bucket, w): token buckets >= 0 plus the prior at -1.
+    """
+    b = F.lit(float(n_buckets))
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    tok = counts.where(F.col("bucket") >= 0)
+    totals = tok.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
+    llr = tok.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        q(
+            F.log((F.col("cp") + 1.0) / (F.col("tp") + b))
+            - F.log((F.col("cn") + 1.0) / (F.col("tn") + b))
+        ).alias("w"),
+    )
+    prior = counts.where(F.col("bucket") == -1).select(
+        F.col("bucket"),
+        q(F.log(F.col("cp") + 1.0) - F.log(F.col("cn") + 1.0)).alias("w"),
+    )
+    return llr.unionByName(prior)
+
+
+def nb_features(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The NB feature contract, shared by the batch trainer, the
+    streaming refresh sink's equality tests, and any scorer: returns
+    (feats, base) where ``feats`` is the labeled hashed-count table
+    (doc_id, label, bucket, cnt) — md5 token buckets, the DSIR
+    convention — and ``base`` is one (doc_id, label) row per non-empty
+    document.  One explode + one (doc, bucket)-keyed shuffle."""
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    base = (
+        spread_for_compute(docs)
+        .where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(is_target, F.lit(1)).otherwise(F.lit(-1))
+            .cast("int")
+            .alias("label"),
+            F.col(text_col).alias("__text"),
+        )
+    )
+    feats = (
+        base.select(
+            "doc_id", "label", F.explode(tokens(F.col("__text"))).alias("__tok")
+        )
+        .select(
+            "doc_id",
+            "label",
+            (
+                F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "label", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return feats, base.select("doc_id", "label")

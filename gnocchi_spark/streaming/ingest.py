@@ -535,3 +535,68 @@ def streaming_histogram_counts(
             "cnt",
         )
     )
+
+
+def streaming_nb_counts(
+    stream: DataFrame,
+    is_target,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Streaming refresh for the naive-Bayes domain classifier
+    (operators/pipeline.nb_domain_classifier): maintain the SHARED
+    (bucket, cp, cn) class-count contract incrementally over a
+    document stream — the classifier-training twin of the HLL/CMS/
+    histogram sketch sinks.  Finalized windows append to a counter
+    table; adjacent windows or re-runs MERGE BY SUMMING cp/cn per
+    bucket (class counts are sum-mergeable by construction), and
+    ``operators.pipeline.nb_weights_from_counts`` serves the
+    integer-quantized weights from any merged slice at read time — so
+    the deployed quality gate retrains continuously from ingest
+    without ever rescanning the corpus.
+
+    Rows: (bucket_ts, bucket, cp, cn) — token buckets >= 0 carry
+    per-class TOKEN counts (the DSIR md5-bucket convention, identical
+    to the batch trainer), bucket == -1 carries per-class DOCUMENT
+    counts (the prior's inputs).  State per window is at most
+    ``n_buckets`` + 1 rows — traffic- and vocabulary-independent, the
+    same bound as the batch build's shuffle.
+    """
+    from gnocchi_spark.operators.textstats import tokens
+
+    wm = (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(ts_col),
+            F.when(is_target, 1).otherwise(0).alias("__pos"),
+            F.col(text_col).alias("__text"),
+        )
+    )
+    tok_rows = wm.select(
+        ts_col,
+        "__pos",
+        F.explode(tokens(F.col("__text"))).alias("__tok"),
+    ).select(
+        ts_col,
+        "__pos",
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    doc_rows = wm.select(
+        ts_col, "__pos", F.lit(-1).cast("long").alias("bucket")
+    )
+    return (
+        tok_rows.unionByName(doc_rows)
+        .groupBy(F.window(ts_col, window).alias("win"), "bucket")
+        .agg(
+            F.sum("__pos").cast("long").alias("cp"),
+            F.sum(1 - F.col("__pos")).cast("long").alias("cn"),
+        )
+        .select(F.col("win.start").alias("bucket_ts"), "bucket", "cp", "cn")
+    )

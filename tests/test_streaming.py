@@ -733,3 +733,95 @@ def test_streaming_sessions_state_plateaus(spark):
     assert peak < 200, peak
     assert abs(tail) < 1.0, tail
     assert sum(c["late_dropped"] for c in curve[5:]) > 0
+
+
+def test_streaming_nb_counts_match_batch_and_serve_weights(spark, tmp_path):
+    """The streaming NB class-count sink must reproduce the batch
+    trainer's count table EXACTLY for the same finalized window
+    (counts are integer and sum-mergeable across micro-batches), and
+    the weights served from the merged counters must equal the batch
+    derivation bit for bit — the classifier retrains continuously
+    from ingest without rescanning the corpus."""
+    import datetime
+
+    from gnocchi_spark.operators.pipeline import (
+        nb_class_counts,
+        nb_features,
+        nb_weights_from_counts,
+    )
+    from gnocchi_spark.streaming.ingest import streaming_nb_counts
+
+    landing = str(tmp_path / "nbdocs")
+    table = str(tmp_path / "nb_counts")
+    ckpt = str(tmp_path / "nb_ckpt")
+    schema = "doc_id long, ts timestamp, text string, t int"
+    t0 = datetime.datetime(2026, 3, 6, 14, 0, 0)
+
+    def t(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    rows1 = [
+        (i, t(i % 50), "alpha bravo charlie alpha" if i % 2 == 0 else "xray zulu", i % 2)
+        for i in range(40)
+    ]
+    rows2 = [
+        (100 + i, t(i % 40), "bravo delta" if i % 3 == 0 else "zulu xray whiskey", 1 if i % 3 == 0 else 0)
+        for i in range(30)
+    ]
+    mover = [(9999, t(300), "mover", 0)]
+    for batch in (rows1, rows2 + mover):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    counts = streaming_nb_counts(
+        stream,
+        F.col("t") == 1,
+        window="1 hour",
+        watermark="10 minutes",
+        n_buckets=64,
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # merge stored windows exactly as adjacent runs would: sum per bucket
+    streamed = {
+        r["bucket"]: (r["cp"], r["cn"])
+        for r in spark.read.parquet(table)
+        .where((F.col("bucket_ts") >= t(0)) & (F.col("bucket_ts") < t(60)))
+        .groupBy("bucket")
+        .agg(F.sum("cp").alias("cp"), F.sum("cn").alias("cn"))
+        .collect()
+    }
+    in_window = spark.createDataFrame(rows1 + rows2, schema).where(
+        (F.col("ts") >= t(0)) & (F.col("ts") < t(60))
+    )
+    feats, base = nb_features(in_window, F.col("t") == 1, n_buckets=64)
+    batch_counts = nb_class_counts(feats, base)
+    batch = {
+        r["bucket"]: (r["cp"], r["cn"]) for r in batch_counts.collect()
+    }
+    assert streamed == batch
+    # weight derivation from the merged streamed counters equals the
+    # batch derivation bit for bit (same integer inputs, same formula)
+    rows_df = spark.createDataFrame(
+        [(b, cp, cn) for b, (cp, cn) in sorted(streamed.items())],
+        "bucket long, cp long, cn long",
+    )
+    ws = {
+        r["bucket"]: r["w"]
+        for r in nb_weights_from_counts(rows_df, n_buckets=64).collect()
+    }
+    wb = {
+        r["bucket"]: r["w"]
+        for r in nb_weights_from_counts(batch_counts, n_buckets=64).collect()
+    }
+    assert ws == wb and -1 in ws and any(b >= 0 for b in ws)
