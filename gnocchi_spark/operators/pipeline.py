@@ -1103,9 +1103,13 @@ def repeated_span_apply(
     tokens of the normalized-whitespace tokenization, possibly ''.
 
     100 TB shape: token and positional-window tables are one row per
-    corpus token; the owner is an exact-integer min (doc_id * 2^20 +
-    position — positions bounded by the 2^20-token document cap) that
-    partial-aggregates map-side on the hash key; cut windows explode
+    corpus token; the owner is a lexicographic ``min(struct(doc_id,
+    p))`` — overflow-free for the full 64-bit doc-id range (r10 fix:
+    the r09 packed-integer key ``doc_id * 2^20 + p`` silently wrapped
+    for hashed ids >= 2^43, degrading "corpus-first" to "arbitrary-
+    but-deterministic"), and a struct min is a plain declarative
+    aggregate, so it still partial-aggregates map-side on the hash
+    key; cut windows explode
     to exactly ``n`` covered positions each (constant fan-out); the
     keep-filter is one (doc, position)-keyed anti join and the rebuild
     is one doc-keyed aggregation whose per-group state is bounded by
@@ -1129,11 +1133,15 @@ def repeated_span_apply(
             "doc_id",
             (F.col("__p0") + 1).cast("long").alias("p"),
             "h",
-            (F.col("doc_id") * F.lit(1048576) + F.col("__p0") + 1).alias("__k"),
         )
     )
-    owners = anchors.groupBy("h").agg(F.min("__k").alias("__owner"))
-    cut = anchors.join(owners, "h").where(F.col("__k") != F.col("__owner"))
+    owners = anchors.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("p"))).alias("__owner")
+    )
+    cut = anchors.join(owners, "h").where(
+        (F.col("doc_id") != F.col("__owner.doc_id"))
+        | (F.col("p") != F.col("__owner.p"))
+    )
     covered = cut.select(
         "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("p")
     ).distinct()

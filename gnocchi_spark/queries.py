@@ -3332,10 +3332,15 @@ def dedup_repeated_spans(spark, sf_dir):
     eg AS (
       SELECT doc_id, i AS p, g[i] AS gram
       FROM grams, unnest(range(1, len(g) + 1)) AS r(i)),
-    own AS (SELECT gram, min(doc_id * 1048576 + p) AS k FROM eg GROUP BY 1),
+    own AS (
+      SELECT gram, doc_id AS od, p AS op FROM (
+        SELECT gram, doc_id, p,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, p) AS rn
+        FROM eg) WHERE rn = 1),
     cut AS (
       SELECT e.doc_id, e.p FROM eg e JOIN own o USING (gram)
-      WHERE e.doc_id * 1048576 + e.p != o.k),
+      WHERE NOT (e.doc_id = o.od AND e.p = o.op)),
     cov AS (
       SELECT DISTINCT doc_id, pos AS p
       FROM cut, unnest(range(p, p + 8)) AS s(pos)),
@@ -3353,8 +3358,9 @@ def dedup_repeated_spans(spark, sf_dir):
 def dedup_repeated_span_apply(spark, sf_dir):
     # the ExactSubstr CUT: tokens covered by a recurring 8-token window
     # whose occurrence is not the corpus-first one are removed and the
-    # text rebuilt (keep-first convention on the exact integer
-    # (doc_id, position) key).  The oracle replays owner selection,
+    # text rebuilt (keep-first = lexicographic min over the
+    # (doc_id, position) struct — overflow-free for 64-bit hashed doc
+    # ids, r10 fix).  The oracle replays owner selection,
     # coverage explosion and the ordered rebuild, so the cleaned TEXT
     # itself is hash-compared — the strongest possible check on the
     # apply semantics.

@@ -1140,3 +1140,30 @@ def test_repeated_span_apply_keep_first_cut(spark):
     assert out[2]["text_clean"] == "e2 f2 g2"
     assert out[3]["n_removed"] == 0
     assert out[3]["text_clean"] == "u1 u2 u3 u4 u5"
+
+
+def test_repeated_span_apply_owner_survives_64bit_doc_ids(spark):
+    """The keep-first owner must be the true corpus-first (doc_id, p)
+    for the FULL 64-bit doc-id range (r10 fix; VERDICT r09 wrong #1):
+    the r09 packed key ``doc_id * 2^20 + p`` wrapped for hashed ids
+    >= 2^43 — ``(2^43 - 1) * 2^20`` is a huge positive while
+    ``(2^62 + 5) * 2^20`` wraps to a SMALL positive, so the packed min
+    handed ownership to the larger doc_id.  The struct min is
+    lexicographic and overflow-free."""
+    from gnocchi_spark.operators.pipeline import repeated_span_apply
+
+    owner_id = (1 << 43) - 1        # packed key ~2^63: near-max positive
+    later_id = (1 << 62) + 5        # packed key wraps to ~5 * 2^20
+    shared = "q w e r t y u i o p"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (owner_id, shared + " a1 b1"),  # corpus-first: survives
+            (later_id, "e2 " + shared),     # later occurrence: cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_apply(docs, n=4).collect()}
+    assert out[owner_id]["n_removed"] == 0
+    assert out[owner_id]["text_clean"] == shared + " a1 b1"
+    assert out[later_id]["n_removed"] == 10
+    assert out[later_id]["text_clean"] == "e2"
