@@ -1038,14 +1038,18 @@ def nb_domain_classifier(
         tok_feats,
         "nb_features",
         n_buckets,
-        # the label predicate MUST key the memo: the input-file
-        # fingerprint alone is identical for two calls with different
-        # ``is_target`` on the same corpus, and the memoized frame
-        # carries the labels — without this a second call would reuse
-        # the first call's labeling.  Column repr is deterministic for
-        # a given expression tree; differing reprs of equal predicates
-        # only forfeit reuse, never correctness.
+        # the label predicate AND the column choices MUST key the memo:
+        # the input-file fingerprint alone is identical for two calls
+        # with different ``is_target`` (or different id/text columns,
+        # r10 ADVICE) on the same corpus, and the memoized frame
+        # carries the labels derived from those choices — without this
+        # a second call would reuse the first call's labeling.  Column
+        # repr is deterministic for a given expression tree; differing
+        # reprs of equal predicates only forfeit reuse, never
+        # correctness.
         str(is_target),
+        id_col,
+        text_col,
     )
     # class counts in the SHARED (bucket, cp, cn) contract: token rows
     # for buckets >= 0 plus the bucket == -1 sentinel carrying per-class

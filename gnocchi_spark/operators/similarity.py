@@ -667,6 +667,7 @@ def ivf_probe_curve(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """The empirical IVF probe-depth coverage curve as a DataFrame —
     the measured object :func:`autotune_ivf_probe` picks ``n_probe``
@@ -687,8 +688,13 @@ def ivf_probe_curve(
     cell map, and the cumulative sum + total attach on the
     <= n_centroids-row curve (a bounded global window + a 1-row
     broadcast — metadata scale, never data).
+
+    ``n_centroids``: the centroid count, when the caller already knows
+    it (``autotune_ivf_probe`` does — it BUILT the centroid frame);
+    passing it skips an eager ``centroids.count()`` that would
+    otherwise re-execute the centroid plan on every call (r10 ADVICE).
     """
-    n_cent = centroids.count()
+    n_cent = n_centroids if n_centroids is not None else centroids.count()
     exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("__cell")
@@ -787,7 +793,13 @@ def autotune_ivf_probe(
     )
     rows = (
         ivf_probe_curve(
-            corpus, sample, centroids, k=k, id_col=id_col, vec_col=vec_col
+            corpus,
+            sample,
+            centroids,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
         )
         .orderBy("probe_rank")
         .collect()

@@ -2174,7 +2174,7 @@ def ann_probe_curve(spark, sf_dir):
         )
     )
     sample = emb.where(F.col("vec_id") % 97 == 1).orderBy("vec_id").limit(50)
-    return ivf_probe_curve(emb, sample, centroids, k=5)
+    return ivf_probe_curve(emb, sample, centroids, k=5, n_centroids=32)
 
 
 def _bucket_sql(planes, msb_first: bool = True) -> str:

@@ -1117,6 +1117,36 @@ def test_nb_domain_classifier_memo_keys_on_predicate(spark, tmp_path):
     assert all(a[d] == -b[d] for d in a)
 
 
+def test_nb_domain_classifier_memo_keys_on_text_col(spark, tmp_path):
+    """Two NB trainings over the SAME parquet input and predicate but
+    different TEXT columns must not share the memoized feature table
+    (r10 ADVICE: the memo key carried n_buckets + predicate only, so
+    the column choice was invisible to it)."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+
+    p = str(tmp_path / "docs2.parquet")
+    # t1 separates the classes perfectly; t2 is one shared token, so
+    # its margins differ from t1's on every doc
+    spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 == 0 else "gamma delta", "same tok", i % 2)
+         for i in range(20)],
+        "doc_id long, t1 string, t2 string, t int",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    a = {r["doc_id"]: r["score"]
+         for r in nb_domain_classifier(
+             docs, F.col("t") == 0, text_col="t1").collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in nb_domain_classifier(
+             docs, F.col("t") == 0, text_col="t2").collect()}
+    # a stale shared feature table would replay t1's scores for t2
+    assert any(a[d] != b[d] for d in a)
+    # t2 carries no class evidence: every margin collapses to the prior
+    assert len({b[d] for d in b}) == 1
+
+
 def test_repeated_span_apply_keep_first_cut(spark):
     """ExactSubstr apply semantics: the corpus-first occurrence of a
     repeated window survives, every later occurrence's tokens are cut,
