@@ -73,18 +73,21 @@ def psi_report(
     finite, engine-identical term.  Returns
     (metric_id, n_ref, n_cur, psi).
     """
+    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
+
     # referenced by the range, binning and grid branches: truncate so
-    # the measure stream is read once, not per branch
-    sided = _sided(measures, metric_col, ts_col, value_col).localCheckpoint(
-        eager=False
+    # the measure stream is read once, not per branch (memo-registered
+    # reclaim-only, r10: the blocks belong to the LRU, never leak)
+    sided = reclaimable_local_checkpoint(
+        _sided(measures, metric_col, ts_col, value_col), "psi_sided"
     )
     # metric-count rows, referenced by binning and the grid: truncate
     # so the reference-window reduction runs once
-    ref_rng = (
+    ref_rng = reclaimable_local_checkpoint(
         sided.where("is_ref")
         .groupBy("metric_id")
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .localCheckpoint(eager=False)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi")),
+        "psi_ref_rng",
     )
     binned = (
         sided.join(F.broadcast(ref_rng), "metric_id")
@@ -259,20 +262,22 @@ def ks_two_sample(
     cross-multiplied numerator, so no float comparison decides the
     result.  Returns (metric_id, n_ref, n_cur, ks_stat).
     """
+    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
+
     sided = _sided(measures, metric_col, ts_col, value_col)
     # referenced by the cumulative window and the totals: truncate so
-    # the per-value reduction runs once
-    per_val = (
-        sided.groupBy("metric_id", "v")
-        .agg(
+    # the per-value reduction runs once (memo-registered reclaim-only,
+    # r10: the blocks belong to the LRU, never leak)
+    per_val = reclaimable_local_checkpoint(
+        sided.groupBy("metric_id", "v").agg(
             F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
             .cast("long")
             .alias("c_ref"),
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
             .cast("long")
             .alias("c_cur"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        "ks_per_val",
     )
     w = (
         Window.partitionBy("metric_id")

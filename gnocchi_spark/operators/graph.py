@@ -72,8 +72,19 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
         F.col("src").alias("uid"), (F.lit(1.0) / F.col("n")).alias("p")
     )
     ed = edges.join(deg, "src")
+    # per-round checkpoint hygiene (r10, the CC-loop pattern): round k
+    # materializes eagerly, round k-1's dead blocks are freed, and the
+    # final round's blocks are memo-registered reclaim-only instead of
+    # leaking one persisted RDD per round for the application lifetime
+    from gnocchi_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_handles,
+        register_result_handles,
+    )
+
+    prev_handles: list = []
     for _ in range(iterations):
-        p = (
+        p, handles = _tracked_local_checkpoint(
             ed.join(p, ed.src == p.uid)
             .groupBy(F.col("dst").alias("nuid"))
             .agg(F.sum(F.col("p") / F.col("d")).alias("contrib"))
@@ -85,8 +96,11 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
                     + F.lit(damping) * F.col("contrib")
                 ).alias("p"),
             )
-            .localCheckpoint(eager=False)
         )
+        _unpersist_handles(prev_handles)
+        prev_handles = handles
+    if prev_handles:
+        p = register_result_handles(p, prev_handles, "pagerank_p")
     return p.join(deg, p.uid == deg.src).select(
         "uid", F.col("d").alias("degree"), "p"
     )
@@ -124,11 +138,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b", "db")
-        # referenced three times below (wedge left, wedge right,
-        # closure probe): truncate lineage so the edge pipeline is
-        # computed once, not re-derived per reference
-        .localCheckpoint(eager=False)
     )
+    # referenced three times below (wedge left, wedge right, closure
+    # probe): truncate lineage so the edge pipeline is computed once,
+    # not re-derived per reference; memo-registered reclaim-only (r10)
+    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
+
+    fwd = reclaimable_local_checkpoint(fwd, "triangle_fwd")
     f2 = fwd.select(
         F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
     )
@@ -139,10 +155,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closer = fwd.select(F.col("a").alias("b"), F.col("b").alias("c"))
     # referenced three times by the per-corner union: truncate so the
     # wedge join runs once
-    tri = (
-        wedges.join(closer, ["b", "c"])
-        .select("a", "b", "c")
-        .localCheckpoint(eager=False)
+    tri = reclaimable_local_checkpoint(
+        wedges.join(closer, ["b", "c"]).select("a", "b", "c"),
+        "triangle_tri",
     )
     per_node = (
         tri.select(F.col("a").alias("uid"))
@@ -183,15 +198,27 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     (uid, degree) for surviving nodes with their within-subgraph
     degree.
     """
+    from gnocchi_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_handles,
+        register_result_handles,
+    )
+
     e = edges
+    prev_handles: list = []
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
         keep = deg.where(F.col("d") >= k).select("src")
-        e = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+        # CC-loop checkpoint hygiene (r10): eager round, free previous
+        e, handles = _tracked_local_checkpoint(
+            e.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
         )
+        _unpersist_handles(prev_handles)
+        prev_handles = handles
+    if prev_handles:
+        e = register_result_handles(e, prev_handles, "kcore_e")
     return e.groupBy(F.col("src").alias("uid")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -203,16 +230,24 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     label, ties to the SMALLEST label — an exact-integer
     min(struct(-count, label)) argmin, so the result is
     bit-deterministic on any engine.  Returns (uid, lbl)."""
+    from gnocchi_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_handles,
+        register_result_handles,
+    )
+
     lbl = edges.select(
         F.col("src").alias("uid"), F.col("src").alias("lbl")
     ).distinct()
+    prev_handles: list = []
     for _ in range(iterations):
         cnt = (
             edges.join(lbl, edges.src == lbl.uid)
             .groupBy("dst", "lbl")
             .agg(F.count("*").cast("long").alias("cnt"))
         )
-        lbl = (
+        # CC-loop checkpoint hygiene (r10): eager round, free previous
+        lbl, handles = _tracked_local_checkpoint(
             cnt.groupBy(F.col("dst").alias("uid"))
             .agg(
                 F.min(
@@ -220,6 +255,9 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 ).alias("best")
             )
             .select("uid", F.col("best.lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
         )
+        _unpersist_handles(prev_handles)
+        prev_handles = handles
+    if prev_handles:
+        lbl = register_result_handles(lbl, prev_handles, "labelprop_lbl")
     return lbl

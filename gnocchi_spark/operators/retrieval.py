@@ -290,9 +290,20 @@ def _tfidf_weights(
             ),
             "df",
         )
-        # referenced by the blocking, both verification sides and the
-        # norms: truncate lineage so tokenization runs once
-        .localCheckpoint(eager=False)
+    )
+
+
+def _tfidf_weights_ckpt(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """:func:`_tfidf_weights` behind a reclaim-only registered lazy
+    checkpoint — referenced by the blocking, both verification sides
+    and the norms, so lineage is truncated to run tokenization once;
+    the blocks belong to the bounded LRU instead of leaking (r10)."""
+    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
+
+    return reclaimable_local_checkpoint(
+        _tfidf_weights(docs, id_col, text_col), "tfidf_weights"
     )
 
 
@@ -320,7 +331,7 @@ def tfidf_pair_candidates(
     w = (
         _weights
         if _weights is not None
-        else _tfidf_weights(docs, id_col, text_col)
+        else _tfidf_weights_ckpt(docs, id_col, text_col)
     )
     rare = Window.partitionBy("doc_id").orderBy("df", "term")
     block = (
@@ -361,7 +372,7 @@ def tfidf_cosine_topk(
     meet the other side on the (doc, term) key), top-``k`` partners
     kept per document.  Ranking ties break on (round(cosine, 6),
     partner id) so both engines select identical top-k sets."""
-    w = _tfidf_weights(docs, id_col, text_col)
+    w = _tfidf_weights_ckpt(docs, id_col, text_col)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     cand = tfidf_pair_candidates(
         docs, id_col, text_col, rare_terms, bucket_cap, _weights=w
@@ -529,6 +540,13 @@ def mmr_rerank(
         F.lit(1).alias("step"),
         F.round(F.lit(lam) * F.col("cosine"), 5).alias("mmr_score"),
     )
+    from gnocchi_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_handles,
+        register_result_handles,
+    )
+
+    prev_handles: list = []
     for step in range(2, k + 1):
         ch = chosen.select("query_id", F.col("neighbor_id").alias("b_id"))
         div = (
@@ -558,11 +576,16 @@ def mmr_rerank(
                 F.round(mmr, 5).alias("mmr_score"),
             )
         )
-        chosen = chosen.union(pick)
         # truncate lineage per greedy round: `pick` references `chosen`
         # twice (redundancy max + anti-join), so the plan otherwise
         # doubles per step (r03 audit: 521 exchanges / 1206 scans at
-        # k=5).  Lazy local checkpoint caps the per-round plan at the
-        # (queries*step)-row chosen set — values identical.
-        chosen = chosen.localCheckpoint(eager=False)
+        # k=5).  Per-round checkpoint hygiene (r10, the CC-loop
+        # pattern): eager-checkpoint the (queries*step)-row chosen set,
+        # then free the previous round's dead blocks; the final
+        # round's blocks are memo-registered reclaim-only below.
+        chosen, handles = _tracked_local_checkpoint(chosen.union(pick))
+        _unpersist_handles(prev_handles)
+        prev_handles = handles
+    if prev_handles:
+        chosen = register_result_handles(chosen, prev_handles, "mmr_chosen")
     return chosen

@@ -782,15 +782,23 @@ def autotune_ivf_probe(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
         )
     )
-    sample = (
+    from gnocchi_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        register_result_handles,
+    )
+
+    # the n_sample-row query set is referenced by the exact pass and
+    # both assignments: materialize once; memo-registered reclaim-only
+    # (r10) so the tiny block set is freed under LRU pressure
+    sample, _h = _tracked_local_checkpoint(
         corpus.where(
             F.pmod(F.xxhash64(F.col(id_col), F.lit("ivf_probe")), F.lit(17))
             == 1
         )
         .orderBy(id_col)
         .limit(n_sample)
-        .localCheckpoint(eager=True)
     )
+    sample = register_result_handles(sample, _h, "ivf_probe_sample")
     rows = (
         ivf_probe_curve(
             corpus,

@@ -8302,11 +8302,18 @@ def dedup_candidate_profile(spark, sf_dir):
     # the band self-join references sigs twice and the degree count
     # references cand twice: without a materialization boundary each
     # reference re-derives the whole shingle->minhash pipeline (32
-    # parquet scans audited at r07).  Lazy localCheckpoint runs the
+    # parquet scans audited at r07).  The lazy checkpoint runs the
     # signature pipeline once; explode makes the degree count a single
-    # pass over the pair set instead of a two-branch union.
-    sigs = minhash_signatures_arrays(arrays, num_hashes=16).localCheckpoint(
-        eager=False
+    # pass over the pair set instead of a two-branch union.  Registered
+    # with the bounded memo (r10): repeat calls reuse the materialized
+    # signatures and LRU pressure reclaims the blocks instead of
+    # leaking them for the application lifetime.
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+
+    sigs = registered_local_checkpoint(
+        minhash_signatures_arrays(arrays, num_hashes=16),
+        "candidate_profile_sigs",
+        16,
     )
     cand = lsh_candidate_pairs(sigs, num_hashes=16, band_size=4)
     deg = (
@@ -9741,14 +9748,17 @@ def metric_lead_lag(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     # fan-out point: the 5-min grid feeds the prescreen join twice and
     # the lagged join twice — checkpoint so the raw-events rollup runs
-    # once, not per reference (the recurring plan trap)
-    r = (
+    # once, not per reference (the recurring plan trap).  Memo-
+    # registered (r10): reusable across calls, reclaimable under LRU
+    # pressure instead of leaking for the application lifetime.
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+
+    r = registered_local_checkpoint(
         ev.groupBy(
             F.col("event_type").alias("metric_id"),
             truncate_to_bucket(F.col("ts"), 300.0).alias("b"),
-        )
-        .agg(_rnd_col(_xmean_col("value"), 6).alias("v"))
-        .localCheckpoint(eager=False)
+        ).agg(_rnd_col(_xmean_col("value"), 6).alias("v")),
+        "lead_lag_grid_5min",
     )
     a0 = r.select(
         F.col("metric_id").alias("metric_a"), "b", F.col("v").alias("va")
@@ -11219,19 +11229,21 @@ def tsdb_theil_sen(spark, sf_dir):
     # median comparisons are well-conditioned.
     r = rollup_wide(_measures(spark, sf_dir), ["mean"], 3600.0, exact=True)
     h0 = r.groupBy("metric_id").agg(F.min("bucket_ts").alias("t0"))
-    x = (
-        r.join(F.broadcast(h0), "metric_id")
-        .select(
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+
+    x = registered_local_checkpoint(
+        r.join(F.broadcast(h0), "metric_id").select(
             "metric_id",
             (
                 (F.unix_micros("bucket_ts") - F.unix_micros("t0"))
                 / F.lit(3600_000_000.0)
             ).alias("x"),
             F.col("mean").alias("v"),
-        )
+        ),
         # referenced four times (both pair sides, count, final join):
-        # truncate so the rollup runs once
-        .localCheckpoint(eager=False)
+        # truncate so the rollup runs once; memo-registered (r10) so
+        # the blocks are reusable + reclaimable instead of leaking
+        "theil_sen_x",
     )
     b = x.select(
         F.col("metric_id").alias("m2"), F.col("x").alias("x2"), F.col("v").alias("v2")
