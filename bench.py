@@ -71,6 +71,12 @@ HEADLINE = [
     "hll_cascade_merge",
     "tsdb_m4_downsample",
     "tsdb_time_weighted_avg",
+    # late-r09 operators, tracked from r10 on (VERDICT r09 wrong #3;
+    # one-time headline step change recorded in BASELINE.md)
+    "dedup_repeated_spans",
+    "dedup_repeated_span_apply",
+    "quality_nb_classifier",
+    "ann_probe_curve",
 ]
 
 

@@ -12369,7 +12369,7 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r09 rotation -----------------------------------------------------
+    # --- r10 rotation -----------------------------------------------------
     # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
     # whose implementation changed this round + new queries (front),
     # then the STALEST green rows by last-driver-checked round
@@ -12378,68 +12378,70 @@ CHECK_ORDER = [
     # union.  Full-registry coverage is maintained by the committed
     # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
     # scales.
-    # -- 1) changed in r09, traced through the call graph (r08 ADVICE:
-    #    operator-touched queries belong in this section too): the
-    #    shingle-fold shiftleft/xor change + memo first-wins + CC
-    #    per-plan repartition (the whole minhash/cluster family),
-    #    registered_local_checkpoint (gram-table queries), and the
-    #    ivf_assign/pq_adc_topk extensions (ANN family)
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_cluster_canonical",
-    "dedup_incremental_minhash",
+    # -- 1) changed in r10, traced through the call graph: the
+    #    repeated-span owner-key struct-min fix, the NB memo-key +
+    #    probe-curve ADVICE closes, and every query whose plan gained a
+    #    memo-registered checkpoint in the r10 hygiene pass (drift,
+    #    graph loops, TF-IDF, MMR, canonical pick, the three queries.py
+    #    sites)
+    "dedup_repeated_span_apply",
+    "quality_nb_classifier",
+    "ann_probe_curve",
     "dedup_candidate_profile",
-    "split_leakage_free",
-    "dedup_ngram_coverage",
-    "corpus_novelty_scores",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_pq_refine_topk",  # NEW in r09 (two-stage PQ refine serving)
-    "dedup_repeated_spans",  # NEW in r09 (ExactSubstr maximal spans)
-    "dedup_repeated_span_apply",  # NEW in r09 (ExactSubstr keep-first cut)
-    "quality_nb_classifier",  # NEW in r09 (in-plan NB domain classifier)
-    "ann_probe_curve",  # NEW in r09 (oracle-checked autotune coverage curve)
-    "ann_index_roundtrip",
-    "cluster_topics_kmeans",
-    "dedup_semantic",
-    # -- 2) oldest-first fill: the remaining r04 cohort --
-    "ingest_rest_batch_json",
+    "dedup_cluster_canonical",
+    "doc_similarity_tfidf_topk",
+    "drift_ks_test",
+    "drift_psi_report",
+    "graph_kcore_membership",
+    "graph_triangle_count",
+    "label_propagation_communities",
+    "metric_lead_lag",
     "metric_user_entropy",
     "mmr_diversified_topk",
-    "pretrain_prep_end_to_end",
-    "quality_gopher_rules",
-    "resource_point_in_time",
-    "resource_scd2_apply",
-    "rollup_anomaly_zscore",
-    "rollup_consistency_audit",
-    "rollup_invalidation_plan",
-    "select_token_budget",
-    "slo_burn_rate",
-    "store_snapshot_roundtrip",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_dormant_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_returns",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tsdb_counter_increase",
-    "tsdb_fill_linear",
-    "tsdb_gap_report",
-    "tsdb_percent_rank",
-    "tsdb_stl_decompose",
-    "tsdb_trimmed_mean",
+    "tsdb_theil_sen",
     "user_pagerank",
-    # wau_rolling_hll displaced by the fourth late-r09 addition; it
-    # heads the r10 oldest-first fill with the rest of the r04/r05 tail
-    # (the r05-cohort fill rows that led this section were displaced
-    # one by one by the three late-r09 additions above, per the
-    # changed/new-first policy; the r05 cohort heads the r10 fill)
+    # -- 2) oldest-first fill: wau_rolling_hll (r04, displaced from the
+    #    r09 window by the late-r09 additions) then the r05 cohort in
+    #    name order (label_propagation_communities already above)
+    "wau_rolling_hll",
+    "ann_lsh_topk",
+    "calendar_extract_profile",
+    "chunk_documents_rag",
+    "cluster_medoids",
+    "cohort_retention",
+    "corpus_report",
+    "corpus_shuffle",
+    "corpus_zipf_fit",
+    "data_quality_report",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_span_apply",
+    "dsir_importance_weights",
+    "embedding_drift_matrix",
+    "embedding_outliers",
+    "funnel_conversion",
+    "hll_audience_overlap",
+    "interval_join_activity",
+    "inverted_index_postings",
+    "join_skew_report",
+    "langid_confusion",
+    "lateness_profile",
+    "length_bucket_batches",
+    "metric_freshness",
+    "metric_spearman_matrix",
+    "metric_top_movers",
+    "perplexity_unigram",
+    "resource_rbac_scoped_aggregates",
+    "sample_domain_mixture",
+    "sample_temperature_mixture",
+    "sample_weighted_topk",
+    "storage_cost_probe",
+    "text_repetition",
+    # r05 tail remaining for the r11 fill: tfidf_keywords,
+    # tpch_q12_shipping_delay, tpch_q19_disjunctive_revenue,
+    # tpch_q21_waiting_suppliers, tsdb_ewma_smooth,
+    # tsdb_seasonal_decompose, user_journey_transitions,
+    # vocab_induction, word_pmi_pairs — then the r06 cohort
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a

@@ -221,6 +221,15 @@ def test_stateful_rate_under_rocksdb_provider(spark, dirs):
             spark.conf.get("spark.sql.streaming.stateStore.providerClass")
             == ROCKSDB_STATE_PROVIDER
         )
+        # r10: the helper also turns on changelog checkpointing (commit
+        # cost O(changed keys) per batch, not O(live keys))
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
         _write_batch(
             spark,
             dirs["landing"],
@@ -261,3 +270,7 @@ def test_stateful_rate_under_rocksdb_provider(spark, dirs):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", saved
             )
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
