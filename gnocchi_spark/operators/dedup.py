@@ -58,14 +58,19 @@ class _AssignmentMemo:
     further distinct memoized builds have run.  The engine's own
     consumers (gate queries, bench) derive-then-consume immediately; a
     caller holding results across a long parameter sweep must persist
-    or write them out (or raise ``max_entries``).  The default holds
-    four corpora's pair + assignment stages.
+    or write them out (or raise ``max_entries``).  The default (12 as
+    of r10, when every operator-internal checkpoint started flowing
+    through the memo — a single query build registers <= 3 entries, so
+    12 holds several corpora's reused stages plus the in-flight
+    reclaim-only registrations of two concurrent query builds with
+    ample slack before anything lazy could be evicted
+    pre-materialization) holds the gate/bench working set.
 
     Entries otherwise die with the Spark application (the checkpoint
     RDDs belong to its context).
     """
 
-    def __init__(self, max_entries: int = 8):
+    def __init__(self, max_entries: int = 12):
         from collections import OrderedDict
 
         self.max_entries = max_entries
