@@ -586,6 +586,12 @@ def mmr_rerank(
         chosen, handles = _tracked_local_checkpoint(chosen.union(pick))
         _unpersist_handles(prev_handles)
         prev_handles = handles
+    # the greedy rounds are done and the final chosen set is eagerly
+    # materialized, so the pool/pair caches are dead — release them
+    # (plain persists, lineage intact: a k=1 caller that never entered
+    # the loop just recomputes the tiny pool on action)
+    p.unpersist(False)
+    pr.unpersist(False)
     if prev_handles:
         chosen = register_result_handles(chosen, prev_handles, "mmr_chosen")
     return chosen

@@ -160,3 +160,34 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert steps[2]["neighbor_id"] == 3
     # mmr = 0.3*0.8 - 0.7*cos(C,A) = 0.24 - 0.7*0.8
     assert abs(steps[2]["mmr_score"] - round(0.3 * 0.8 - 0.7 * 0.8, 5)) < 1e-6
+
+
+def test_mmr_releases_its_caches(spark):
+    """mmr_rerank must not leak persisted RDDs (r10 hygiene): the
+    pool/pair persists are released after the greedy rounds and the
+    per-round checkpoints flow through the bounded memo, so repeated
+    calls plateau instead of growing by (2 persists + k-1 checkpoints)
+    per call."""
+    from gnocchi_spark.operators import dedup as D
+    from gnocchi_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0 * ((i + 1) % 3)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def run():
+        mmr_rerank(
+            emb, emb.where(F.col("vec_id") < 2), k=3, pool=5, lam=0.5
+        ).count()
+
+    run()  # warm: leaves at most the memo-registered final round
+    before = n_persisted()
+    for _ in range(4):
+        run()
+    # without the release, 4 calls grow by >= 8 persists + 8 round
+    # checkpoints; with it, only memo-owned finals remain (LRU-bounded)
+    assert n_persisted() - before <= D._ASSIGNMENT_CACHE.max_entries
