@@ -11,7 +11,8 @@ repeated_span_apply:
   skew map-side).
 
 All walls are median-of-3 interleaved warm runs (the bench.py
-deep-stress protocol).  Writes SPANS_STRESS_r9.json at the repo root.
+deep-stress protocol).  Writes SPANS_STRESS_r{N}.json at the repo root
+(round from $SPARK_GRAFT_ROUND, default 9).
 """
 
 from __future__ import annotations
@@ -128,7 +129,7 @@ def main():
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SPANS_STRESS_r9.json",
+        f"SPANS_STRESS_r{os.environ.get('SPARK_GRAFT_ROUND', '9')}.json",
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
