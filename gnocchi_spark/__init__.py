@@ -195,6 +195,10 @@ _EXPORTS: dict[str, tuple[str, str]] = {
         "gnocchi_spark.operators.pipeline",
         "nb_domain_classifier",
     ),
+    "nb_threshold_curve": (
+        "gnocchi_spark.operators.pipeline",
+        "nb_threshold_curve",
+    ),
     "domain_mixture_sample": (
         "gnocchi_spark.operators.pipeline",
         "domain_mixture_sample",

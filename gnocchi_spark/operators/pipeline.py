@@ -1085,6 +1085,101 @@ def nb_domain_classifier(
     )
 
 
+def nb_threshold_curve(
+    scored: DataFrame,
+    n_bins: int = 64,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Operating-point curve for a scored binary classifier — the
+    measured object a pipeline picks its QUALITY-GATE THRESHOLD from
+    (r10; the classifier-side twin of
+    :func:`~gnocchi_spark.operators.similarity.ivf_probe_curve`, which
+    plays the same role for ANN serving).  ``scored`` is any
+    (label in {1, -1}, integer score) table, e.g. the output of
+    :func:`nb_domain_classifier`.
+
+    Scores are bucketed into ``n_bins`` fixed-width integer bins over
+    the observed [min, max] (exact integer floor-division, so the
+    binning replays bit-for-bit in a SQL oracle).  One row per
+    OBSERVED bin, descending-threshold cumulative: ``threshold`` is
+    the smallest observed score in the bin, and (tp, fp, fn, tn)
+    describe the rule "predict positive iff score >= threshold".
+    precision / recall / f1 are single divisions of exact integers
+    (f1 = 2*tp / (2*tp + fp + fn)), rounded at 1e-6 — so every value
+    is engine-identical.
+
+    Scale shape: one 4-value global aggregate (1-row broadcast), one
+    map-side-combinable ``groupBy(bin)`` over corpus rows, then the
+    cumulative window and ratio math run on the <= ``n_bins``-row
+    curve — metadata scale, like the IVF probe curve's
+    <= n_centroids-row fold.  Nothing sorts the corpus; the only
+    corpus-sized exchange is the bin group-by.
+    """
+    lbl = F.col(label_col)
+    s = F.col(score_col).cast("long")
+    totals = scored.agg(
+        F.sum(F.when(lbl == 1, 1).otherwise(0)).cast("long").alias("__P"),
+        F.sum(F.when(lbl == -1, 1).otherwise(0)).cast("long").alias("__N"),
+        F.min(s).alias("__lo"),
+        F.max(s).alias("__hi"),
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"(({score_col} - __lo) * {int(n_bins)}) div "
+                    f"(__hi - __lo + 1)"
+                )
+            )
+            .alias("bin"),
+            lbl.alias("__l"),
+            s.alias("__s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.min("__s").alias("threshold"),
+            F.sum(F.when(F.col("__l") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("__l") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+        )
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    tp = F.sum("n_pos").over(w).cast("long")
+    fp = F.sum("n_neg").over(w).cast("long")
+    return (
+        binned.select("bin", "threshold", "n_pos", "n_neg", tp.alias("tp"), fp.alias("fp"))
+        .crossJoin(F.broadcast(totals.select("__P", "__N")))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "threshold",
+            "n_pos",
+            "n_neg",
+            "tp",
+            "fp",
+            (F.col("__P") - F.col("tp")).alias("fn"),
+            (F.col("__N") - F.col("fp")).alias("tn"),
+            r6(F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            r6(F.col("tp") / F.col("__P")).alias("recall"),
+            r6(
+                (F.lit(2) * F.col("tp"))
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("__P") - F.col("tp"))
+            ).alias("f1"),
+        )
+    )
+
+
 def repeated_span_apply(
     docs: DataFrame,
     n: int = 8,

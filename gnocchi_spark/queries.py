@@ -3448,6 +3448,118 @@ def quality_nb_classifier(spark, sf_dir):
 
 
 @query(
+    "quality_nb_threshold_curve",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(text) > 0),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(nt, ' '),
+                            x -> x IN ('spark', 'stream', 'batch')))
+                  > len(list_filter(string_split(nt, ' '),
+                            x -> x IN ('table', 'row', 'column')))
+                  THEN 1 ELSE -1 END AS label,
+             nt
+      FROM norm),
+    tb AS (
+      SELECT doc_id, label,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256
+               AS bucket
+      FROM (SELECT doc_id, label, unnest(string_split(nt, ' ')) AS tok
+            FROM base)),
+    feats AS (
+      SELECT doc_id, label, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM tb GROUP BY 1, 2, 3),
+    cstats AS (
+      SELECT bucket,
+             sum(CASE WHEN label = 1 THEN cnt ELSE 0 END) AS cp,
+             sum(CASE WHEN label = -1 THEN cnt ELSE 0 END) AS cn
+      FROM feats GROUP BY 1),
+    tot AS (SELECT sum(cp) AS tp0, sum(cn) AS tn0 FROM cstats),
+    llr AS (
+      SELECT bucket,
+             CAST(floor((ln((cp + 1.0) / (tp0 + 256.0))
+                         - ln((cn + 1.0) / (tn0 + 256.0))) * 1e6 + 0.5)
+                  AS BIGINT) AS w
+      FROM cstats, tot),
+    prior AS (
+      SELECT CAST(floor((ln(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+                         - ln(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END)
+                              + 1.0)) * 1e6 + 0.5) AS BIGINT) AS p
+      FROM base),
+    m AS (
+      SELECT f.doc_id, min(f.label) AS label,
+             CAST(sum(f.cnt * l.w) + min(prior.p) AS BIGINT) AS score
+      FROM feats f JOIN llr l USING (bucket), prior
+      GROUP BY 1),
+    ctot AS (
+      SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS P,
+             CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS N,
+             min(score) AS lo, max(score) AS hi
+      FROM m),
+    bn AS (
+      SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE (score - lo) * 64 // (hi - lo + 1) END AS bin,
+             label, score
+      FROM m, ctot),
+    cb AS (
+      SELECT bin, min(score) AS threshold,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg
+      FROM bn GROUP BY 1),
+    cum AS (
+      SELECT bin, threshold, n_pos, n_neg,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(sum(n_neg) OVER (ORDER BY bin DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+      FROM cb)
+    SELECT CAST(bin AS INT) AS bin, threshold, n_pos, n_neg, tp, fp,
+           P - tp AS fn, N - fp AS tn,
+           floor(tp / CAST(tp + fp AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS "precision",
+           floor(tp / CAST(P AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall,
+           floor(2 * tp / CAST(tp + fp + P AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS f1
+    FROM cum, ctot
+    """,
+)
+def quality_nb_threshold_curve(spark, sf_dir):
+    # the classifier's operating-point curve as a FIRST-CLASS query
+    # result (r10; the quality-gate twin of ann_probe_curve): the same
+    # in-plan NB training as quality_nb_classifier, then scores bucket
+    # into 64 exact-integer bins and one descending-threshold
+    # cumulative pass yields (threshold, tp, fp, fn, tn, precision,
+    # recall, f1) per observed bin — "predict positive iff score >=
+    # threshold".  The oracle replays training, binning (integer floor
+    # division), the cumulative fold and the single-division ratios,
+    # so the object a pipeline picks its quality threshold from is
+    # itself hash-checked.  Corpus-sized work is one group-by; the
+    # window and ratios run on the <= 64-row curve.
+    from gnocchi_spark.operators.pipeline import (
+        nb_domain_classifier,
+        nb_threshold_curve,
+    )
+    from gnocchi_spark.operators.textstats import tokens
+
+    docs = tables.load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pos = F.size(F.filter(t, lambda x: x.isin("spark", "stream", "batch")))
+    neg = F.size(F.filter(t, lambda x: x.isin("table", "row", "column")))
+    # the scored table feeds both the totals aggregate and the binning
+    # branch: checkpoint so the scoring join runs once, not per branch
+    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
+
+    scored = reclaimable_local_checkpoint(
+        nb_domain_classifier(docs, pos > neg, n_buckets=256), "nb_scored"
+    )
+    return nb_threshold_curve(scored, n_bins=64)
+
+
+@query(
     "embedding_outliers",
     """
     WITH c AS (
@@ -12436,8 +12548,11 @@ CHECK_ORDER = [
     "sample_temperature_mixture",
     "sample_weighted_topk",
     "storage_cost_probe",
-    "text_repetition",
-    # r05 tail remaining for the r11 fill: tfidf_keywords,
+    # NEW in r10: the classifier operating-point curve (its slot
+    # displaces text_repetition to the r11 fill head)
+    "quality_nb_threshold_curve",
+    # r05 tail remaining for the r11 fill: text_repetition,
+    # tfidf_keywords,
     # tpch_q12_shipping_delay, tpch_q19_disjunctive_revenue,
     # tpch_q21_waiting_suppliers, tsdb_ewma_smooth,
     # tsdb_seasonal_decompose, user_journey_transitions,

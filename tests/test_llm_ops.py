@@ -1147,6 +1147,39 @@ def test_nb_domain_classifier_memo_keys_on_text_col(spark, tmp_path):
     assert len({b[d] for d in b}) == 1
 
 
+def test_nb_threshold_curve_invariants(spark):
+    """Confusion-matrix identities on the operating-point curve: at
+    every threshold tp+fn = P and fp+tn = N; tp/fp are non-decreasing
+    as the threshold drops; the loosest threshold admits everything
+    (recall 1.0); and a hand-computable two-bin case is exact."""
+    from gnocchi_spark.operators.pipeline import nb_threshold_curve
+
+    scored = spark.createDataFrame(
+        [(1, 100), (1, 90), (1, 10), (-1, 95), (-1, 20), (-1, 15)],
+        "label int, score long",
+    )
+    rows = sorted(
+        nb_threshold_curve(scored, n_bins=4).collect(),
+        key=lambda r: -r["bin"],
+    )
+    P = sum(1 for _ in range(3))
+    for r in rows:
+        assert r["tp"] + r["fn"] == 3
+        assert r["fp"] + r["tn"] == 3
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert tps == sorted(tps) and fps == sorted(fps)
+    last = rows[-1]
+    assert last["tp"] == 3 and last["fp"] == 3 and last["recall"] == 1.0
+    # bins over [10, 100], width 91, 4 bins: scores 100,95,90 -> bin 3,
+    # 10,15,20 -> bin 0; top bin: tp=2 (100,90), fp=1 (95)
+    top = rows[0]
+    assert (top["tp"], top["fp"]) == (2, 1)
+    assert top["threshold"] == 90
+    assert abs(top["precision"] - round(2 / 3, 6)) < 1e-9
+    assert abs(top["f1"] - round(4 / (2 + 1 + 3), 6)) < 1e-9
+
+
 def test_repeated_span_apply_keep_first_cut(spark):
     """ExactSubstr apply semantics: the corpus-first occurrence of a
     repeated window survives, every later occurrence's tokens are cut,

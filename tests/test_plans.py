@@ -50,6 +50,7 @@ BNL_ALLOWED = {
     "metric_change_contributors",  # broadcast 1-row last-hour scalar (cross)
     "quality_nb_classifier",  # broadcast 1-row totals + 1-row prior scalars (cross)
     "ann_probe_curve",  # broadcast 50-query slice + 1-row total-pairs scalar (cross)
+    "quality_nb_threshold_curve",  # broadcast 1-row totals/prior + 4-value curve scalars (cross)
 }
 
 # Queries allowed a global (empty partitionBy) window: single-series
@@ -73,6 +74,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # cumulative-recall window runs over the <= n_centroids-row probe
     # curve (metadata scale), never the corpus
     "ann_probe_curve",
+    # descending-threshold cumulative window runs over the <= n_bins
+    # (64)-row score-bin curve, never the corpus
+    "quality_nb_threshold_curve",
 }
 
 
