@@ -95,3 +95,44 @@ class TestGiniProperties:
         assert -1e-9 <= g <= (n - 1) / n + 1e-9
         g2 = self._gini_of_counts(spark, list(reversed(counts)))
         assert abs(g - g2) < 1e-9
+
+
+class TestThresholdCurveProperties:
+    """nb_threshold_curve vs a brute-force confusion matrix at every
+    reported threshold (r10): binning may merge scores, but at each
+    REPORTED threshold the cumulative counts must equal the exact
+    'predict positive iff score >= threshold' confusion computed
+    directly from the rows."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from([1, -1]),
+                st.integers(min_value=-(10**9), max_value=10**9),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        n_bins=st.sampled_from([1, 4, 64]),
+    )
+    def test_matches_bruteforce_confusion(self, spark, rows, n_bins):
+        from gnocchi_spark.operators.pipeline import nb_threshold_curve
+
+        df = spark.createDataFrame(rows, "label int, score long")
+        curve = nb_threshold_curve(df, n_bins=n_bins).collect()
+        assert curve  # at least one observed bin
+        P = sum(1 for l, _ in rows if l == 1)
+        N = len(rows) - P
+        for r in curve:
+            t = r["threshold"]
+            tp = sum(1 for l, s in rows if l == 1 and s >= t)
+            fp = sum(1 for l, s in rows if l == -1 and s >= t)
+            assert (r["tp"], r["fp"]) == (tp, fp), (t, r)
+            assert r["fn"] == P - tp and r["tn"] == N - fp
+            assert r["n_pos"] + r["n_neg"] >= 1
+        # the loosest reported threshold is the observed minimum score:
+        # everything is admitted
+        last = min(curve, key=lambda r: r["bin"])
+        assert last["threshold"] == min(s for _, s in rows)
+        assert last["tp"] == P and last["fp"] == N
