@@ -77,6 +77,8 @@ HEADLINE = [
     "dedup_repeated_span_apply",
     "quality_nb_classifier",
     "ann_probe_curve",
+    # new in r10, tracked from birth (same step change)
+    "quality_nb_threshold_curve",
 ]
 
 
