@@ -144,6 +144,10 @@ _EXPORTS: dict[str, tuple[str, str]] = {
     ),
     # dedup family
     "exact_dedup": ("gnocchi_spark.operators.dedup", "exact_dedup"),
+    "minhash_near_duplicates": (
+        "gnocchi_spark.operators.dedup",
+        "minhash_near_duplicates",
+    ),
     "cluster_assignments": (
         "gnocchi_spark.operators.dedup",
         "cluster_assignments",

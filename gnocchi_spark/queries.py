@@ -1618,6 +1618,68 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_threshold_curve",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    aj AS (
+      SELECT floor((n_inter / (na.n + nb.n - n_inter)) * 1e6 + 0.5) / 1e6
+               AS j
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b),
+    cb AS (
+      SELECT CAST(least(floor(j * 20), 19) AS BIGINT) AS bin,
+             min(j) AS threshold,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM aj GROUP BY 1)
+    SELECT CAST(bin AS INT) AS bin, threshold, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_pairs
+    FROM cb
+    """,
+)
+def dedup_threshold_curve(spark, sf_dir):
+    # the dedup knob's measured object (r10, completing the serving-
+    # curve family with ann_probe_curve and quality_nb_threshold_curve):
+    # candidate-pair volume vs Jaccard threshold over the UNTHRESHOLDED
+    # verified LSH candidate set.  Exact jaccards quantize at 1e-6
+    # (floor(x*1e6+0.5), the engine-uniform rounding), bucket into a
+    # fixed 20-bin grid, and one descending cumulative gives cum_pairs
+    # = pairs admitted at "jaccard >= threshold" (threshold = the bin's
+    # smallest observed jaccard, so the cumulative is exact, the same
+    # min-observed argument as the NB curve).  A pipeline reads the
+    # knee of this curve to pick cluster_assignments' threshold.
+    # Zero-intersection candidates carry no threshold information and
+    # are excluded (matching the oracle's intersect join).  Corpus-
+    # sized work = the shared candidate/verify pipeline + one group-by;
+    # the window runs on the <= 20-row curve.
+    from gnocchi_spark.operators.dedup import minhash_near_duplicates
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, band_size=4, threshold=0.0, cache_key=sf_dir
+    )
+    j6 = F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    b = pairs.where(F.col("jaccard") > 0).select(
+        F.least(F.floor(j6 * 20), F.lit(19)).cast("long").alias("bin"),
+        j6.alias("j"),
+    )
+    cb = b.groupBy("bin").agg(
+        F.min("j").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    w = W.orderBy(F.col("bin").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return cb.select(
+        F.col("bin").cast("int").alias("bin"),
+        "threshold",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+    )
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_MINHASH_PAIRS_CTES},
@@ -12547,12 +12609,12 @@ CHECK_ORDER = [
     "sample_domain_mixture",
     "sample_temperature_mixture",
     "sample_weighted_topk",
-    "storage_cost_probe",
-    # NEW in r10: the classifier operating-point curve (its slot
-    # displaces text_repetition to the r11 fill head)
+    # NEW in r10: the two serving-curve queries (their slots displace
+    # storage_cost_probe and text_repetition to the r11 fill head)
     "quality_nb_threshold_curve",
-    # r05 tail remaining for the r11 fill: text_repetition,
-    # tfidf_keywords,
+    "dedup_threshold_curve",
+    # r05 tail remaining for the r11 fill: storage_cost_probe,
+    # text_repetition, tfidf_keywords,
     # tpch_q12_shipping_delay, tpch_q19_disjunctive_revenue,
     # tpch_q21_waiting_suppliers, tsdb_ewma_smooth,
     # tsdb_seasonal_decompose, user_journey_transitions,

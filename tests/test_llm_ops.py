@@ -1230,3 +1230,48 @@ def test_repeated_span_apply_owner_survives_64bit_doc_ids(spark):
     assert out[owner_id]["text_clean"] == shared + " a1 b1"
     assert out[later_id]["n_removed"] == 10
     assert out[later_id]["text_clean"] == "e2"
+
+
+def test_dedup_threshold_curve_invariants(spark, tmp_path):
+    """The jaccard-threshold curve's cumulative equals the exact
+    'jaccard >= threshold' pair count at every reported threshold, and
+    the loosest threshold admits every intersecting candidate."""
+    from gnocchi_spark.operators.dedup import minhash_near_duplicates
+    from gnocchi_spark.queries import QUERIES
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, "the quick brown fox jumps over a sleepy dog today"),
+        (4, "completely different content with no shared shingles"),
+        (5, "another unrelated document about spark and streams"),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    curve = sorted(
+        QUERIES["dedup_threshold_curve"](spark, str(tmp_path)).collect(),
+        key=lambda r: -r["bin"],
+    )
+    assert curve, "identical docs must produce at least one pair"
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            spark.read.parquet(p),
+            num_hashes=16,
+            band_size=4,
+            threshold=0.0,
+            cache_key=None,
+        ).collect()
+        if r["jaccard"] > 0
+    }
+    for r in curve:
+        t = r["threshold"]
+        exact = sum(
+            1 for j in pairs.values() if round(j * 1e6 + 0.5) // 1 >= 0
+            and (int(j * 1e6 + 0.5) / 1e6) >= t
+        )
+        assert r["cum_pairs"] == exact, (t, r, pairs)
+    # the exact-duplicate pair (docs 1, 2) sits in the top bin at j = 1
+    top = curve[0]
+    assert top["bin"] == 19 and top["threshold"] == 1.0
+    assert curve[-1]["cum_pairs"] == len(pairs)

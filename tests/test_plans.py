@@ -77,6 +77,8 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # descending-threshold cumulative window runs over the <= n_bins
     # (64)-row score-bin curve, never the corpus
     "quality_nb_threshold_curve",
+    # descending cumulative over the fixed 20-bin jaccard grid
+    "dedup_threshold_curve",
 }
 
 
