@@ -732,7 +732,7 @@ def scale_stress(spark, sf_dir, factor=10):
          lambda: simhash_near_duplicates(docs10)),
         ("dedup_embedding_lsh", lambda: emb_neardup(emb1, bands1, bits1),
          lambda: emb_neardup(emb10, bands10, bits10)),
-        ("rollup_policy_cascade", lambda: rollup_policy_bench(spark, sf_dir),
+        ("rollup_policy_cascade_bench", lambda: rollup_policy_bench(spark, sf_dir),
          lambda: _rollup_policy_on(_replicated_measures(spark, sf_dir, factor))),
         ("decontaminate_ngram", lambda: _decontaminate_on(docs1),
          lambda: _decontaminate_on(docs10)),
@@ -883,7 +883,7 @@ def main() -> None:
     influxdb.parse_lines(warm_lines).agg(F.count("*")).collect()
 
     timings: dict[str, float] = {}
-    timings["rollup_policy_cascade"] = round(run_query(spark, lambda: rollup_policy_bench(spark, sf_dir)), 3)
+    timings["rollup_policy_cascade_bench"] = round(run_query(spark, lambda: rollup_policy_bench(spark, sf_dir)), 3)
     for name in HEADLINE:
         timings[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
 

@@ -51,11 +51,16 @@ class _AssignmentMemo:
     - **Clearable**: :func:`clear_assignment_cache` unpersists
       everything (e.g. between unrelated pipelines sharing a session).
 
-    **Lifetime contract** (the price of bounding): evicting an entry
-    unpersists its localCheckpoint blocks, and a truncated-lineage
-    frame cannot be recomputed — so a DataFrame returned by a memoized
-    builder is only guaranteed actionable until ``max_entries``
-    further distinct memoized builds have run.  The engine's own
+    **Lifetime contract** (the price of bounding): evicting a
+    MATERIALIZED entry unpersists its localCheckpoint blocks, and a
+    truncated-lineage frame cannot be recomputed — so a DataFrame
+    returned by a memoized builder is only guaranteed actionable until
+    ``max_entries`` further distinct memoized builds have run.  A lazy
+    entry that has NOT yet materialized is exempt (r11, ADVICE):
+    capacity eviction drops it from the memo without touching its
+    storage-level mark, so the frame stays actionable — its blocks,
+    once later materialized, simply outlive the memo (the pre-r10
+    leak-but-usable behavior, now confined to this one case).  The engine's own
     consumers (gate queries, bench) derive-then-consume immediately; a
     caller holding results across a long parameter sweep must persist
     or write them out (or raise ``max_entries``).  The default (12 as
@@ -109,10 +114,28 @@ class _AssignmentMemo:
         self._entries[key] = (df, tuple(handles))
         return df
 
-    def _evict(self, key):
+    def _evict(self, key, force: bool = False):
+        """Drop ``key`` and release its checkpoint blocks.
+
+        Capacity eviction (``force=False``, r11 ADVICE) never
+        unpersists a LAZY checkpoint that has not materialized yet: an
+        unmaterialized ``localCheckpoint(eager=False)`` holds ZERO
+        blocks, so unpersisting it frees nothing — it only clears the
+        storage-level mark, after which the frame can never
+        materialize and a caller lazily composing a dozen operator
+        results hits a confusing action-time failure
+        (``clear_assignment_cache`` / ``max_entries`` would be the
+        workaround).  Such entries are dropped from the memo WITHOUT
+        unpersisting: they stay actionable, at the pre-r10 cost that
+        their blocks, once materialized, live until application end.
+        ``clear()`` passes ``force=True`` — the caller explicitly
+        asked for a full release.
+        """
         _, handles = self._entries.pop(key)
         for h in handles:
             try:
+                if not force and not _handle_materialized(h):
+                    continue
                 h.unpersist(False)
             except Exception:
                 # the SparkContext may already be stopped; eviction is
@@ -121,7 +144,7 @@ class _AssignmentMemo:
 
     def clear(self):
         for key in list(self._entries):
-            self._evict(key)
+            self._evict(key, force=True)
 
     def owned_ids(self) -> set:
         """RDD ids of every live entry's checkpoint blocks — the set an
@@ -201,6 +224,26 @@ def _tracked_local_checkpoint(df: DataFrame, eager: bool = True):
             if after.get(rid) is not None
         ]
         return out, handles
+
+
+def _handle_materialized(h) -> bool:
+    """True iff this checkpoint RDD currently holds cached blocks.
+
+    ``getRDDStorageInfo`` lists only RDDs with live cached partitions,
+    so an absent id (or zero cached partitions) means the lazy
+    checkpoint was never acted on — unpersisting it would free nothing
+    and permanently break the frame (see :meth:`_AssignmentMemo._evict`).
+    Cost: one driver-side walk of the persisted-RDD registry, metadata
+    scale.  On any introspection failure the answer is ``True`` —
+    i.e. fall back to the historical unpersist-on-evict behavior."""
+    try:
+        rid = h.id()
+        for info in h.context().getRDDStorageInfo():
+            if info.id() == rid:
+                return info.numCachedPartitions() > 0
+        return False
+    except Exception:
+        return True
 
 
 def _unpersist_handles(handles) -> None:

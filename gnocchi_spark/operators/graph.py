@@ -65,7 +65,12 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     Returns (uid, degree, p).  Every iteration is one key-partitioned
     join + aggregate on the SAME edge partitioning; lineage is
     checkpoint-truncated per iteration so plan cost stays O(1) per
-    round (see queries.user_pagerank history)."""
+    round (see queries.user_pagerank history).
+
+    NOTE (r10 checkpoint hygiene, documented r11): the per-round
+    checkpoints are EAGER, so this function runs ``iterations`` Spark
+    jobs at CALL time — constructing the result executes the
+    iteration, unlike ordinary lazy DataFrame builders."""
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     nn = deg.agg(F.count("*").cast("double").alias("n"))
     p = deg.crossJoin(F.broadcast(nn)).select(
@@ -197,6 +202,9 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     truncated per round like the other iterative operators.  Returns
     (uid, degree) for surviving nodes with their within-subgraph
     degree.
+
+    NOTE: the per-round checkpoints are EAGER — calling this runs
+    ``rounds`` Spark jobs immediately, not at first action (r11).
     """
     from gnocchi_spark.operators.dedup import (
         _tracked_local_checkpoint,
@@ -229,7 +237,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     frame: each round every node adopts its neighbors' most frequent
     label, ties to the SMALLEST label — an exact-integer
     min(struct(-count, label)) argmin, so the result is
-    bit-deterministic on any engine.  Returns (uid, lbl)."""
+    bit-deterministic on any engine.  Returns (uid, lbl).
+
+    NOTE: the per-round checkpoints are EAGER — calling this runs
+    ``iterations`` Spark jobs immediately, not at first action (r11)."""
     from gnocchi_spark.operators.dedup import (
         _tracked_local_checkpoint,
         _unpersist_handles,

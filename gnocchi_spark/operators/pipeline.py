@@ -1125,18 +1125,24 @@ def nb_threshold_curve(
         F.max(s).alias("__hi"),
     )
     binned = (
-        scored.crossJoin(F.broadcast(totals))
+        # Pre-project the CASTED score under a fixed alias so the
+        # integer-division expr below never interpolates a raw user
+        # column name (r11 ADVICE: a name needing quoting, or a
+        # non-integral score type, broke the `div` analysis even
+        # though the min/max path casted).  `div` on __s (long) is
+        # exact SQL integer division, replayable in the oracle.
+        scored.select(s.alias("__s"), lbl.alias("__l"))
+        .crossJoin(F.broadcast(totals))
         .select(
             F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
             .otherwise(
                 F.expr(
-                    f"(({score_col} - __lo) * {int(n_bins)}) div "
-                    f"(__hi - __lo + 1)"
+                    f"((__s - __lo) * {int(n_bins)}) div (__hi - __lo + 1)"
                 )
             )
             .alias("bin"),
-            lbl.alias("__l"),
-            s.alias("__s"),
+            F.col("__l"),
+            F.col("__s"),
         )
         .groupBy("bin")
         .agg(

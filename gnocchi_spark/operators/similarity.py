@@ -693,6 +693,14 @@ def ivf_probe_curve(
     it (``autotune_ivf_probe`` does — it BUILT the centroid frame);
     passing it skips an eager ``centroids.count()`` that would
     otherwise re-execute the centroid plan on every call (r10 ADVICE).
+
+    CONTRACT (r11 ADVICE): ``n_centroids`` must be >= the centroid
+    frame's true row count (equal in the standard path).  It is used
+    only as the rank-table probe depth (``n_probe=n_cent``), so a
+    LARGER value is harmless — ranks still top out at the true count —
+    but a SMALLER value truncates the rank table and silently
+    understates coverage (the curve never reaches recall 1.0).  When
+    unsure, pass ``None`` and pay the one count.
     """
     n_cent = n_centroids if n_centroids is not None else centroids.count()
     exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
@@ -799,6 +807,10 @@ def autotune_ivf_probe(
         .limit(n_sample)
     )
     sample = register_result_handles(sample, _h, "ivf_probe_sample")
+    # n_centroids here satisfies ivf_probe_curve's >=-true-count
+    # contract by construction: the centroid frame above is
+    # limit(n_centroids), so its row count is <= n_centroids and the
+    # rank table can never be truncated (r11 ADVICE).
     rows = (
         ivf_probe_curve(
             corpus,

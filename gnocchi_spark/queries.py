@@ -1670,6 +1670,11 @@ def dedup_threshold_curve(spark, sf_dir):
         F.min("j").alias("threshold"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
+    # Single-partition global window — safe ONLY because it runs on
+    # the <= 20-row bin aggregate `cb`, never the pair table (same
+    # invariant as the NB/probe curve folds; r10 VERDICT asked for
+    # this to be explicit so an edit can't silently move it onto
+    # corpus-scale data).
     w = W.orderBy(F.col("bin").desc()).rowsBetween(W.unboundedPreceding, 0)
     return cb.select(
         F.col("bin").cast("int").alias("bin"),

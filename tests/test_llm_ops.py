@@ -765,6 +765,41 @@ def test_registered_local_checkpoint_reuse_and_bounding(spark, tmp_path):
     D.clear_assignment_cache()
 
 
+def test_lazy_unmaterialized_entry_survives_capacity_eviction(spark):
+    """Capacity eviction must NOT unpersist a lazy checkpoint that was
+    never acted on (r11 ADVICE): an unmaterialized
+    localCheckpoint(eager=False) holds zero blocks, so unpersisting it
+    only clears the storage-level mark and the frame can never
+    materialize — a user lazily composing a dozen operator results
+    then hit an action-time 'checkpoint block not found'.  The lazy
+    entry is dropped from the memo without touching its mark, so the
+    frame stays actionable after an arbitrary registration flood."""
+    from pyspark.sql import functions as F
+
+    from gnocchi_spark.operators import dedup as D
+
+    D.clear_assignment_cache()
+    mem = spark.range(200).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    # register a LAZY checkpoint and do NOT act on it
+    held = D.registered_local_checkpoint(mem, "held_lazy")
+    # flood the memo well past max_entries with materialized entries
+    for i in range(D._ASSIGNMENT_CACHE.max_entries + 6):
+        D.registered_local_checkpoint(mem, "flood", i).count()
+    assert len(D._ASSIGNMENT_CACHE) <= D._ASSIGNMENT_CACHE.max_entries
+    # the held frame's entry was evicted, but the frame must still be
+    # actionable — pre-r11 this raised at action time
+    assert held.count() == 200
+    assert held.agg(F.sum("b")).collect()[0][0] == 3 * sum(range(200))
+    D.clear_assignment_cache()
+    # clear() can't see the now-unregistered blocks; free them directly
+    try:
+        held._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def test_connected_components_isolates_session_conf(spark):
     """The CC loop's narrow shuffle width is a plan property (r09 —
     explicit repartition on the loop's join inputs, no session conf
