@@ -882,10 +882,31 @@ def main() -> None:
     )
     influxdb.parse_lines(warm_lines).agg(F.count("*")).collect()
 
-    timings: dict[str, float] = {}
-    timings["rollup_policy_cascade_bench"] = round(run_query(spark, lambda: rollup_policy_bench(spark, sf_dir)), 3)
-    for name in HEADLINE:
-        timings[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
+    # SPARK_GRAFT_BENCH_PASSES > 1 (r11, VERDICT r10 wrong #1): run the
+    # whole headline sequence N times and take the per-query MEDIAN
+    # across passes, so a machine-wide drift window hitting one pass
+    # can never contaminate the per-query series again.  Each pass
+    # preserves the historical intra-pass semantics exactly (memo
+    # reuse between queries inside a pass; the assignment memo is
+    # cleared between passes so every pass pays the same cold builds).
+    # Default 3 since r11 so BENCH_r{N}.json itself records medians;
+    # BASELINE.md "r11 median step change" documents the one-time
+    # cold->warm level shift vs the <=r10 single-pass series.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    pass_walls: list[dict[str, float]] = []
+    for _ in range(passes):
+        if pass_walls:  # fresh memo for every pass after the first
+            from gnocchi_spark.operators.dedup import clear_assignment_cache
+
+            clear_assignment_cache()
+        tp: dict[str, float] = {}
+        tp["rollup_policy_cascade_bench"] = round(run_query(spark, lambda: rollup_policy_bench(spark, sf_dir)), 3)
+        for name in HEADLINE:
+            tp[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
+        pass_walls.append(tp)
+    timings: dict[str, float] = {
+        k: sorted(tp[k] for tp in pass_walls)[passes // 2] for k in pass_walls[0]
+    }
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -895,6 +916,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if passes > 1:
+        payload["passes"] = passes
+        payload["pass_walls"] = pass_walls
     # Checkpoints go to STDERR and to a local file; stdout carries
     # EXACTLY ONE JSON document, printed once at the very end.  The
     # consumer retains only the LAST ~2000 characters of stdout

@@ -12548,7 +12548,7 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r10 rotation -----------------------------------------------------
+    # --- r11 rotation -----------------------------------------------------
     # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
     # whose implementation changed this round + new queries (front),
     # then the STALEST green rows by last-driver-checked round
@@ -12557,73 +12557,66 @@ CHECK_ORDER = [
     # union.  Full-registry coverage is maintained by the committed
     # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
     # scales.
-    # -- 1) changed in r10, traced through the call graph: the
-    #    repeated-span owner-key struct-min fix, the NB memo-key +
-    #    probe-curve ADVICE closes, and every query whose plan gained a
-    #    memo-registered checkpoint in the r10 hygiene pass (drift,
-    #    graph loops, TF-IDF, MMR, canonical pick, the three queries.py
-    #    sites)
-    "dedup_repeated_span_apply",
-    "quality_nb_classifier",
-    "ann_probe_curve",
-    "dedup_candidate_profile",
-    "dedup_cluster_canonical",
-    "doc_similarity_tfidf_topk",
-    "drift_ks_test",
-    "drift_psi_report",
-    "graph_kcore_membership",
-    "graph_triangle_count",
-    "label_propagation_communities",
-    "metric_lead_lag",
-    "metric_user_entropy",
-    "mmr_diversified_topk",
-    "tsdb_theil_sen",
-    "user_pagerank",
-    # -- 2) oldest-first fill: wau_rolling_hll (r04, displaced from the
-    #    r09 window by the late-r09 additions) then the r05 cohort in
-    #    name order (label_propagation_communities already above)
-    "wau_rolling_hll",
-    "ann_lsh_topk",
-    "calendar_extract_profile",
-    "chunk_documents_rag",
-    "cluster_medoids",
-    "cohort_retention",
-    "corpus_report",
-    "corpus_shuffle",
-    "corpus_zipf_fit",
-    "data_quality_report",
-    "dedup_containment",
-    "dedup_simhash",
-    "dedup_span_apply",
-    "dsir_importance_weights",
-    "embedding_drift_matrix",
-    "embedding_outliers",
-    "funnel_conversion",
-    "hll_audience_overlap",
-    "interval_join_activity",
-    "inverted_index_postings",
-    "join_skew_report",
-    "langid_confusion",
-    "lateness_profile",
-    "length_bucket_batches",
-    "metric_freshness",
-    "metric_spearman_matrix",
-    "metric_top_movers",
-    "perplexity_unigram",
-    "resource_rbac_scoped_aggregates",
-    "sample_domain_mixture",
-    "sample_temperature_mixture",
-    "sample_weighted_topk",
-    # NEW in r10: the two serving-curve queries (their slots displace
-    # storage_cost_probe and text_repetition to the r11 fill head)
+    # -- 1) changed in r11: the NB threshold-curve binning rework
+    #    (pre-cast __s alias) and representatives of every memo
+    #    consumer family affected by the lazy-entry eviction exemption
+    #    (dedup.py _evict; LSH build+reuse, incremental probe, k-means
+    #    sample, MMR pools, pagerank result registration)
     "quality_nb_threshold_curve",
-    "dedup_threshold_curve",
-    # r05 tail remaining for the r11 fill: storage_cost_probe,
-    # text_repetition, tfidf_keywords,
-    # tpch_q12_shipping_delay, tpch_q19_disjunctive_revenue,
-    # tpch_q21_waiting_suppliers, tsdb_ewma_smooth,
-    # tsdb_seasonal_decompose, user_journey_transitions,
-    # vocab_induction, word_pmi_pairs — then the r06 cohort
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "cluster_topics_kmeans",
+    "mmr_diversified_topk",
+    "user_pagerank",
+    # -- 2) oldest-first fill: the r05 cohort (VERDICT r10 next #3)
+    "storage_cost_probe",
+    "text_repetition",
+    "tfidf_keywords",
+    "tpch_q12_shipping_delay",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tsdb_ewma_smooth",
+    "tsdb_seasonal_decompose",
+    "user_journey_transitions",
+    "vocab_induction",
+    "word_pmi_pairs",
+    # -- 3) then the r06 cohort in name order (first 33 of 38; the
+    #    tail — tsdb_mad_anomalies, tsdb_refresh_on_read,
+    #    tsdb_rollup_mean_5m, tsdb_seasonal_bands, tsdb_value_heatmap —
+    #    heads the r12 fill)
+    "alert_rule_eval",
+    "ann_filtered_topk",
+    "ann_ndcg_report",
+    "anomaly_seasonal_zscore",
+    "curriculum_schedule",
+    "dedup_exact",
+    "event_association_lift",
+    "funnel_time_to_convert",
+    "growth_accounting",
+    "keyset_pagination",
+    "measure_value_search",
+    "metric_burstiness",
+    "metric_change_contributors",
+    "metric_user_gini",
+    "perplexity_bigram",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "resource_history_union",
+    "resource_metric_join",
+    "session_pattern_match",
+    "slo_burn_rate_alerts",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_part_promotion_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "training_set_asof_features",
+    "tsdb_brown_forecast",
+    "tsdb_calendar_week",
+    "tsdb_forecast_backtest",
+    "tsdb_holt_winters",
+    "tsdb_lttb_downsample",
+    "tsdb_m4_downsample",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a
