@@ -129,21 +129,26 @@ def _escape_like(s: str) -> str:
     return s.replace("%", r"\%").replace("_", r"\_")
 
 
-def parse_query_string(query: str) -> dict:
-    """Parse the query-string filter grammar into the JSON filter AST
-    that :func:`compile_filter` consumes.
+_QUERY_GRAMMAR = None
 
-    Wire grammar (reference ``gnocchi/rest/api.py:1298-1378``): infix
-    ``not``/``and``/``or`` (incl. ``∧``/``∨``) over ``attr OP value``
-    conditions; values are quoted strings, uuids, numbers, booleans,
-    null, identifiers or ``[lists]``; e.g.
-    ``"server_group='frontend' and not (flavor_id!='1' or memory<1024)"``.
 
-    The parser builds the AST directly through parse actions; parsing
-    happens once on the driver, so the hot path stays the compiled
-    Column predicate.
+def _query_grammar():
+    """Build (once) the query-string grammar with packrat memoization.
+
+    r11, found by the round-trip fuzz: without packrat,
+    ``infixNotation`` backtracks exponentially on nested parenthesized
+    operands — ``not ((not (a)) and ((b) or (c)))`` took ~70 s to
+    parse.  Packrat caching is safe here (every parse action is pure)
+    and drops that case to milliseconds; building the grammar once per
+    process instead of once per call removes the constant rebuild cost
+    from the wire path too.
     """
+    global _QUERY_GRAMMAR
+    if _QUERY_GRAMMAR is not None:
+        return _QUERY_GRAMMAR
     import pyparsing as pp
+
+    pp.ParserElement.enablePackrat()
 
     binary_ops = (">=", "<=", "!=", ">", "<", "==", "=", "eq", "ne", "lt",
                   "gt", "ge", "le", "in", "like", "≠", "≥", "≤")
@@ -191,8 +196,29 @@ def parse_query_string(query: str) -> dict:
             ("∨", 2, pp.opAssoc.LEFT, _nary("∨")),
         ],
     )
+    _QUERY_GRAMMAR = expr
+    return expr
+
+
+def parse_query_string(query: str) -> dict:
+    """Parse the query-string filter grammar into the JSON filter AST
+    that :func:`compile_filter` consumes.
+
+    Wire grammar (reference ``gnocchi/rest/api.py:1298-1378``): infix
+    ``not``/``and``/``or`` (incl. ``∧``/``∨``) over ``attr OP value``
+    conditions; values are quoted strings, uuids, numbers, booleans,
+    null, identifiers or ``[lists]``; e.g.
+    ``"server_group='frontend' and not (flavor_id!='1' or memory<1024)"``.
+
+    The parser builds the AST directly through parse actions; parsing
+    happens once on the driver (packrat-memoized grammar, see
+    :func:`_query_grammar`), so the hot path stays the compiled Column
+    predicate.
+    """
+    import pyparsing as pp
+
     try:
-        return expr.parseString(query, parseAll=True)[0]
+        return _query_grammar().parseString(query, parseAll=True)[0]
     except pp.ParseException as e:
         raise ValueError(f"invalid filter: {e}") from e
 
