@@ -1,0 +1,144 @@
+"""Property-based differential fuzzing of the measure-value search DSL.
+
+The third user-facing compiler (``compile_measure_query``,
+plans/filters.py — reference gnocchi/rest/api.py:1559-1652): boolean
+and/or/not over comparisons whose operands are the aggregated
+``value``, numbers, or nested arithmetic (+,-,*,/,%,**) over those.
+hypothesis generates random measure-query ASTs, compiles each to a
+Spark predicate over a measures-shaped frame AND translates it
+independently to DuckDB SQL, asserting the selected row sets match.
+
+Translation notes mirroring the compiler's documented semantics:
+``%`` is numpy mod (divisor sign, the same ((a%b)+b)%b identity both
+engines compute NULL-for-zero-divisor on), ``**`` restricted by the
+strategy to small positive integer exponents (both engines NaN on
+negative-base fractional powers, which would poison comparisons), and
+comparisons are SQL three-valued (a NULL comparison drops the row in
+both engines — the measure frame here has no NULL values, matching
+real rollup output).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gnocchi_spark.plans.filters import compile_measure_query
+
+# value pool: exact binary fractions incl. 0 (division/mod-by-zero ->
+# NULL in both engines) and negatives (mod sign, power parity)
+_VALUES = [0.0, 1.0, 2.5, -3.5, 4.0, 0.5, -1.0, 10.0, 42.25, -7.5,
+           100.0, 2.0, -0.25, 8.0, 3.0, 1.5, -2.0, 5.0, 0.75, -4.5]
+
+
+@pytest.fixture(scope="module")
+def measures(spark):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_VALUES)], "rid long, value double"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE measures (rid BIGINT, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO measures VALUES (?,?)", list(enumerate(_VALUES))
+    )
+    yield con
+    con.close()
+
+
+# --- independent translation ------------------------------------------------
+
+_CMP = {"=": "=", "==": "=", "eq": "=", "<": "<", "lt": "<", ">": ">",
+        "gt": ">", "<=": "<=", "le": "<=", "≤": "<=", ">=": ">=",
+        "ge": ">=", "≥": ">=", "!=": "!=", "ne": "!=", "≠": "!="}
+
+
+def _operand_sql(x) -> str:
+    if isinstance(x, str):
+        return "value"
+    if isinstance(x, (int, float)):
+        return repr(float(x))
+    (op, payload), = x.items()
+    a, b = _operand_sql(payload[0]), _operand_sql(payload[1])
+    if op == "%":
+        return f"((({a} % {b}) + {b}) % {b})"
+    if op == "**":
+        return f"power({a}, {b})"
+    return f"({a} {op} {b})"
+
+
+def ast_to_sql(node) -> str:
+    (op, payload), = node.items()
+    low = op.lower()
+    if low in ("and", "∧", "or", "∨"):
+        glue = " AND " if low in ("and", "∧") else " OR "
+        return "(" + glue.join(ast_to_sql(n) for n in payload) + ")"
+    if low == "not":
+        # SQL NOT of NULL is NULL (row dropped) — same as Spark's ~
+        return f"(NOT {ast_to_sql(payload)})"
+    return f"({_operand_sql(payload[0])} {_CMP[low]} {_operand_sql(payload[1])})"
+
+
+# --- strategies ---------------------------------------------------------------
+
+
+def _operands():
+    leaf = st.one_of(
+        st.just("value"),
+        st.sampled_from(_VALUES),
+    )
+
+    def arith(children):
+        return st.one_of(
+            st.tuples(
+                st.sampled_from(["+", "-", "*", "/", "%"]), children, children
+            ).map(lambda t: {t[0]: [t[1], t[2]]}),
+            # power: small positive integer exponents only (see module doc)
+            st.tuples(children, st.sampled_from([2.0, 3.0])).map(
+                lambda t: {"**": [t[0], t[1]]}
+            ),
+        )
+
+    return st.recursive(leaf, arith, max_leaves=4)
+
+
+def measure_asts():
+    cmp_ops = list(_CMP)
+    leaf = st.tuples(st.sampled_from(cmp_ops), _operands(), _operands()).map(
+        lambda t: {t[0]: [t[1], t[2]]}
+    )
+    return st.recursive(
+        leaf,
+        lambda children: st.one_of(
+            st.lists(children, min_size=1, max_size=3).map(lambda xs: {"and": xs}),
+            st.lists(children, min_size=1, max_size=3).map(lambda xs: {"or": xs}),
+            children.map(lambda x: {"not": x}),
+        ),
+        max_leaves=6,
+    )
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ast=measure_asts())
+def test_measure_query_matches_duckdb(spark, measures, oracle_con, ast):
+    got = {
+        r.rid
+        for r in measures.where(compile_measure_query(ast)).select("rid").collect()
+    }
+    want = {
+        r[0]
+        for r in oracle_con.execute(
+            f"SELECT rid FROM measures WHERE {ast_to_sql(ast)}"
+        ).fetchall()
+    }
+    assert got == want, f"AST {ast!r}\nsql {ast_to_sql(ast)!r}"
