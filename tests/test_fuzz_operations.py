@@ -17,10 +17,12 @@ over a null-filtered list, nansum -> 0.0 on an all-null row, rolling
 output starting at point window-1, rateofchange dropping exactly the
 first timestamp.
 
-Excluded from the fuzz space (each covered by its own oracle-checked
-gate query instead): ``resample`` (its kernels are the ingest
-aggregation kernels, property-tested in test_exactness) and
-``rate:<agg>`` (gate ``tsdb_ops_aggregate_rate``).
+The top-level time-operator chain also covers ``resample`` (the
+carbonara re-bucket kernels mean/sum/min/max/count/std/median, r11
+extension) and the ``rate:<agg>`` aggregate variant (collapse then
+first-row-dropping diff); the remaining resample kernels (pct,
+first/last row-order) are covered by their oracle-checked gate
+queries and the ingest-kernel property tests.
 
 Float discipline: comparison operators are generated only over
 EXACTLY-reproducible subtrees (grid values are multiples of 0.5, and
@@ -195,6 +197,12 @@ class _Translator:
         self.rel = name
         return cols
 
+    def _diff_flush(self, cols: list[str]) -> list[str]:
+        diffs = [f"({c} - lag({c}) OVER (ORDER BY ts))" for c in cols]
+        return self._flush(
+            diffs, qualify=" QUALIFY lag(ts) OVER (ORDER BY ts) IS NOT NULL"
+        )
+
     def core(self, node) -> list[str]:
         if isinstance(node, (int, float)):
             return [repr(float(node))]
@@ -204,7 +212,13 @@ class _Translator:
                 return [str(r[0]) for r in node[1:]]
             return [str(node[1])]
         if op == "aggregate":
-            return [_agg_sql(node[1], self.core(node[2]))]
+            agg = node[1]
+            if agg.startswith("rate:"):
+                # rate: variant — nan-aware row collapse then time diff
+                # dropping exactly the first row (operations.py:232-240)
+                collapsed = [_agg_sql(agg[5:], self.core(node[2]))]
+                return self._diff_flush(self._flush(collapsed))
+            return [_agg_sql(agg, self.core(node[2]))]
         if op == "clip":
             sub = self.core(node[1])
             lo, hi = repr(float(node[2])), repr(float(node[3]))
@@ -226,17 +240,44 @@ class _Translator:
         if op in ("rateofchange", "rateofchangesec"):
             sub = self.core(node[1])
             cols = self._flush(sub)
-            lag_ts = "lag(ts) OVER (ORDER BY ts)"
             if op == "rateofchange":
-                diffs = [f"({c} - lag({c}) OVER (ORDER BY ts))" for c in cols]
-                return self._flush(
-                    diffs, qualify=f" QUALIFY {lag_ts} IS NOT NULL"
-                )
+                return self._diff_flush(cols)
+            lag_ts = "lag(ts) OVER (ORDER BY ts)"
             dt = f"((epoch_us(ts) - epoch_us({lag_ts})) / 1000000.0)"
             diffs = [
                 f"((({c}) - lag({c}) OVER (ORDER BY ts)) / {dt})" for c in cols
             ]
             return self._flush(diffs)
+        if op == "resample":
+            # per-series re-bucket with the carbonara kernels
+            # (reference operations.py:264-280): group-by on the
+            # floored-epoch bucket, SQL aggregates are null-skipping
+            # like the engine's
+            agg, secs = node[1], int(node[2])
+            cols = self._flush(self.core(node[3]))
+            kern = {
+                "mean": "avg({c})",
+                "sum": "sum({c})",
+                "min": "min({c})",
+                "max": "max({c})",
+                "count": "CAST(count({c}) AS DOUBLE)",
+                "std": "(CASE WHEN count({c}) > 1 THEN stddev_samp({c}) END)",
+                "median": "CAST(quantile_cont({c}, 0.5) AS DOUBLE)",
+            }
+            exprs = [kern[agg].format(c=c) for c in cols]
+            self.n += 1
+            name = f"g{self.n}"
+            sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+            bucket = (
+                f"make_timestamp(CAST(floor(epoch(ts) / {secs}) AS BIGINT)"
+                f" * {secs} * 1000000)"
+            )
+            self.ctes.append(
+                f"{name} AS (SELECT {bucket} AS ts, {sel} FROM {self.rel}"
+                " GROUP BY 1)"
+            )
+            self.rel = name
+            return [f"c{i}" for i in range(len(exprs))]
         if len(node) == 3:  # binary
             a, b = self.core(node[1]), self.core(node[2])
             if len(a) == len(b):
@@ -361,6 +402,10 @@ def _core():
     )
 
 
+_RESAMPLE_AGGS = ["mean", "sum", "min", "max", "count", "std", "median"]
+_RATE_AGGS = ["sum", "mean", "count"]
+
+
 def _with_time_ops():
     def build(t):
         (a, w, e), ops = t
@@ -369,6 +414,10 @@ def _with_time_ops():
         for kind, agg, k in ops:
             if kind == "rolling":
                 a = ["rolling", agg, k, a]
+            elif kind == "resample":
+                a = ["resample", agg, k, a]
+            elif kind == "rate_aggregate":
+                a, w = ["aggregate", f"rate:{agg}", a], 1
             else:
                 a = [kind, a]
             e = False
@@ -385,6 +434,12 @@ def _with_time_ops():
             st.none(),
             st.none(),
         ),
+        st.tuples(
+            st.just("resample"),
+            st.sampled_from(_RESAMPLE_AGGS),
+            st.sampled_from([7200, 14400]),
+        ),
+        st.tuples(st.just("rate_aggregate"), st.sampled_from(_RATE_AGGS), st.none()),
     )
     return st.tuples(_core(), st.lists(time_op, max_size=2)).map(build)
 
