@@ -904,8 +904,21 @@ def main() -> None:
         for name in HEADLINE:
             tp[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
         pass_walls.append(tp)
+    # True median per query (r12, ADVICE): for EVEN pass counts the
+    # two middle elements are averaged instead of taking the upper one,
+    # so a user overriding SPARK_GRAFT_BENCH_PASSES=2 gets an unbiased
+    # estimator.  The headline `value` is a SUM of per-query medians —
+    # a composite robust to per-query drift spikes, not the median of
+    # pass totals (documented here and in BASELINE.md).
+    def _median(vals: list) -> float:
+        s = sorted(vals)
+        n = len(s)
+        if n % 2:
+            return s[n // 2]
+        return round((s[n // 2 - 1] + s[n // 2]) / 2.0, 3)
+
     timings: dict[str, float] = {
-        k: sorted(tp[k] for tp in pass_walls)[passes // 2] for k in pass_walls[0]
+        k: _median([tp[k] for tp in pass_walls]) for k in pass_walls[0]
     }
 
     total = round(sum(timings.values()), 3)
@@ -928,12 +941,23 @@ def main() -> None:
     # comfortably under that window: headline total + baseline ratio +
     # the slowest queries + scale-stress verdicts.  The complete
     # payload always lands in BENCH_LOCAL_LAST.json via checkpoint().
+    # BENCH_LOCAL_LAST.json is SCRATCH — the driver's per-round run
+    # overwrites it.  A freeze-of-record run sets SPARK_GRAFT_BENCH_FREEZE
+    # to e.g. BENCH_FREEZE_r12.json so the committed payload has its own
+    # filename (r12, VERDICT r11 wrong #3: two artifacts shared one name
+    # and readers got the wrong series without `git show HEAD:`).
+    freeze_name = os.environ.get("SPARK_GRAFT_BENCH_FREEZE")
+
     def checkpoint(p):
         line = json.dumps(p)
         print(line, file=sys.stderr, flush=True)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL_LAST.json"), "w") as fh:
-            fh.write(line + "\n")
+        here = os.path.dirname(os.path.abspath(__file__))
+        targets = ["BENCH_LOCAL_LAST.json"]
+        if freeze_name:
+            targets.append(freeze_name)
+        for t in targets:
+            with open(os.path.join(here, t), "w") as fh:
+                fh.write(line + "\n")
 
     checkpoint(payload)
     payload["baseline"] = baseline_section(spark, sf_dir)

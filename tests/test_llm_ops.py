@@ -772,13 +772,16 @@ def test_lazy_unmaterialized_entry_survives_capacity_eviction(spark):
     only clears the storage-level mark and the frame can never
     materialize — a user lazily composing a dozen operator results
     then hit an action-time 'checkpoint block not found'.  The lazy
-    entry is dropped from the memo without touching its mark, so the
-    frame stays actionable after an arbitrary registration flood."""
+    entry is parked (r12: tracked in the exemption side list, counted
+    by exempted_count(), visible to owned_ids(), and force-released by
+    clear()) so the frame stays actionable after an arbitrary
+    registration flood and the memo's bound is recoverable."""
     from pyspark.sql import functions as F
 
     from gnocchi_spark.operators import dedup as D
 
     D.clear_assignment_cache()
+    assert D._ASSIGNMENT_CACHE.exempted_count() == 0
     mem = spark.range(200).select(
         F.col("id").alias("a"), (F.col("id") * 3).alias("b")
     )
@@ -788,16 +791,26 @@ def test_lazy_unmaterialized_entry_survives_capacity_eviction(spark):
     for i in range(D._ASSIGNMENT_CACHE.max_entries + 6):
         D.registered_local_checkpoint(mem, "flood", i).count()
     assert len(D._ASSIGNMENT_CACHE) <= D._ASSIGNMENT_CACHE.max_entries
+    # the evicted-unmaterialized entry is COUNTED (r12 telemetry) and
+    # its handle stays protected from intermediate sweeps
+    assert D._ASSIGNMENT_CACHE.exempted_count() >= 1
+    held_rid = held._jdf.queryExecution().analyzed().rdd().id()
+    assert held_rid in D._ASSIGNMENT_CACHE.owned_ids()
     # the held frame's entry was evicted, but the frame must still be
     # actionable — pre-r11 this raised at action time
     assert held.count() == 200
     assert held.agg(F.sum("b")).collect()[0][0] == 3 * sum(range(200))
+    # clear() force-releases the parked handles too (r12: the bounded
+    # leak is recoverable, not until-application-end)
     D.clear_assignment_cache()
-    # clear() can't see the now-unregistered blocks; free them directly
-    try:
-        held._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    assert D._ASSIGNMENT_CACHE.exempted_count() == 0
+    live = {
+        rid
+        for rid in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+    assert held_rid not in live
 
 
 def test_connected_components_isolates_session_conf(spark):
