@@ -54,6 +54,18 @@ class StoreConflict(Exception):
     """Another writer committed this version first; refresh and retry."""
 
 
+# Test-only fault injection (r12): the restart tests set this to a
+# callable that RAISES at a named crash point to prove a death between
+# data-file write and manifest commit leaves the table untouched
+# (orphan files only, swept by vacuum).  Always None in production.
+_crash_hook = None
+
+
+def _crash_point(name: str) -> None:
+    if _crash_hook is not None:
+        _crash_hook(name)
+
+
 @dataclass(frozen=True)
 class Manifest:
     version: int
@@ -240,6 +252,7 @@ class SnapshotStore:
             else:
                 merged = batch
             files = self._write_data(merged)
+            _crash_point("store:pre-commit")
             try:
                 return self._commit(base, add=files, remove=touched)
             except StoreConflict:

@@ -206,7 +206,17 @@ def start_merge_sink(
     """Update-mode sink: every trigger re-emits buckets that changed and
     merges them into the table — late-but-within-back-window points
     update their bucket, exactly the reference's partial-recompute +
-    split merge (storage/__init__.py:643-668)."""
+    split merge (storage/__init__.py:643-668).
+
+    Crash-restart: the checkpointed offsets make a death anywhere in a
+    micro-batch replayable, and ``merge_batch_into_rollup`` is
+    idempotent by key, so the replayed epoch converges to the batch
+    recompute — the reference's measures-survive-daemon-death contract
+    (chef.py:383-424); proven in tests/test_restart_recovery.py.  The
+    one window plain parquet cannot close (a death inside the dynamic
+    overwrite's own commit) is closed by routing the sink through the
+    snapshot store instead: ``writeStream.foreachBatch(
+    store_merge_sink(SnapshotStore(root)))`` (operators/store.py)."""
     writer = (
         rollup_stream.writeStream.outputMode("update")
         .foreachBatch(
