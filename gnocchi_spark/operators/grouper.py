@@ -81,6 +81,22 @@ def history_grouped_aggregate(
     ``value = sum(bucket_value * usage_coefficient)`` per group/bucket.
     """
     g_us = int(round(granularity_s * 1_000_000))
+    if start is not None and stop is not None:
+        # create_history_period_filter (api.py:278-299, applied ONLY
+        # when both bounds are set): only revisions overlapping
+        # [start, stop) are retrieved, and — crucially — is_first is
+        # decided AFTER this filter (group(), api.py:325-343), so a
+        # resource whose earliest revision ended before the window
+        # opens its SECOND revision to the query start.  Found by the
+        # r12 differential fuzz; without this the rank-1 revision could
+        # be one the reference never retrieves.
+        revisions = revisions.where(
+            (F.col("revision_start") < F.lit(stop).cast("timestamp"))
+            & (
+                F.col("revision_end").isNull()
+                | (F.col("revision_end") >= F.lit(start).cast("timestamp"))
+            )
+        )
     revs = prepare_revisions(revisions, start, stop, resource_col)
 
     b = bucketed.alias("b")

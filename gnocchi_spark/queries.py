@@ -829,13 +829,20 @@ def resource_metric_join(spark, sf_dir):
     WITH m AS (SELECT user_id, {_sql_bucket(3600)} AS b,
                       {_xmean_sql("value")} AS v
                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-         revs AS (SELECT user_id, ts AS revision_start,
-                         lead(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS revision_end,
-                         CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS tier,
+         revs0 AS (SELECT user_id, event_id, ts AS revision_start,
+                          lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS revision_end,
+                          CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS tier
+                   FROM events WHERE event_type = 'signup'),
+         -- create_history_period_filter (api.py:278-299): revisions
+         -- overlapping [start, stop) only, rank (is_first) AFTER it
+         revs AS (SELECT user_id, revision_start, revision_end, tier,
                          row_number() OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS rn
-                  FROM events WHERE event_type = 'signup'),
+                                            ORDER BY revision_start, event_id) AS rn
+                  FROM revs0
+                  WHERE revision_start < TIMESTAMP '2024-01-25 00:00:00'
+                    AND (revision_end IS NULL
+                         OR revision_end >= TIMESTAMP '2024-01-05 00:00:00')),
          w AS (SELECT user_id, tier,
                       CASE WHEN rn = 1 THEN TIMESTAMP '2024-01-05 00:00:00'
                            ELSE greatest(revision_start,
