@@ -61,6 +61,7 @@ def align_series(
     ts_col: str = "ts",
     value_col: str = "value",
     partition_cols: Sequence[str] = (),
+    granularity_s: float | None = None,
 ) -> DataFrame:
     """Pivot N series onto the union of their timestamps and apply fill.
 
@@ -68,13 +69,25 @@ def align_series(
     ``fill=None`` raises :class:`UnAggregableTimeseries` unless at least
     ``needed_overlap`` percent of (trimmed) timestamps have every series
     present — exactly processor.py:200-220.
+
+    Window semantics match the reference slice
+    ``timeserie[round_timestamp(from_, g):to]`` (processor.py:154-160):
+    ``start`` is FLOORED to ``granularity_s`` (when given) and
+    inclusive; ``stop`` is EXCLUSIVE (numpy half-open slice).  r12, both
+    pinned by the align/fill differential fuzz — ``stop`` was
+    previously compared inclusively.
     """
     labels = list(series)
     long = stack_series(series, ts_col, value_col, partition_cols)
     if start is not None:
-        long = long.where(F.col("ts") >= F.lit(start).cast("timestamp"))
+        s = F.lit(start).cast("timestamp")
+        if granularity_s:
+            from gnocchi_spark.functions.timeutil import truncate_to_bucket
+
+            s = truncate_to_bucket(s, granularity_s)
+        long = long.where(F.col("ts") >= s)
     if stop is not None:
-        long = long.where(F.col("ts") <= F.lit(stop).cast("timestamp"))
+        long = long.where(F.col("ts") < F.lit(stop).cast("timestamp"))
 
     keys = [*partition_cols, "ts"]
     wide = long.groupBy(*keys).pivot("series", labels).agg(F.first("value"))
@@ -189,7 +202,10 @@ def _enforce_overlap(
         if pk
         else F.lit("")
     )
-    empty = (F.col("n_t") == 0) & (F.col("n_ov") == 0)
+    # r12 (align fuzz): the reference raises 'No overlap' whenever the
+    # overlap set is empty and needed > 0 — INCLUDING an entirely empty
+    # grid (processor.py:201-205 runs before the times.size guard), so
+    # no empty-group exemption here.
     no_ov = (F.col("n_ov") == 0) & F.lit(bool(needed_overlap > 0))
     low = (
         (F.col("n_ov") > 0)
@@ -197,9 +213,9 @@ def _enforce_overlap(
         & (pct < F.lit(float(needed_overlap)))
     )
     msg = F.when(
-        ~empty & no_ov, F.concat(group_repr, F.lit("No overlap"))
+        no_ov, F.concat(group_repr, F.lit("No overlap"))
     ).when(
-        ~empty & low,
+        low,
         F.concat(
             group_repr,
             F.format_string(
