@@ -12555,7 +12555,7 @@ def training_set_asof_features(spark, sf_dir):
 
 
 CHECK_ORDER = [
-    # --- r11 rotation -----------------------------------------------------
+    # --- r12 rotation -----------------------------------------------------
     # STANDING POLICY (r07 on, VERDICT r06 next #3): window = queries
     # whose implementation changed this round + new queries (front),
     # then the STALEST green rows by last-driver-checked round
@@ -12564,66 +12564,65 @@ CHECK_ORDER = [
     # union.  Full-registry coverage is maintained by the committed
     # ORACLE_FULL_r{N}.txt + ORACLE_FULL_r{N}_sf01.txt runs at BOTH
     # scales.
-    # -- 1) changed in r11: the NB threshold-curve binning rework
-    #    (pre-cast __s alias) and representatives of every memo
-    #    consumer family affected by the lazy-entry eviction exemption
-    #    (dedup.py _evict; LSH build+reuse, incremental probe, k-means
-    #    sample, MMR pools, pagerank result registration)
-    "quality_nb_threshold_curve",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "cluster_topics_kmeans",
-    "mmr_diversified_topk",
-    "user_pagerank",
-    # -- 2) oldest-first fill: the r05 cohort (VERDICT r10 next #3)
-    "storage_cost_probe",
-    "text_repetition",
-    "tfidf_keywords",
-    "tpch_q12_shipping_delay",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tsdb_ewma_smooth",
-    "tsdb_seasonal_decompose",
-    "user_journey_transitions",
-    "vocab_induction",
-    "word_pmi_pairs",
-    # -- 3) then the r06 cohort in name order (first 33 of 38; the
-    #    tail — tsdb_mad_anomalies, tsdb_refresh_on_read,
-    #    tsdb_rollup_mean_5m, tsdb_seasonal_bands, tsdb_value_heatmap —
-    #    heads the r12 fill)
-    "alert_rule_eval",
-    "ann_filtered_topk",
-    "ann_ndcg_report",
-    "anomaly_seasonal_zscore",
-    "curriculum_schedule",
-    "dedup_exact",
-    "event_association_lift",
-    "funnel_time_to_convert",
-    "growth_accounting",
-    "keyset_pagination",
-    "measure_value_search",
-    "metric_burstiness",
-    "metric_change_contributors",
-    "metric_user_gini",
-    "perplexity_bigram",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "resource_history_union",
-    "resource_metric_join",
-    "session_pattern_match",
-    "slo_burn_rate_alerts",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "training_set_asof_features",
-    "tsdb_brown_forecast",
-    "tsdb_calendar_week",
-    "tsdb_forecast_backtest",
-    "tsdb_holt_winters",
-    "tsdb_lttb_downsample",
-    "tsdb_m4_downsample",
+    # -- 1) changed in r12: the history grouper now applies the
+    #    reference's create_history_period_filter before ranking
+    #    is_first (operators/grouper.py + matching oracle SQL rework)
+    # -- 2) oldest-first fill: the r06 tail (VERDICT r11 next #4),
+    #    the full r07 cohort, then the r08 cohort head in name order.
+    #    aggregates_api_end_to_end and the resource filter rows also
+    #    re-cover this round's align_series window-semantics change
+    #    (stop exclusivity; no registry query passes stop, pinned by
+    #    tests/test_fuzz_align_fill.py).
+    "history_grouped_usage",
+    "tsdb_mad_anomalies",
+    "tsdb_refresh_on_read",
+    "tsdb_rollup_mean_5m",
+    "tsdb_seasonal_bands",
+    "tsdb_value_heatmap",
+    "aggregates_api_end_to_end",
+    "ann_cosine_topk",
+    "asof_join_nearest",
+    "binned_quantile_p95",
+    "bm25_retrieval",
+    "cms_heavy_hitters",
+    "corpus_token_histogram",
+    "dedup_bloom_batch",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_span_exact",
+    "embedding_quantize",
+    "hll_distinct_users",
+    "hybrid_rrf_retrieval",
+    "ingest_collectd",
+    "ingest_influxdb_lines",
+    "ingest_prometheus",
+    "ingest_statsd_flush",
+    "metric_correlation_matrix",
+    "multimodal_features",
+    "pipeline_corpus_filter",
+    "resource_filter_dsl",
+    "resource_query_string_filter",
+    "resource_type_attributes",
+    "sample_stratified",
+    "text_language_id",
+    "text_quality_by_lang",
+    "text_stats",
+    "text_winnowing",
+    "tpch_q11_important_stock",
+    "tsdb_autocorrelation",
+    "tsdb_calendar_half",
+    "tsdb_rollup_std_1h",
+    "tsdb_trend_forecast",
+    "ab_test_ztest",
+    "ann_recall_report",
+    "benchmark_decontamination",
+    "decontaminate_ngram",
+    "histogram_quantile_cascade",
+    "hll_cascade_merge",
+    "ingest_csv_measures",
+    "ingest_prometheus_wire",
+    "injector_synthetic",
+    "maintenance_inactivity",
 ]
 
 # exactly the driver's window: entries past 50 are not checked, so a
