@@ -141,7 +141,17 @@ class IvfIndex:
         ]
         files = self._files_for_centroids(spark, probe_ids)
         if not files:
-            raise ValueError("no indexed data for the probed clusters")
+            # probe miss / empty index (r12, degenerate-input sweep): an
+            # ANN search that finds no indexed candidates returns zero
+            # neighbors — same shape, no rows — not an error; raising
+            # here turned a legitimate tiny-corpus probe miss into a 500
+            id_type = queries.schema[id_col].dataType.simpleString()
+            return probes.select(
+                "query_id",
+                F.lit(None).cast("int").alias("rank"),
+                F.lit(None).cast(id_type).alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cosine"),
+            ).where(F.lit(False))
         members = spark.read.parquet(*self.members._abs(files)).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),

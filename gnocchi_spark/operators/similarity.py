@@ -474,9 +474,19 @@ def ivf_assign(
     """
     import math
 
-    rows = centroids.select("centroid_id", "centroid").collect()
+    # NULL centroids and NULL corpus vectors are unprocessable junk
+    # (r12, degenerate-input sweep): drop them here so every IVF
+    # consumer shares one contract — junk vectors are never assigned,
+    # and a corpus with no usable centroid raises the loud ValueError
+    # below instead of a driver-side TypeError.
+    rows = [
+        r
+        for r in centroids.select("centroid_id", "centroid").collect()
+        if r["centroid"] is not None
+    ]
     if not rows:
         raise ValueError("centroids is empty")
+    vectors = vectors.where(F.col(vec_col).isNotNull())
 
     # The whole argmax is generated as ONE SQL string and parsed
     # JVM-side: composing ~1000 Column objects through py4j costs ~10 s
@@ -613,6 +623,10 @@ def ivf_train_kmeans(
     SQL-oracled via an unrolled replay).
     """
     spark = corpus.sparkSession
+    # junk (NULL-embedding) rows can neither seed nor move a centroid
+    # (r12 degenerate sweep); an entirely junk corpus raises
+    # ivf_assign's 'centroids is empty' on the first iteration
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cent_rows = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
         for r in corpus.orderBy(id_col)
@@ -919,10 +933,18 @@ def pq_deterministic_codebooks(
     d = dim // m
     rows = (
         vectors.where(F.col(id_col) < k)
+        .where(F.col(vec_col).isNotNull())  # junk rows can't be codewords
         .select(id_col, vec_col)
         .orderBy(id_col)
         .collect()
     )
+    if not rows:
+        # same contract as ivf_assign's 'centroids is empty' (r12,
+        # degenerate-input sweep): an index build over an empty corpus
+        # is a loud user error, not an IndexError from slicing
+        raise ValueError(
+            f"PQ codebooks need a non-empty corpus (no vectors with {id_col} < {k})"
+        )
     return [
         [[float(x) for x in r[vec_col][s * d : (s + 1) * d]] for r in rows]
         for s in range(m)
@@ -957,6 +979,7 @@ def pq_encode(
     (id, codes array<int>), an 8-byte-per-vector index at m=8, k<=256.
     """
     d = len(codebooks[0][0])
+    vectors = vectors.where(F.col(vec_col).isNotNull())  # junk rows unencodable
     codes = []
     for s, cb in enumerate(codebooks):
         cb_lit = F.array(*[F.array(*[F.lit(x) for x in w]) for w in cb])
@@ -1117,6 +1140,23 @@ def semantic_dedup(
     """
     from pyspark.sql import Window
 
+    # NULL embeddings are unprocessable junk rows a real pipeline
+    # filters upstream; doing it here keeps the operator total (r12,
+    # degenerate-input sweep).  An empty (or all-null) corpus returns
+    # the zero-row one-row-per-non-null-vector result instead of a
+    # driver-side TypeError.
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    first_vec = corpus.select(vec_col).first()
+    if first_vec is None:
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast(id_type).alias("cluster_id"),
+            F.lit(True).alias("keep"),
+            F.lit(None).cast(id_type).alias("dup_of"),
+            F.lit(None).cast("double").alias("dup_cosine"),
+        )
+
     centroids = (
         corpus.orderBy(id_col)
         .limit(n_clusters)
@@ -1124,7 +1164,7 @@ def semantic_dedup(
     )
     from gnocchi_spark.operators.dedup import spread_for_compute
 
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = len(first_vec[0])
     # per-side norms computed once BEFORE the pair join (|pairs| >>
     # |members|), and all vector math on the codegen sql_dot path —
     # same bits as cosine(), ~10x the throughput on the pair stage.

@@ -316,7 +316,9 @@ def tsdb_rate_mean_1h(spark, sf_dir):
     WITH five AS (
       SELECT event_type AS metric_id, {_sql_bucket(300)} AS b5,
              {_xmean_sql("value")} AS v
-      FROM events GROUP BY 1, 2)
+      -- NULL measures never exist in a series (the wire accepts
+      -- numbers only; melt_rollup drops suppressed buckets)
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
     SELECT metric_id, {_sql_bucket(3600, "b5")} AS bucket_ts,
            {_rnd_sql(_xmean_sql("v"))} AS mean
     FROM five GROUP BY 1, 2
@@ -579,7 +581,8 @@ def tsdb_ops_arith_fill0(spark, sf_dir):
     # missing series is an exact no-op in IEEE754)
     f"""
     WITH per AS (SELECT event_type, {_sql_bucket(3600)} b, {_xmean_sql("value")} v
-                 FROM events GROUP BY 1, 2),
+                 -- NULL measures never exist in a series (wire contract)
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          piv AS (SELECT b,
                         max(CASE WHEN event_type = 'click' THEN v END) c1,
                         max(CASE WHEN event_type = 'view' THEN v END) c2,
@@ -644,7 +647,8 @@ def tsdb_ops_rolling_mean4(spark, sf_dir):
     "tsdb_ops_rateofchangesec",
     f"""
     WITH s AS (SELECT {_sql_bucket(3600)} b, {_xmean_sql("value")} v FROM events
-               WHERE event_type='purchase' GROUP BY 1)
+               -- NULL measures never exist in a series (wire contract)
+               WHERE event_type='purchase' AND value IS NOT NULL GROUP BY 1)
     SELECT b AS ts,
            (floor(((v - lag(v) OVER (ORDER BY b)) /
                  ((epoch_us(b) - epoch_us(lag(b) OVER (ORDER BY b)))
@@ -2088,14 +2092,16 @@ def text_language_id(spark, sf_dir):
 @query(
     "ann_cosine_topk",
     """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < 10 AND embedding IS NOT NULL),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
                    5) AS cosine
-      FROM embeddings c, q WHERE q.vec_id != c.vec_id)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c, q
+      WHERE q.vec_id != c.vec_id)
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT)
@@ -2274,7 +2280,8 @@ def _ann_lsh_oracle_sql() -> str:
 
     bucket = _bucket_sql(hyperplanes(6, 64))
     return f"""
-    WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+               WHERE embedding IS NOT NULL),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({_COS.format(a="q.embedding", b="c.embedding")}, 5) AS cosine
@@ -2441,7 +2448,8 @@ def _emb_neardup_oracle_sql(
     any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
     cos = _COS.format(a="a.embedding", b="b.embedding")
     return f"""
-    WITH v AS (SELECT vec_id, embedding, {band_cols} FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding, {band_cols} FROM embeddings
+               WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 5) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({any_band})
     WHERE round({cos}, 5) >= {threshold}
@@ -2477,7 +2485,10 @@ def dedup_embedding_cosine(spark, sf_dir):
            {_sql_bucket(3600)} AS bucket_ts,
            {_rnd_sql("avg(CAST(floor(value * 1000) AS BIGINT))")} AS mean,
            CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY 1, 2, 3
+    -- a NULL value renders no line (format_string -> NULL) and the
+    -- line protocol only carries numeric fields, so such measures
+    -- never reach the parser (degenerate-input sweep, r12)
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     """,
 )
 def ingest_influxdb_lines(spark, sf_dir):
@@ -2514,7 +2525,8 @@ def ingest_influxdb_lines(spark, sf_dir):
     """
     SELECT event_type || '|c' AS metric_name,
            round(sum(CAST(floor(value * 1000) AS BIGINT)) * 2.0, 4) AS value
-    FROM events GROUP BY 1
+    -- NULL values render no packet (statsd wire carries numbers only)
+    FROM events WHERE value IS NOT NULL GROUP BY 1
     """,
 )
 def ingest_statsd_flush(spark, sf_dir):
@@ -3639,6 +3651,7 @@ def quality_nb_threshold_curve(spark, sf_dir):
     WITH c AS (
       SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cx
       FROM embeddings, range(1, 65) t(i)
+      WHERE embedding IS NOT NULL
       GROUP BY 1, 2),
     cent AS (SELECT label, list(cx ORDER BY i) AS centroid FROM c GROUP BY 1),
     scored AS (
@@ -3648,7 +3661,8 @@ def quality_nb_threshold_curve(spark, sf_dir):
                                             e.embedding::DOUBLE[]))
                       * sqrt(list_dot_product(cent.centroid, cent.centroid))),
                    5) AS cosine
-      FROM embeddings e JOIN cent USING (label))
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      JOIN cent USING (label))
     SELECT label,
            CAST(row_number() OVER (PARTITION BY label
                                    ORDER BY cosine, vec_id) AS INT) AS rank,
@@ -4087,16 +4101,20 @@ def pii_redact(spark, sf_dir):
 @query(
     "dedup_semantic",
     f"""
-    WITH cent AS (
+    WITH src AS (
+      -- NULL embeddings are unprocessable junk, dropped at load on the
+      -- Spark side too (tables.load / semantic_dedup null contract)
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings ORDER BY vec_id LIMIT 8),
+      FROM src ORDER BY vec_id LIMIT 8),
     sm AS (
       SELECT e.vec_id AS vid, e.embedding AS v, c.centroid_id,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round({_COS.format(a="e.embedding", b="c.centroid")}, 6)
                  DESC, c.centroid_id) AS rn
-      FROM embeddings e CROSS JOIN cent c),
+      FROM src e CROSS JOIN cent c),
     m AS (SELECT vid, v, centroid_id FROM sm WHERE rn = 1),
     p AS (
       SELECT a.vid AS a_id, b.vid AS b_id,
@@ -4654,14 +4672,15 @@ def cluster_topics_kmeans(spark, sf_dir):
       FROM grams d CROSS JOIN q WHERE d.doc_id != q.query_id),
     lex AS (SELECT * FROM lex0 WHERE lex_rank <= 20),
     eq AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 5),
+           FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
     sem0 AS (
       SELECT q.query_id, e.vec_id AS doc_id,
              row_number() OVER (
                PARTITION BY q.query_id
                ORDER BY round({_COS.format(a="e.embedding", b="q.qv")}, 6)
                  DESC, e.vec_id) AS sem_rank
-      FROM embeddings e CROSS JOIN eq q WHERE e.vec_id != q.query_id),
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      CROSS JOIN eq q WHERE e.vec_id != q.query_id),
     sem AS (SELECT * FROM sem0 WHERE sem_rank <= 20),
     fused AS (
       SELECT coalesce(l.query_id, s.query_id) AS query_id,
@@ -4822,11 +4841,13 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     cos_q = _COS.format(a="e.embedding", b="q.qv")
     cos_p = _COS.format(a="a.cv", b="b.cv")
     parts = [
-        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)",
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        " WHERE vec_id < 3 AND embedding IS NOT NULL)",
         f"""scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
              round({cos_q}, 5) AS cosine
-      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)""",
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      CROSS JOIN q WHERE e.vec_id != q.query_id)""",
         f"""pool AS (
       SELECT query_id, neighbor_id, cv, cosine,
              row_number() OVER (PARTITION BY query_id
@@ -5257,12 +5278,22 @@ def corpus_report(spark, sf_dir):
              stddev_samp(value) AS std
       FROM events GROUP BY 1, 2),
     j AS (
+      -- every flag is NULL-safe (r12 degenerate sweep): when the
+      -- tolerance comparison is NULL (a NULL aggregate on either
+      -- side, e.g. an all-NULL-measure bucket) fall back to IS
+      -- DISTINCT FROM — both-NULL is consistent, one-sided NULL is a
+      -- mismatch — so an unknown never poisons the audit counters
       SELECT d.metric_id,
-             abs(d.mean - c.mean) > 1e-6 * greatest(1, abs(d.mean)) AS bad_mean,
-             abs(d.sum - c.sum) > 1e-6 * greatest(1, abs(d.sum)) AS bad_sum,
-             abs(d.min - c.min) > 0 AS bad_min,
-             abs(d.max - c.max) > 0 AS bad_max,
-             abs(d.count - c.count) > 0 AS bad_count,
+             coalesce(abs(d.mean - c.mean) > 1e-6 * greatest(1, abs(d.mean)),
+                      d.mean IS DISTINCT FROM c.mean) AS bad_mean,
+             coalesce(abs(d.sum - c.sum) > 1e-6 * greatest(1, abs(d.sum)),
+                      d.sum IS DISTINCT FROM c.sum) AS bad_sum,
+             coalesce(abs(d.min - c.min) > 0, d.min IS DISTINCT FROM c.min)
+               AS bad_min,
+             coalesce(abs(d.max - c.max) > 0, d.max IS DISTINCT FROM c.max)
+               AS bad_max,
+             coalesce(abs(d.count - c.count) > 0,
+                      d.count IS DISTINCT FROM c.count) AS bad_count,
              coalesce(abs(d.std - c.std)
                       > 1e-6 * greatest(1, abs(d.std)), d.std IS DISTINCT FROM c.std)
                AS bad_std
@@ -5294,12 +5325,21 @@ def rollup_consistency_audit(spark, sf_dir):
     j = direct.alias("d").join(
         casc.alias("c"), ["metric_id", "bucket_ts"]
     )
-    rel = lambda col: (  # noqa: E731
-        F.abs(F.col(f"d.{col}") - F.col(f"c.{col}"))
-        > 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(f"d.{col}")))
+    # NULL-safe flags (r12 degenerate sweep): when the tolerance
+    # comparison is NULL (a NULL aggregate on either side — e.g. an
+    # all-NULL-measure bucket), fall back to null-safe inequality so
+    # both-NULL counts as consistent and a one-sided NULL as a
+    # mismatch, never an unknown that poisons the sum.
+    nullsafe = lambda col, cmp: F.coalesce(  # noqa: E731
+        cmp, ~(F.col(f"d.{col}").eqNullSafe(F.col(f"c.{col}")))
     )
-    exact = lambda col: (  # noqa: E731
-        F.abs(F.col(f"d.{col}") - F.col(f"c.{col}")) > 0
+    rel = lambda col: nullsafe(  # noqa: E731
+        col,
+        F.abs(F.col(f"d.{col}") - F.col(f"c.{col}"))
+        > 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(f"d.{col}"))),
+    )
+    exact = lambda col: nullsafe(  # noqa: E731
+        col, F.abs(F.col(f"d.{col}") - F.col(f"c.{col}")) > 0
     )
     bad = (
         rel("mean")
@@ -5307,10 +5347,7 @@ def rollup_consistency_audit(spark, sf_dir):
         | exact("min")
         | exact("max")
         | exact("count")
-        | F.coalesce(
-            rel("std"),
-            ~(F.col("d.std").eqNullSafe(F.col("c.std"))),
-        )
+        | rel("std")
     )
     return j.groupBy("metric_id").agg(
         F.count("*").cast("long").alias("n_buckets"),
@@ -5870,6 +5907,7 @@ def tsdb_trend_forecast(spark, sf_dir):
       SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mu,
              CAST(count(*) AS BIGINT) AS n
       FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+      WHERE embedding IS NOT NULL
       GROUP BY 1, 2),
     cent AS (
       SELECT label, max(n) AS n, array_agg(mu ORDER BY i) AS c
@@ -8281,7 +8319,13 @@ def store_snapshot_roundtrip(spark, sf_dir):
         "mean", F.col("mean") * 2.0
     )
     store.merge(correction, key_cols=("metric_id", "bucket_ts"))
-    return store.read(spark).select(
+    # read() is None for a store with no data files (documented API —
+    # an entirely empty measure table commits empty manifests); the
+    # query's result is then the empty frame (r12 degenerate sweep)
+    out = store.read(spark)
+    if out is None:
+        out = hourly.where(F.lit(False))
+    return out.select(
         "metric_id",
         "bucket_ts",
         _rnd_col("mean", 6).alias("mean"),
@@ -8643,11 +8687,13 @@ def _ann_recall_sql() -> str:
                  PARTITION BY q.vec_id
                  ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
                    DESC, c.vec_id) AS rank
-        FROM embeddings c, (SELECT vec_id, embedding FROM embeddings
-                            WHERE vec_id < 10) q
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 10 AND embedding IS NOT NULL) q
         WHERE q.vec_id != c.vec_id)
       WHERE rank <= 5),
-    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+          WHERE embedding IS NOT NULL),
     approx AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -8687,11 +8733,13 @@ def _ann_ndcg_sql() -> str:
                  PARTITION BY q.vec_id
                  ORDER BY round({_COS.format(a="q.embedding", b="c.embedding")}, 5)
                    DESC, c.vec_id) AS rank
-        FROM embeddings c, (SELECT vec_id, embedding FROM embeddings
-                            WHERE vec_id < 10) q
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 10 AND embedding IS NOT NULL) q
         WHERE q.vec_id != c.vec_id)
       WHERE rank <= 20),
-    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+          WHERE embedding IS NOT NULL),
     approx AS (
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -57,6 +57,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    if name == "embeddings":
+        # NULL embedding rows are unprocessable junk (the vector
+        # analogue of the wire's numbers-only measure contract): drop
+        # them at load so no similarity/ANN plan ever hashes, scores,
+        # or clusters a NULL vector (r12 degenerate-input sweep).  A
+        # plain IsNotNull pushes into the parquet scan — free.
+        df = df.where(F.col("embedding").isNotNull())
     return normalize_timestamps(df)
 
 
