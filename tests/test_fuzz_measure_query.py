@@ -124,9 +124,9 @@ def measure_asts():
 
 
 @settings(
-    max_examples=120,
+    max_examples=1200,
     deadline=None,
-    derandomize=True,
+    derandomize=False,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(ast=measure_asts())
