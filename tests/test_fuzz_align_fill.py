@@ -4,7 +4,7 @@ needed-overlap axis and the calendar + pct/first/last resample kernels
 
 Two suites, both with the independent-translation discipline (the
 oracle is written from the REFERENCE semantics, never derived from the
-compiler under test; ``derandomize=False`` keeps them deterministic
+compiler under test; ``derandomize=True`` keeps them deterministic
 gates):
 
 1. ``align_series`` (operators/align.py): random 2-3 series over a
@@ -174,9 +174,9 @@ def con():
 
 
 @settings(
-    max_examples=1200,
+    max_examples=120,
     deadline=None,
-    derandomize=False,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(case=align_cases())
@@ -331,9 +331,9 @@ def _close(x, y) -> bool:
 
 
 @settings(
-    max_examples=1200,
+    max_examples=120,
     deadline=None,
-    derandomize=False,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(

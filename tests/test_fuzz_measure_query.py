@@ -124,9 +124,9 @@ def measure_asts():
 
 
 @settings(
-    max_examples=1200,
+    max_examples=120,
     deadline=None,
-    derandomize=False,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(ast=measure_asts())

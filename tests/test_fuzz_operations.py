@@ -30,7 +30,7 @@ EXACTLY-reproducible subtrees (grid values are multiples of 0.5, and
 IEEE ops that yield bit-identical doubles in both engines), because a
 comparison over an engine-divergent last-ulp (trig, mean/std/median
 kernels) would flip discretely.  Everything else is compared with a
-1e-9 relative tolerance.  ``derandomize=False`` keeps the suite a
+1e-9 relative tolerance.  ``derandomize=True`` keeps the suite a
 deterministic gate.
 """
 
@@ -456,9 +456,9 @@ def _close(x, y) -> bool:
 
 
 @settings(
-    max_examples=1100,
+    max_examples=110,
     deadline=None,
-    derandomize=False,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(prog=_with_time_ops())

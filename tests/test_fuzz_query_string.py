@@ -10,7 +10,7 @@ AST equals the original — so the pyparsing grammar, the parse actions
 the renderer's understanding of the grammar can never drift apart.
 
 Pure driver-side parser test: no SparkSession, runs in milliseconds
-per case.  ``derandomize=False`` keeps it a deterministic gate.
+per case.  ``derandomize=True`` keeps it a deterministic gate.
 """
 
 from __future__ import annotations
@@ -118,7 +118,7 @@ def query_asts():
     )
 
 
-@settings(max_examples=2000, deadline=None, derandomize=False)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(ast=query_asts())
 def test_query_string_roundtrip(ast):
     rendered = render(ast)
