@@ -14,7 +14,17 @@ Reference semantics reproduced (``rest/influxdb.py:154-259``):
 - integer field values carry an ``i`` suffix, strings are quoted and
   *skipped* (only numeric fields become measures, ``influxdb.py:215-217``);
 - a missing timestamp defaults to the chunk's ingest time
-  (``influxdb.py:196-197``).
+  (``influxdb.py:196-197``);
+- duplicated tag or field keys last-win, exactly the reference's
+  ``dict(list(tok))`` on both groups (``influxdb.py:74-87``) — NOT
+  ``str_to_map``, which throws ``DUPLICATED_MAP_KEY`` and would let a
+  single malformed line kill a whole batch (r12 fuzz finding).
+
+Deliberate leniency: boolean field values parse to 1.0/0.0.  The
+reference DEFINES a boolean token with that action (``influxdb.py:
+40-42``) but never wires it into ``field_value`` (dead code — its
+grammar rejects the line); accepting the obvious intent beats
+dropping the whole line in a bulk engine.
 
 Implementation is pure Column expressions (regexp + map functions), so
 parsing stays inside whole-stage codegen — no Python in the hot path.
@@ -59,6 +69,34 @@ def _sanitize(line: Column) -> Column:
 
 def _unescape(col: Column) -> Column:
     return F.translate(col, _S_SPACE + _S_COMMA + _S_EQ, " ,=")
+
+
+def _dedup_last_entries(arr: Column) -> Column:
+    """Keep only the LAST ``k=v`` entry per key.
+
+    The reference applies ``dict(list(tok))`` to BOTH the tag and the
+    field groups (``influxdb.py:74-87``), so a duplicated key silently
+    last-wins.  ``str_to_map``/``map_from_entries`` instead THROW
+    ``DUPLICATED_MAP_KEY`` under Spark's default dedup policy — one
+    malformed line would kill a whole ingest batch (found while
+    building the r12 line-protocol fuzz).  Pure Columns; n is the
+    per-line tag/field
+    count, so the O(n²) exists-scan is a few JVM comparisons."""
+
+    def key(e: Column) -> Column:
+        return F.element_at(F.split(e, "=", 2), 1)
+
+    return F.filter(
+        arr,
+        lambda x, i: ~F.exists(
+            F.slice(
+                arr,
+                i + F.lit(2),
+                F.greatest(F.size(arr) - i - F.lit(1), F.lit(0)),
+            ),
+            lambda y: key(y) == key(x),
+        ),
+    )
 
 _NUMBER_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
 _INTEGER_RE = r"^[+-]?\d+i$"
@@ -141,8 +179,23 @@ def parse_lines(
         "ts_str",
     ).where((F.col("measurement") != "") & (F.col("fieldset").isNotNull()) & (F.col("fieldset") != ""))
 
+    # build the tag map from a keep-last-deduped entries array (NOT
+    # str_to_map, which throws on duplicate keys where the reference's
+    # dict() last-wins)
+    def _kv(e: Column) -> Column:
+        return F.split(e, "=", 2)
+
+    tag_entries = _dedup_last_entries(F.split(F.col("tagset"), ","))
     tags = F.when(F.col("tagset") == "", F.expr("map()")).otherwise(
-        F.str_to_map("tagset", F.lit(","), F.lit("="))
+        F.map_from_entries(
+            F.transform(
+                tag_entries,
+                lambda e: F.struct(
+                    F.element_at(_kv(e), 1).alias("key"),
+                    F.element_at(_kv(e), 2).alias("value"),
+                ),
+            )
+        )
     )
     # unescape AFTER tokenization (keys sort in unescaped order, as the
     # reference's sorted(tags) does) — but only on rows that actually
@@ -194,7 +247,9 @@ def parse_lines(
         "measurement",
         "tags_str",
         "ts",
-        F.explode(F.split("fieldset", ",")).alias("kv"),
+        # keep-last dedup before explode: the reference's field dict()
+        # emits ONE measure for a duplicated field key (last value)
+        F.explode(_dedup_last_entries(F.split("fieldset", ","))).alias("kv"),
     ).withColumn("kv_parts", F.split(F.col("kv"), "=", 2)).select(
         "resource_id",
         "measurement",
