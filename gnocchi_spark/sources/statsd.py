@@ -35,35 +35,61 @@ def parse_packets(packets: DataFrame, packet_col: str = "packet") -> DataFrame:
 
     ``seq`` preserves arrival order inside a batch so last-write-wins is
     deterministic (the reference processes lines sequentially).
-    Malformed lines (no ``name:value|type`` shape, unknown type, or a
-    sample rate on a non-counter — both ValueErrors in the reference,
-    ``statsd.py:64-90``) are dropped.
+
+    Line handling mirrors ``statsd.py:142-161`` exactly (r12, pinned by
+    ``tests/test_fuzz_statsd.py``): split on ``|`` (2 or 3 segments,
+    else drop), ``name:value`` must split on ``:`` into exactly two
+    (else the reference's unpack raises), ``value`` parses with
+    ``float()`` leniency (exponents, ``.5``, ``1.``, whitespace — a
+    ``cast('double')``, which the old digits-only regex wrongly
+    rejected), and a third segment's sampling strips its FIRST char
+    blindly (the reference does ``sampling[1:]`` — ``|x0.5`` works like
+    ``|@0.5``).  Drops reproduce every reference error path: unknown
+    type, unparsable value/sampling, any third segment on ``ms``/``g``
+    (sampling-must-be-none ValueError), and ``@0`` sampling on a
+    counter (``1 / sampling`` ZeroDivisionError, statsd.py:77-85).
     """
     lines = packets.select(
         F.posexplode(F.split(F.col(packet_col), "\n")).alias("line_no", "line"),
         F.monotonically_increasing_id().alias("packet_seq"),
     ).where(F.col("line") != "")
+    parts = F.split(F.col("line"), r"\|")
+    nv = F.split(F.element_at(parts, 1), ":")
     parsed = lines.select(
-        F.regexp_extract("line", r"^([^:]+):", 1).alias("name"),
-        F.regexp_extract("line", r"^[^:]+:([^|]+)\|", 1).alias("raw_value"),
-        F.regexp_extract("line", r"\|(ms|g|c|s|h)(\||$)", 1).alias("metric_type"),
-        F.regexp_extract("line", r"\|@([0-9.]+)$", 1).alias("raw_sampling"),
+        F.size(parts).alias("n_parts"),
+        F.size(nv).alias("n_nv"),
+        F.element_at(nv, 1).alias("name"),
+        F.element_at(nv, 2).cast("double").alias("value"),
+        F.element_at(parts, 2).alias("metric_type"),
+        F.when(
+            F.size(parts) == 3,
+            F.substring(F.element_at(parts, 3), 2, 1 << 24).cast("double"),
+        ).alias("sampling_raw"),
         (F.col("packet_seq") * 65536 + F.col("line_no")).alias("seq"),
     )
     parsed = parsed.where(
-        (F.col("name") != "")
-        & F.col("metric_type").isin("ms", "g", "c")
-        & F.col("raw_value").rlike(r"^[+-]?\d+(\.\d+)?$")
-        # sampling only valid for counters (statsd.py:64-76 raises)
-        & ((F.col("raw_sampling") == "") | (F.col("metric_type") == "c"))
+        (F.col("n_nv") == 2)
+        & F.col("value").isNotNull()
+        & (
+            (F.col("metric_type").isin("ms", "g") & (F.col("n_parts") == 2))
+            | (
+                (F.col("metric_type") == "c")
+                & (
+                    (F.col("n_parts") == 2)
+                    | (
+                        (F.col("n_parts") == 3)
+                        & F.col("sampling_raw").isNotNull()
+                        & (F.col("sampling_raw") != 0.0)
+                    )
+                )
+            )
+        )
     )
     return parsed.select(
         F.concat("name", F.lit("|"), "metric_type").alias("metric_name"),
         "metric_type",
-        F.col("raw_value").cast("double").alias("value"),
-        F.when(F.col("raw_sampling") == "", F.lit(1.0))
-        .otherwise(F.col("raw_sampling").cast("double"))
-        .alias("sampling"),
+        "value",
+        F.coalesce("sampling_raw", F.lit(1.0)).alias("sampling"),
         "seq",
     )
 

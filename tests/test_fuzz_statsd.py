@@ -1,0 +1,205 @@
+"""Differential fuzz: statsd wire parse + flush vs the reference
+semantics (r12).
+
+Random batches of statsd lines — valid gauges/timers/counters, weird
+float spellings, blind-strip sampling segments, and garbage — are
+parsed by ``sources.statsd.parse_packets`` + ``flush_aggregate`` and
+compared against an independent Python oracle transcribing
+``/root/reference/gnocchi/statsd.py:61-96,142-161``:
+
+- ``split('|')`` into 2 or 3 segments (else drop); ``name:value``
+  unpacks on ``:`` into exactly two (else drop); empty names are LEGAL
+  (the reference stores metric ``|g``);
+- values parse with ``float()`` leniency: ``.5``, ``1.``, exponents,
+  signs, leading/trailing whitespace (the pre-r12 digits-only regex
+  dropped these);
+- a third segment strips its FIRST character blindly (``sampling[1:]``)
+  — ``|x0.5`` behaves like ``|@0.5``; unparsable → drop;
+- ``ms``/``g`` with ANY third segment drop (sampling-must-be-none
+  ValueError), and keep only the LAST value per metric;
+- ``c`` accumulates ``value * (1 / sampling)``; ``@0`` sampling drops
+  the line (ZeroDivisionError in the reference).
+
+Exactness: counter values and sampling rates come from a dyadic grid
+(quarters x powers of two) so the Spark ``sum`` equals the oracle's
+sequential accumulation bit-for-bit regardless of partition order;
+gauge/timer values exercise the full weird-spelling space because
+last-wins needs no arithmetic.  ``derandomize=True`` keeps the suite
+a deterministic gate.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gnocchi_spark.sources.statsd import flush_aggregate, parse_packets
+
+_FLUSH = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+_NAMES = ("lat", "req", "c pu", "~w", "", "a.b/c")
+
+# weird-but-portable float spellings: shapes CPython float() and JVM
+# Double.parseDouble agree on (no underscores, no inf/nan words, no
+# unicode digits — those diverge between the engines)
+_digits = st.text("0123456789", min_size=1, max_size=4)
+
+
+@st.composite
+def _float_spelling(draw):
+    sign = draw(st.sampled_from(["", "+", "-"]))
+    shape = draw(st.sampled_from(["int", "d.d", "d.", ".d", "pad"]))
+    if shape == "int":
+        mant = draw(_digits)
+    elif shape == "d.d":
+        mant = draw(_digits) + "." + draw(_digits)
+    elif shape == "d.":
+        mant = draw(_digits) + "."
+    elif shape == ".d":
+        mant = "." + draw(_digits)
+    else:
+        mant = "00" + draw(_digits)
+    exp = draw(st.sampled_from(["", "e0", "e3", "E-2", "e+5", "e-300"]))
+    ws = draw(st.sampled_from(["", " %s", "%s ", " %s "]))
+    s = sign + mant + exp
+    return ws % s if ws else s
+
+
+# dyadic grid: exact under any summation order
+_dyadic = st.integers(min_value=-400, max_value=400).map(
+    lambda n: f"{n / 4:g}"
+)
+_pow2_sampling = st.sampled_from(
+    ["@1", "@0.5", "@0.25", "@2", "@4", "x0.5", "#8"]
+)
+_bad_sampling = st.sampled_from(["@abc", "@", "", "@0", "@0.0", "@-0.0"])
+
+
+@st.composite
+def _statsd_line(draw):
+    kind = draw(
+        st.sampled_from(
+            ["gauge", "timer", "counter", "counter_sampled", "invalid"]
+        )
+    )
+    name = draw(st.sampled_from(_NAMES))
+    if kind == "gauge":
+        return f"{name}:{draw(_float_spelling())}|g"
+    if kind == "timer":
+        return f"{name}:{draw(_float_spelling())}|ms"
+    if kind == "counter":
+        return f"{name}:{draw(_dyadic)}|c"
+    if kind == "counter_sampled":
+        samp = draw(st.one_of(_pow2_sampling, _bad_sampling))
+        return f"{name}:{draw(_dyadic)}|c|{samp}"
+    return draw(
+        st.sampled_from(
+            [
+                f"{name}:1|s",  # unimplemented set type
+                f"{name}:1|h",
+                f"{name}:1|gauge",
+                f"{name}:abc|g",  # unparsable value
+                f"{name}:1|g|@0.5",  # sampling on gauge -> ValueError
+                f"{name}:1|ms|x",
+                f"a:b:1|c",  # 3-way ':' unpack -> ValueError
+                "::",
+                "a|b|c|d",
+                "just text",
+                f"{name}:1",  # single segment
+            ]
+        )
+    )
+
+
+_batches = st.lists(
+    st.lists(_statsd_line(), min_size=1, max_size=5), min_size=1, max_size=4
+)
+
+
+def _oracle(packets: list[list[str]]) -> list[tuple]:
+    gauges: dict = {}
+    counters: dict = {}
+    times: dict = {}
+    for packet in packets:
+        for message in packet:
+            if not message:
+                continue
+            metric = message.split("|")
+            if len(metric) == 2:
+                (nv, metric_type), sampling = metric, None
+            elif len(metric) == 3:
+                nv, metric_type, sampling = metric
+            else:
+                continue
+            try:
+                sampling = float(sampling[1:]) if sampling is not None else None
+                metric_name, metric_str_val = nv.split(":")
+                value = float(metric_str_val)
+                metric_name += "|" + metric_type
+                if metric_type == "ms":
+                    if sampling is not None:
+                        raise ValueError
+                    times[metric_name] = value
+                elif metric_type == "g":
+                    if sampling is not None:
+                        raise ValueError
+                    gauges[metric_name] = value
+                elif metric_type == "c":
+                    sampling = 1 if sampling is None else sampling
+                    current = counters.get(metric_name, 0)
+                    counters[metric_name] = current + (value * (1 / sampling))
+                else:
+                    raise ValueError
+            except (ValueError, ZeroDivisionError):
+                continue
+    rows = [
+        (name, _FLUSH, val)
+        for d in (gauges, counters, times)
+        for name, val in d.items()
+    ]
+    return sorted(rows)
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(packets=_batches)
+def test_statsd_flush_matches_reference(spark, packets):
+    df = spark.createDataFrame(
+        [("\n".join(p),) for p in packets], "packet string"
+    )
+    out = flush_aggregate(parse_packets(df), flush_ts=_FLUSH)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _oracle(packets), "\n--\n".join("\n".join(p) for p in packets)
+
+
+def test_reference_error_paths_drop(spark):
+    """Pin one representative line per reference error path."""
+    df = spark.createDataFrame(
+        [
+            (
+                "lat:1.5e2|g\n"      # exponent value (pre-r12 dropped)
+                "lat:.5|ms\n"        # .5 spelling
+                "req:2|c|x0.5\n"     # blind first-char sampling strip
+                "req:1|c|@0\n"       # ZeroDivision -> drop
+                "req:1|g|@0.5\n"     # sampling on gauge -> drop
+                "bad:1|q\n"          # unknown type
+                "a:b:1|c\n"          # ':' unpack error
+                ":3|g",              # EMPTY name is legal
+            )
+        ],
+        "packet string",
+    )
+    out = flush_aggregate(parse_packets(df), flush_ts=_FLUSH)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("lat|g", _FLUSH, 150.0),
+        ("lat|ms", _FLUSH, 0.5),
+        ("req|c", _FLUSH, 4.0),
+        ("|g", _FLUSH, 3.0),
+    ]
