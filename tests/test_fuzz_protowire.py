@@ -1,0 +1,154 @@
+"""Differential fuzz: Prometheus remote-write decoder vs an
+INDEPENDENT wire encoder (r12).
+
+The existing byte-level tests round-trip through the package's own
+``encode_write_request``, which cannot catch a misreading of the wire
+format that is symmetric in encoder and decoder (wrong field number,
+wrong varint continuation, wrong two's-complement width...).  This
+suite re-transcribes the encoder side directly from the public
+protobuf wire spec and the prompb message set
+(https://protobuf.dev/programming-guides/encoding/,
+prometheus/prompb/{remote,types}.proto) — varints, 10-byte
+two's-complement int64 timestamps (negative timestamps exercise the
+full-width path), little-endian fixed64 doubles, length-delimited
+nesting — plus an independent literal-only Snappy framer from the
+public format description, and checks
+``sources.prometheus.decode_write_request`` reproduces the model
+exactly.  Unknown fields (exemplars/histograms from newer prompb
+revisions) are injected at every nesting level and must be skipped.
+
+``derandomize=True`` keeps the suite a deterministic gate.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gnocchi_spark.sources.prometheus import decode_write_request
+
+# --------------------------------------------------------------------------
+# independent encoders (spec transcription — NOT the package's code)
+# --------------------------------------------------------------------------
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint64(n: int) -> bytes:
+    return _uvarint(n & 0xFFFFFFFFFFFFFFFF)  # two's complement, 10 bytes max
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _uvarint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _uvarint(len(payload)) + payload
+
+
+def _label(name: str, value: str) -> bytes:
+    return _ld(1, name.encode()) + _ld(2, value.encode())
+
+
+def _sample(value: float, ts_ms: int) -> bytes:
+    return _tag(1, 1) + struct.pack("<d", value) + _tag(2, 0) + _varint64(ts_ms)
+
+
+def _unknown_field() -> bytes:
+    # field 9 varint + field 3 length-delimited junk (exemplars slot)
+    return _tag(9, 0) + _uvarint(12345) + _ld(3, b"\x01\x02junk")
+
+
+def _encode(series: list[tuple[dict, list]], junk: bool) -> bytes:
+    body = b""
+    for labels, samples in series:
+        ts_body = b""
+        if junk:
+            ts_body += _unknown_field()
+        for k, v in labels.items():
+            ts_body += _ld(1, _label(k, v))
+        for value, ts_ms in samples:
+            ts_body += _ld(2, _sample(value, ts_ms))
+            if junk:
+                ts_body += _unknown_field()
+        body += _ld(1, ts_body)
+    if junk:
+        body = _unknown_field() + body
+    return body
+
+
+def _snappy_literal(data: bytes) -> bytes:
+    # public Snappy raw format: uvarint(uncompressed len), then literal
+    # elements; tag byte (len-1)<<2 for literals of 1..60 bytes
+    out = bytearray(_uvarint(len(data)))
+    for i in range(0, len(data), 60):
+        chunk = data[i : i + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# model strategy
+# --------------------------------------------------------------------------
+
+_name = st.text(
+    st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    min_size=1,
+    max_size=8,
+)
+_value = st.one_of(
+    st.floats(allow_nan=False),  # inf, -0.0, subnormals included
+    st.sampled_from([0.0, -0.0, math.inf, -math.inf, 5e-324, 1.7976931348623157e308]),
+)
+_ts = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+_series = st.builds(
+    lambda labels, samples: (labels, samples),
+    st.dictionaries(_name, _name, min_size=1, max_size=4),
+    st.lists(st.tuples(_value, _ts), max_size=5),
+)
+_requests = st.tuples(
+    st.lists(_series, min_size=1, max_size=5), st.booleans()
+)
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(req=_requests)
+def test_decode_matches_independent_encoder(req):
+    series, junk = req
+    payload = _snappy_literal(_encode(series, junk))
+    got = decode_write_request(payload)
+    want = [
+        (labels, [(ts_ms, value) for value, ts_ms in samples])
+        for labels, samples in series
+    ]
+    assert got == want
+
+
+def test_negative_timestamp_ten_byte_varint():
+    """A pre-epoch timestamp rides the full 10-byte two's-complement
+    varint; the reference's generated protobuf does the same."""
+    series = [({"__name__": "up"}, [(1.5, -62135596800000)])]
+    payload = _snappy_literal(_encode(series, junk=True))
+    assert decode_write_request(payload) == [
+        ({"__name__": "up"}, [(-62135596800000, 1.5)])
+    ]
