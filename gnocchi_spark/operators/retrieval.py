@@ -61,6 +61,11 @@ def bm25_topk(
     qdf = spark.createDataFrame(qrows, "query_id int, term string")
 
     t = F.col(text_col)
+    # NOT spread (r12): measured +1.0 s — ``base`` feeds two branches
+    # (lens + tf), so a round-robin repartition re-executes its
+    # sort-before-repartition on both, costing more than the one-core
+    # tokenization it parallelizes.  The vocabulary filter keeps the
+    # exploded stream tiny, so the map stage is cheap even unspread.
     base = docs.where(F.length(t) > 0).select(
         F.col(id_col).alias("doc_id"), tokens(t).alias("__toks")
     )
@@ -431,10 +436,17 @@ def rrf_hybrid_topk(
     partitions per query; the fusion join carries at most
     ``2 * pool * n_queries`` rows.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
     from gnocchi_spark.operators.pipeline import token_ngrams
     from gnocchi_spark.operators.similarity import cosine
     from gnocchi_spark.operators.textstats import tokens
 
+    # spread both corpus sides (r12): tokenization/n-grams and the
+    # per-pair intersect/cosine are CPU-dense, and one-file scans run
+    # them on a single core.  Safe: every downstream value is per-row
+    # or a totally-ordered rank window — partitioning cannot show.
+    docs = spread_for_compute(docs)
+    embeddings = spread_for_compute(embeddings)
     toks = docs.where(F.length(F.col("text")) > 0).select(
         F.col(doc_id_col).alias("doc_id"), tokens(F.col("text")).alias("__t")
     )

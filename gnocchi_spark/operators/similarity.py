@@ -103,10 +103,19 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # r12: a small single-file corpus scans as ONE partition, running
+    # the O(|Q| x |corpus|) scoring on one core (measured 1.35 s ->
+    # 0.65 s at sf0.1 with the spread; no-op on a many-partition scan).
+    # Safe: scoring is per-row deterministic and the rank window below
+    # imposes a total order, so values never depend on partitioning.
+    c = spread_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 5))
@@ -335,8 +344,13 @@ def lsh_cosine_topk(
     measured angle distribution of the embedding space."""
     from pyspark.sql import Window
 
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
     planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
+    # spread: bucket signatures + in-bucket scoring are CPU-dense and a
+    # one-file corpus scans as one partition (values per-row; the rank
+    # window totally orders, so partitioning never shows)
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), planes).alias("c_bucket"),
@@ -572,7 +586,13 @@ def ivf_cosine_topk(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
         )
     )
-    members = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    # spread: the corpus-wide argmax otherwise runs on one core for a
+    # one-file scan (per-row values; the rank window totally orders)
+    members = ivf_assign(
+        spread_for_compute(corpus), centroids, id_col, vec_col, n_probe=1
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "centroid_id",
@@ -705,8 +725,9 @@ def ivf_probe_curve(
 
     ``n_centroids``: the centroid count, when the caller already knows
     it (``autotune_ivf_probe`` does — it BUILT the centroid frame);
-    passing it skips an eager ``centroids.count()`` that would
-    otherwise re-execute the centroid plan on every call (r10 ADVICE).
+    since r12 the centroid rows are collected once anyway (shared by
+    both assignment passes), so passing it only skips deriving the
+    count from that collect.
 
     CONTRACT (r11 ADVICE): ``n_centroids`` must be >= the centroid
     frame's true row count (equal in the standard path).  It is used
@@ -716,13 +737,30 @@ def ivf_probe_curve(
     understates coverage (the curve never reaches recall 1.0).  When
     unsure, pass ``None`` and pay the one count.
     """
-    n_cent = n_centroids if n_centroids is not None else centroids.count()
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
+    # r12 optimization: collect the tiny centroid frame ONCE and hand
+    # both ivf_assign calls a job-free local relation — previously each
+    # assign ran its own collect of the same limit query.
+    cent_sel = centroids.select("centroid_id", "centroid")
+    cent_rows = cent_sel.collect()
+    local_cent = (
+        centroids.sparkSession.createDataFrame(cent_rows, cent_sel.schema)
+        if cent_rows
+        else cent_sel
+    )
+    n_cent = n_centroids if n_centroids is not None else len(cent_rows)
     exact = cosine_topk(corpus, sample, k=k, id_col=id_col, vec_col=vec_col)
-    cells = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+    # spread: the per-row argmax over the corpus otherwise runs on one
+    # core for a one-file scan (values per-row deterministic; the only
+    # downstream aggregates are exact integer counts)
+    cells = ivf_assign(
+        spread_for_compute(corpus), local_cent, id_col, vec_col, n_probe=1
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("__cell")
     )
     qranks = ivf_assign(
-        sample, centroids, id_col, vec_col, n_probe=n_cent, with_rank=True
+        sample, local_cent, id_col, vec_col, n_probe=n_cent, with_rank=True
     ).select(
         F.col(id_col).alias("query_id"),
         "probe_rank",
@@ -736,13 +774,29 @@ def ivf_probe_curve(
         .groupBy("probe_rank")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    total = exact.agg(F.count("*").cast("long").alias("total_pairs"))
+    # r12 optimization: total_pairs = sum of the curve's hit counts,
+    # NOT a second aggregate over `exact` — the previous form duplicated
+    # the entire exact-scoring subtree in the physical plan (Spark has
+    # no cross-consumer subtree reuse), paying the O(|sample| x
+    # |corpus|) pass twice.  Equal by construction: `cells` holds
+    # exactly one row per (non-null-embedding) corpus vector and
+    # `qranks` one row per (query, cell) at full probe depth, so both
+    # joins are lossless over `exact` and sum(n_hits) == count(exact).
+    # The one divergence class — an exact pair whose neighbor has a
+    # NULL embedding (dropped by ivf_assign's junk contract) — cannot
+    # occur when any k non-null competitors exist (NULL cosines rank
+    # last), and in the all-null degenerate fixture the curve is empty
+    # under both forms.  Both windows below run on the <= n_cent-row
+    # curve — metadata scale.
     w = Window.orderBy("probe_rank").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         hits.withColumn("cum_hits", F.sum("n_hits").over(w))
-        .crossJoin(F.broadcast(total))
+        .withColumn("total_pairs", F.sum("n_hits").over(w_all).cast("long"))
         .select(
             F.col("probe_rank").cast("int").alias("probe_rank"),
             "n_hits",
@@ -1264,10 +1318,19 @@ def kmeans_cluster_profile(
     aggregate broadcast back.  Nothing ever shuffles on more than the
     k-valued cluster key.
     """
+    from gnocchi_spark.operators.dedup import spread_for_compute
+
     cents = ivf_train_kmeans(
         vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    assigned = ivf_assign(vectors, cents, id_col, vec_col, n_probe=1)
+    # spread the FINAL assignment + cohesion scoring (CPU-dense, one
+    # core on a one-file scan otherwise).  Training itself stays on the
+    # scan partitioning: its re-center avg would merge per-partition
+    # partials in nondeterministic order, and the trained centroids
+    # must be bit-stable run to run for the oracle replay.  Here the
+    # downstream is per-row scoring plus an exact-integer count, so
+    # partitioning cannot show in the values.
+    assigned = ivf_assign(spread_for_compute(vectors), cents, id_col, vec_col, n_probe=1)
     sizes = assigned.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n_members")
     )
