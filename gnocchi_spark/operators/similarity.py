@@ -48,11 +48,14 @@ def cosine(a: Column, b: Column) -> Column:
 def sql_dot(a: str, b: str, dim: int) -> str:
     """SQL text for the positional dot product of two fixed-``dim``
     array columns.  Bit-identical to ``dot`` (cast-to-double per
-    element, left-to-right fold) but plain arithmetic: stays inside
-    whole-stage codegen instead of the interpreted higher-order-function
-    path, and builds in one expr() parse instead of hundreds of py4j
-    Column round-trips — both matter once expressions touch millions of
-    candidate pairs."""
+    element, left-to-right fold) but plain arithmetic.
+
+    PREFER ``dot`` (r12 measurement): on this Spark version each
+    ``a[i]`` element access on an array column costs O(dim) — the
+    unrolled form is O(dim²) per row and benchmarked 4-10x SLOWER than
+    the fold on 1M-row scoring stages, whether or not whole-stage
+    codegen applies.  Kept for SQL-text contexts (oracle generation)
+    where a Column expression cannot be used."""
     return " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
         for i in range(dim)
@@ -1220,8 +1223,10 @@ def semantic_dedup(
 
     dim = len(first_vec[0])
     # per-side norms computed once BEFORE the pair join (|pairs| >>
-    # |members|), and all vector math on the codegen sql_dot path —
-    # same bits as cosine(), ~10x the throughput on the pair stage.
+    # |members|), with the vector math on the HOF fold (same bits as
+    # cosine(); the unrolled sql_dot form was measured 4-10x SLOWER per
+    # row on this Spark version — a[i] element access costs O(dim) on
+    # array columns, see the pair-stage comment below).
     # spread_for_compute: a small parquet file scans as one partition,
     # which would run the k*dim-term assignment argmax on one core.
     from pyspark import StorageLevel
@@ -1231,7 +1236,7 @@ def semantic_dedup(
         .select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "centroid_id"
         )
-        .withColumn("vn", F.expr(sql_norm("v", dim)))
+        .withColumn("vn", norm(F.col("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # eager: three consumers (pair A side, B side, final keep join)
@@ -1267,10 +1272,15 @@ def semantic_dedup(
         a.join(b, ["centroid_id", "__salt"])
         .where(F.col("b_id") < F.col("a_id"))
         .repartition(n_score_parts)
+        # HOF fold, not the unrolled sql_dot text (r12): element access
+        # via a[i] costs O(dim) per access on array columns in this
+        # Spark version — the unrolled 64-term form measured ~4-10x
+        # slower per row than the fold, which walks the array once.
+        # Same bits (cast-per-element, left-to-right sum).
         .withColumn(
             "pcos",
             F.round(
-                F.expr(sql_dot("av", "bv", dim)) / (F.col("an") * F.col("bn")), 5
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 5
             ),
         )
         .where(F.col("pcos") > F.lit(float(threshold)))
