@@ -96,3 +96,30 @@ def test_incremental_minhash_matches(spark):
     got = {(r["new_id"], r["corpus_id"]): r["sig_est"] for r in out}
     assert (1, 0) in got and got[(1, 0)] >= 0.5
     assert all(k[0] != 3 for k in got)  # unrelated doc matches nothing
+
+
+def test_incremental_minhash_shared_build_keeps_sides_apart(spark):
+    # r12: the operator builds ONE signature frame over the tagged
+    # union of both inputs.  An id that appears in BOTH frames (the
+    # key spaces are independent) must still land on its own side:
+    # matches are (new_id, corpus_id), never new-vs-new or
+    # corpus-vs-corpus, even under id collision.
+    from gnocchi_spark.operators.dedup import incremental_minhash_matches
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark physical plans"
+    corpus = spark.createDataFrame(
+        [(7, text_a), (8, text_b)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        # id 7 collides with a corpus id but carries DIFFERENT text;
+        # id 9 duplicates corpus doc 7's text exactly
+        [(7, text_b), (9, text_a)],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_matches(new, corpus, sig_threshold=0.5).collect()
+    got = {(r["new_id"], r["corpus_id"]): r["sig_est"] for r in out}
+    assert got[(9, 7)] == 1.0  # exact copy across sides
+    assert got[(7, 8)] == 1.0  # the colliding id matched by ITS text
+    # no self-pair from the id collision, no same-side pairs
+    assert (7, 7) not in got and (9, 8) not in got
