@@ -290,7 +290,9 @@ def _unpersist_handles(handles) -> None:
             pass
 
 
-def registered_local_checkpoint(df: DataFrame, *key_parts) -> DataFrame:
+def registered_local_checkpoint(
+    df: DataFrame, *key_parts, fp_source: DataFrame | None = None
+) -> DataFrame:
     """Lazy ``localCheckpoint`` whose blocks are REGISTERED with the
     bounded assignment memo instead of leaking for the application
     lifetime (r09, ADVICE): materialization-boundary checkpoints inside
@@ -308,10 +310,27 @@ def registered_local_checkpoint(df: DataFrame, *key_parts) -> DataFrame:
 
     Lifetime contract is the memo's: the returned frame stays
     actionable until the LRU evicts its entry.
+
+    ``fp_source`` (r12): fingerprint THIS frame's input files instead of
+    ``df``'s.  A frame derived from another checkpoint (e.g. the NB
+    scored table, whose features input is itself a LogicalRDD) has no
+    ``inputFiles()`` of its own, so without an explicit source it would
+    always register under a unique reclaim-only key and cross-query
+    reuse could never fire.  The caller asserts ``df`` is a pure
+    function of ``fp_source``'s files plus the ``key_parts``.
+
+    ``df`` may be a zero-arg CALLABLE returning the frame (requires
+    ``fp_source``), in which case construction is skipped entirely on a
+    memo hit — building the frame eagerly just to throw it away is not
+    free: plan construction has driver cost, and any registered
+    checkpoints built inside it (nb_features) would register fresh
+    entries per call.
     """
-    fp = _input_fingerprint(df)
+    builder = df if callable(df) else None
+    fp = _input_fingerprint(fp_source if fp_source is not None else df)
+    session_frame = fp_source if builder is not None else df
     memo_key: tuple = (
-        df.sparkSession.sparkContext.applicationId,
+        session_frame.sparkSession.sparkContext.applicationId,
         "__registered_ckpt__",
         key_parts,
         fp,
@@ -324,6 +343,8 @@ def registered_local_checkpoint(df: DataFrame, *key_parts) -> DataFrame:
         import uuid
 
         memo_key = memo_key + (uuid.uuid4().hex,)
+    if builder is not None:
+        df = builder()
     out, handles = _tracked_local_checkpoint(df, eager=False)
     return _ASSIGNMENT_CACHE.put(memo_key, out, handles)
 

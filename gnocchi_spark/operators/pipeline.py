@@ -548,6 +548,51 @@ def duplicated_ngram_coverage(
     )
 
 
+def _span_window_table(
+    docs: DataFrame, span_words: int, doc_id: str, text_col: str
+) -> DataFrame:
+    """Shared fixed-window span table for the C4 pair: one (doc_id,
+    pos, span, h) row per ``span_words``-word window, h the 16-byte
+    md5 of the span text.
+
+    r12 optimization (§2.4): :func:`span_dedup_profile` and
+    :func:`span_dedup_apply` chunk the corpus identically, and inside
+    apply the exploded table feeds two subtrees (first-occurrence
+    groupBy + the marking join) — three tokenize+slice+md5 corpus
+    passes per bench pass became one memoized lazy checkpoint
+    (registered-checkpoint LRU discipline: cleared between bench
+    passes, never persisted across runs).  Consumers project before
+    their exchanges, so the profile's occurrence window still shuffles
+    only (doc_id, h) — the span text stays in block storage.  The
+    round-robin spread cannot reach values: every downstream is a
+    groupBy count, a struct-min, or an array_sort'ed per-doc rebuild.
+    """
+    from gnocchi_spark.operators.dedup import (
+        registered_local_checkpoint,
+        spread_for_compute,
+    )
+
+    def build():
+        words = F.split(F.col(text_col), r"\s+")
+        n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * span_words + 1, span_words), " "
+            ),
+        )
+        return (
+            spread_for_compute(docs)
+            .select(F.col(doc_id), F.posexplode(spans).alias("pos", "span"))
+            .withColumn("h", F.unhex(F.md5(F.col("span"))))
+        )
+
+    return registered_local_checkpoint(
+        build, "c4_span_windows", span_words, doc_id, text_col,
+        fp_source=docs,
+    )
+
+
 def span_dedup_profile(
     docs: DataFrame,
     doc_id: str = "doc_id",
@@ -570,21 +615,11 @@ def span_dedup_profile(
     frequent-span skew (e.g. boilerplate) lands on single keys where
     AQE skew-split applies.
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "
-        ),
-    )
     # project to (doc_id, 16-byte hash) BEFORE the window: the
     # span-hash exchange otherwise carries the raw ~6x-wider span text
     # (and an unused position) through the shuffle (r08)
-    exploded = docs.select(
-        F.col(doc_id), F.explode(spans).alias("span")
-    ).select(
-        F.col(doc_id), F.unhex(F.md5(F.col("span"))).alias("span_hash")
+    exploded = _span_window_table(docs, span_words, doc_id, text_col).select(
+        F.col(doc_id), F.col("h").alias("span_hash")
     )
     occ = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
     counted = exploded.withColumn("occ", occ)
@@ -661,17 +696,7 @@ def span_dedup_apply(
     "first occurrence" total order is resolved per span key inside the
     aggregate, not by a sort.
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "
-        ),
-    )
-    ex = docs.select(
-        F.col(doc_id), F.posexplode(spans).alias("pos", "span")
-    ).withColumn("h", F.md5(F.col("span")))
+    ex = _span_window_table(docs, span_words, doc_id, text_col)
     first = ex.groupBy("h").agg(
         F.min(F.struct(F.col(doc_id).alias("d"), F.col("pos").alias("p"))).alias("fo")
     )
@@ -908,6 +933,54 @@ def dsir_importance(
     )
 
 
+def _positional_gram_table(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared positional ``n``-gram window table: one (doc_id, p, h)
+    row per corpus token position, 1-based, h the 16-byte gram hash.
+
+    r12 optimization (§2.4 remove passes outright): this table is the
+    dominant pass of BOTH :func:`repeated_span_report` and
+    :func:`repeated_span_apply`, and inside each it feeds two consumers
+    (a groupBy and a join) that Spark plans as two independent
+    subtrees — so one bench pass previously tokenized + hashed the
+    corpus FOUR times.  A memoized lazy checkpoint builds it once per
+    session pass (registered-checkpoint LRU: cleared between bench
+    passes, never persisted across runs).  Values are order-free
+    downstream (groupBy counts, struct-min owner, per-doc windows), so
+    the round-robin spread cannot reach results.  Empty / short (< n
+    tokens) documents yield no gram rows, so callers' pre-filters on
+    text length select the exact same rows.
+
+    Cost accepted: the checkpoint materializes one ~28-byte row per
+    corpus token into block storage (memory-and-disk) — linear, the
+    same object the operator already shuffled per pass; at any scale
+    writing it once beats recomputing the tokenize+md5 pipeline 2-4x.
+    """
+    from gnocchi_spark.operators.dedup import (
+        registered_local_checkpoint,
+        spread_for_compute,
+    )
+
+    def build():
+        return (
+            with_token_ngrams(spread_for_compute(docs), n, text_col)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(hashed_grams(F.col("__grams"))).alias(
+                    "__p0", "h"
+                ),
+            )
+            .select(
+                "doc_id", (F.col("__p0") + 1).cast("long").alias("p"), "h"
+            )
+        )
+
+    return registered_local_checkpoint(
+        build, "positional_grams", n, id_col, text_col, fp_source=docs
+    )
+
+
 def repeated_span_report(
     docs: DataFrame,
     n: int = 8,
@@ -944,18 +1017,7 @@ def repeated_span_report(
     doc-keyed exchange with per-doc window frames bounded by document
     length.  Nothing is pairwise, nothing collects.
     """
-    from gnocchi_spark.operators.dedup import spread_for_compute
-
-    pos = (
-        with_token_ngrams(spread_for_compute(docs), n, text_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(hashed_grams(F.col("__grams"))).alias("__p0", "h"),
-        )
-        .select(
-            "doc_id", (F.col("__p0") + 1).cast("long").alias("p"), "h"
-        )
-    )
+    pos = _positional_gram_table(docs, n, id_col, text_col)
     recurring = (
         pos.groupBy("h")
         .agg(F.count("*").alias("__c"))
@@ -1228,18 +1290,10 @@ def repeated_span_apply(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("__p0", "tok"),
     ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("p"), "tok")
-    anchors = (
-        with_token_ngrams(d, n, text_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(hashed_grams(F.col("__grams"))).alias("__p0", "h"),
-        )
-        .select(
-            "doc_id",
-            (F.col("__p0") + 1).cast("long").alias("p"),
-            "h",
-        )
-    )
+    # the shared table is built over UNFILTERED docs, but documents
+    # with < n tokens contribute zero gram rows, so the rows are
+    # exactly this operator's old filtered anchors
+    anchors = _positional_gram_table(docs, n, id_col, text_col)
     owners = anchors.groupBy("h").agg(
         F.min(F.struct(F.col("doc_id"), F.col("p"))).alias("__owner")
     )

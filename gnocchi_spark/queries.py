@@ -3479,6 +3479,36 @@ def dedup_repeated_span_apply(spark, sf_dir):
     )
 
 
+def _nb_scored(spark, sf_dir):
+    # r12 optimization: quality_nb_classifier and quality_nb_threshold_curve
+    # train the IDENTICAL in-plan NB model (same predicate, same buckets),
+    # so the scored (doc_id, label, score, predicted, correct) table is
+    # built once per pass and shared via the registered-checkpoint LRU —
+    # the _mean_series discipline (cleared between bench passes, never
+    # persisted across runs).  The memo key is an EXPLICIT literal, not
+    # str(predicate): Column repr embeds globally-incrementing lambda
+    # variable ids (x_1, x_2, ...), so the operator-level nb_features
+    # memo key never matches across two query builds — query-layer
+    # sharing with a stable key is the only form that actually fires.
+    # fp_source=docs because the scored frame descends from the
+    # nb_features checkpoint (a LogicalRDD with no inputFiles of its own).
+    from gnocchi_spark.operators.dedup import registered_local_checkpoint
+    from gnocchi_spark.operators.pipeline import nb_domain_classifier
+    from gnocchi_spark.operators.textstats import tokens
+
+    docs = tables.load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pos = F.size(F.filter(t, lambda x: x.isin("spark", "stream", "batch")))
+    neg = F.size(F.filter(t, lambda x: x.isin("table", "row", "column")))
+    return registered_local_checkpoint(
+        lambda: nb_domain_classifier(docs, pos > neg, n_buckets=256),
+        "nb_scored",
+        "spark_stream_batch_vs_table_row_column",
+        256,
+        fp_source=docs,
+    )
+
+
 @query(
     "quality_nb_classifier",
     f"""
@@ -3545,14 +3575,7 @@ def quality_nb_classifier(spark, sf_dir):
     # full-batch perceptron updates were measured OSCILLATING to the
     # majority class on this data (step-size pathology); closed-form
     # NB has no such failure mode and trains in one pass.
-    from gnocchi_spark.operators.pipeline import nb_domain_classifier
-    from gnocchi_spark.operators.textstats import tokens
-
-    docs = tables.load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    pos = F.size(F.filter(t, lambda x: x.isin("spark", "stream", "batch")))
-    neg = F.size(F.filter(t, lambda x: x.isin("table", "row", "column")))
-    return nb_domain_classifier(docs, pos > neg, n_buckets=256)
+    return _nb_scored(spark, sf_dir)
 
 
 @query(
@@ -3647,24 +3670,12 @@ def quality_nb_threshold_curve(spark, sf_dir):
     # so the object a pipeline picks its quality threshold from is
     # itself hash-checked.  Corpus-sized work is one group-by; the
     # window and ratios run on the <= 64-row curve.
-    from gnocchi_spark.operators.pipeline import (
-        nb_domain_classifier,
-        nb_threshold_curve,
-    )
-    from gnocchi_spark.operators.textstats import tokens
+    from gnocchi_spark.operators.pipeline import nb_threshold_curve
 
-    docs = tables.load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    pos = F.size(F.filter(t, lambda x: x.isin("spark", "stream", "batch")))
-    neg = F.size(F.filter(t, lambda x: x.isin("table", "row", "column")))
-    # the scored table feeds both the totals aggregate and the binning
-    # branch: checkpoint so the scoring join runs once, not per branch
-    from gnocchi_spark.operators.dedup import reclaimable_local_checkpoint
-
-    scored = reclaimable_local_checkpoint(
-        nb_domain_classifier(docs, pos > neg, n_buckets=256), "nb_scored"
-    )
-    return nb_threshold_curve(scored, n_bins=64)
+    # _nb_scored is a memoized checkpoint, so the scoring join feeds
+    # both the totals aggregate and the binning branch from one
+    # materialization — and is shared with quality_nb_classifier.
+    return nb_threshold_curve(_nb_scored(spark, sf_dir), n_bins=64)
 
 
 @query(
