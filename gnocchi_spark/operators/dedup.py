@@ -872,28 +872,6 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
 
 
-def _md5_chunks(h: Column) -> list[Column]:
-    """md5 hex -> four 32-bit integer chunks (8 hex digits each).
-
-    One ``conv`` string parse per chunk; every per-bit vote below is
-    then a shift+mask on these ints.  The naive per-bit alternative
-    (substring + isin over 8 hex digits) costs ~8 string compares PER
-    BIT per token — hundreds of string ops where four parses do."""
-    return [
-        F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10).cast("long")
-        for c in range(4)
-    ]
-
-
-def _md5_bit(chunks: list[Column], k: int) -> Column:
-    """Bit ``k`` (0..127) of the md5: bit (k % 4) of hex digit (k // 4).
-    Hex digit d (0-based) is the high-to-low nibble 7-(d%8) of chunk
-    d//8, so the bit sits at chunk position 28 - 4*(d%8) + k%4."""
-    d = k // 4
-    pos = 28 - 4 * (d % 8) + k % 4
-    return F.shiftright(chunks[d // 8], pos).bitwiseAND(F.lit(1))
-
-
 def autotune_simhash_params(
     n_docs: int,
     max_hamming: int = 3,
@@ -957,33 +935,57 @@ def simhash_signatures(
 
     Bit k of the signature is the sign of the sum over tokens of
     (+1 if bit k of md5(token) is set else -1); total width
-    ``n_bands * band_bits`` may use all 128 md5 bits.  Pure Column
+    ``n_bands * band_bits`` may use all 128 md5 bits.  Pure SQL
     expressions — the whole kernel stays in whole-stage codegen.
+
+    The md5 is parsed into 32-bit integer chunks in a projection of its
+    own BEFORE the per-bit vote aggregates: Spark does not eliminate a
+    common md5+conv subtree shared by sibling aggregate expressions, so
+    referencing the parse inline re-hashes every token once PER BIT
+    (measured 4x the execute wall at 64 bits).  Bit k of the md5 is bit
+    (k % 4) of hex digit (k // 4); hex digit d is the high-to-low
+    nibble 7-(d%8) of chunk d//8, so the bit sits at chunk position
+    28 - 4*(d%8) + k%4.  The per-bit vote is an integer bit count:
+    sign_k = [2*count(bit_k set) > n].  Expressions are built as SQL
+    strings (one JVM parse each) rather than ~17-deep Column operator
+    chains — the py4j round-trips to build ~1100 Column objects cost
+    more driver wall than the whole execute (tools/
+    simhash_construct_bench.py: build 1.44s -> 0.28s, execute
+    5.74s -> 1.43s, value parity 0/5000 docs).
     """
     w = band_bits
     bits = n_bands * w
     assert bits <= 128, "one md5 per token supplies at most 128 bits"
-    chunks = _md5_chunks(F.md5(F.col("tok")))
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    # vote sum_k = 2*count(bit_k set) - n, so one count(*) plus integer
-    # bit counts replace per-bit +1/-1 CASE expressions
-    bit_sums = [
-        F.sum(_md5_bit(chunks, k)).alias(f"c{k}") for k in range(bits)
-    ]
-    agg = tokens.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    chunked = tokens.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(conv(substring(md5(tok), {1 + 8 * c}, 8), 16, 10)"
+            f" AS LONG) AS __ch{c}"
+            for c in range((bits + 31) // 32)
+        ],
+    )
+
+    def bit(k: int) -> str:
+        d = k // 4
+        pos = 28 - 4 * (d % 8) + k % 4
+        return f"(shiftright(__ch{d // 8}, {pos}) & 1)"
+
+    agg = chunked.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.expr(f"sum({bit(k)})").alias(f"c{k}") for k in range(bits)],
+    )
     band_keys = []
     for i in range(n_bands):
-        key = F.lit(0).cast("long")
-        for j in range(w):
-            k = i * w + j
-            key = key + F.when(
-                F.col(f"c{k}") * 2 > F.col("n"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        band_keys.append(key)
-    return agg.select("doc_id", F.array(*band_keys).alias("sig"))
+        terms = " + ".join(
+            f"(CASE WHEN c{i * w + j} * 2 > n THEN {1 << j}L ELSE 0L END)"
+            for j in range(w)
+        )
+        band_keys.append(f"CAST({terms} AS LONG)")
+    return agg.selectExpr("doc_id", f"array({', '.join(band_keys)}) AS sig")
 
 
 def simhash_band_candidates(
