@@ -74,24 +74,26 @@ def _unescape(col: Column) -> Column:
     return F.translate(col, _S_SPACE + _S_COMMA + _S_EQ, " ,=")
 
 
-def _entries(arr: Column) -> Column:
-    """``k=v`` entry array -> array<struct<key, value>> for
-    ``map_from_entries``.  Entries without ``=`` get a NULL value (the
-    field path drops them later via ``raw != ''``, matching the old
-    split-based handling)."""
-    return F.transform(
-        arr,
-        lambda e: F.struct(
-            F.element_at(F.split(e, "=", 2), 1).alias("key"),
-            F.element_at(F.split(e, "=", 2), 2).alias("value"),
-        ),
-    )
+def _kv_map(col: Column) -> Column:
+    """``k=v[,k2=v2]`` group -> map, via the native ``str_to_map``.
+
+    Verified drop-in for the previous split/transform/map_from_entries
+    pipeline (bit-identical over the sf0.1 corpus and the same corner
+    behavior: limit-2 value split so values may contain ``=``, entries
+    without ``=`` get a NULL value, empty entries an empty key — both
+    dropped downstream; LAST_WIN dedup applies the same).  Besides
+    being one native pass, this removes an interpreted higher-order
+    ``transform`` whose double ``split`` re-ran at EVERY collapsed
+    use site of the map column (project-collapse duplicates the
+    subtree and interpreted HOFs get neither codegen nor
+    subexpression elimination — measured >5x the whole parse wall)."""
+    return F.str_to_map(col, F.lit(","), F.lit("="))
 
 
 def _ensure_last_win(df: DataFrame) -> None:
     """Duplicated tag/field keys must last-win, exactly the reference's
     ``dict(list(tok))`` on both groups (``influxdb.py:74-87``).  Under
-    Spark's default ``EXCEPTION`` dedup policy ``map_from_entries``
+    Spark's default ``EXCEPTION`` dedup policy ``str_to_map``
     instead throws ``DUPLICATED_MAP_KEY`` and a single malformed line
     kills the whole batch (r12 fuzz finding).  ``LAST_WIN`` gives the
     reference semantics natively inside codegen — the r12 optimization
@@ -188,7 +190,7 @@ def parse_lines(
     # LAST_WIN dedup policy (_ensure_last_win — the reference's dict()
     # semantics, natively in codegen)
     tags = F.when(F.col("tagset") == "", F.expr("map()")).otherwise(
-        F.map_from_entries(_entries(F.split(F.col("tagset"), ",")))
+        _kv_map(F.col("tagset"))
     )
     # unescape AFTER tokenization (keys sort in unescaped order, as the
     # reference's sorted(tags) does) — but only on rows that actually
@@ -243,9 +245,7 @@ def parse_lines(
         # map dedup before explode: the reference's field dict() emits
         # ONE measure for a duplicated field key (last value — the
         # LAST_WIN policy, see _ensure_last_win)
-        F.explode(
-            F.map_from_entries(_entries(F.split("fieldset", ",")))
-        ).alias("__fk", "__fv"),
+        F.explode(_kv_map(F.col("fieldset"))).alias("__fk", "__fv"),
     ).select(
         "resource_id",
         "measurement",
