@@ -894,6 +894,13 @@ def main() -> None:
     # cold->warm level shift vs the <=r10 single-pass series.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     pass_walls: list[dict[str, float]] = []
+    # r13 (VERDICT r12 next #2): record the EFFECTIVE parallelism and
+    # per-pass load averages in the payload so scaling runs are
+    # self-describing — the r12 driver flagged `suspect_cpus_ignored`
+    # because nothing in the payload proved the env core count was
+    # honored.  Additions only: the queries dict, timing methodology and
+    # the one-line stdout contract are unchanged.
+    pass_loadavg: list[list[float]] = []
     for _ in range(passes):
         if pass_walls:  # fresh memo for every pass after the first
             from gnocchi_spark.operators.dedup import clear_assignment_cache
@@ -904,6 +911,7 @@ def main() -> None:
         for name in HEADLINE:
             tp[name] = round(run_query(spark, lambda n=name: QUERIES[n](spark, sf_dir)), 3)
         pass_walls.append(tp)
+        pass_loadavg.append([round(x, 2) for x in os.getloadavg()])
     # True median per query (r12, ADVICE): for EVEN pass counts the
     # two middle elements are averaged instead of taking the upper one,
     # so a user overriding SPARK_GRAFT_BENCH_PASSES=2 gets an unbiased
@@ -928,6 +936,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # scaling observability (r13, VERDICT r12 next #2): the master
+        # string get_spark built, the env request, and what the context
+        # actually runs with — proof the low-core bench honored the env.
+        "parallelism": {
+            "master": spark.sparkContext.master,
+            "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        },
+        "pass_loadavg": pass_loadavg,
     }
     if passes > 1:
         payload["passes"] = passes
@@ -980,6 +997,9 @@ def main() -> None:
         "ratio_ref_over_spark": base.get("ratio_ref_over_spark"),
         "measures_per_s": base.get("measures_per_s"),
         "ref_measures_per_s": base.get("ref_measures_per_s"),
+        # effective parallelism (r13): the scaling-run proof, compact form
+        "parallelism": payload["parallelism"]["default_parallelism"],
+        "cpus_env": payload["parallelism"]["spark_graft_cpus"],
         "full_payload": "BENCH_LOCAL_LAST.json",
     }
     if stress:

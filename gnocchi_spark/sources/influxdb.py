@@ -214,19 +214,32 @@ def parse_lines(
     # reference aborts without the rid tag (influxdb.py:199-207); we drop
     df = df.where(F.col("resource_id").isNotNull())
 
-    other = F.map_filter("tags", lambda k, _: k != F.lit(tag_to_rid))
-    tags_str = F.when(
-        F.size(F.map_keys(other)) > 0,
-        F.concat(
-            F.lit("@"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.map_keys(other)),
-                    lambda k: F.concat(k, F.lit("="), F.element_at(other, k)),
-                ),
-                ",",
+    # non-rid tags, sorted by key, as "@k=v,k2=v2" (influxdb.py:213-227).
+    # r13 (§4, finish the r12 job): the former map_filter("tags", k !=
+    # rid) was an interpreted per-row lambda that project-collapse
+    # inlined THREE times (the size() guard, the key array, and the
+    # per-key element_at lookup each re-ran the filter); sorting
+    # map_entries natively and folding the rid skip into the one
+    # remaining transform leaves a single lambda site.  Identical
+    # output: entries sort by key (keys unique after LAST_WIN dedup, so
+    # struct order == key order), the rid entry maps to NULL and
+    # array_join drops NULLs — exactly as the old form dropped
+    # NULL-valued concat results; `size(tags) > 1` ⟺ "a non-rid tag
+    # exists" because the resource_id filter above guarantees the rid
+    # key is present.
+    entries = F.array_sort(F.map_entries("tags"))
+    body = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.when(
+                e["key"] != F.lit(tag_to_rid),
+                F.concat(e["key"], F.lit("="), e["value"]),
             ),
         ),
+        ",",
+    )
+    tags_str = F.when(
+        F.size("tags") > 1, F.concat(F.lit("@"), body)
     ).otherwise(F.lit(""))
     df = df.withColumn("tags_str", tags_str)
 
