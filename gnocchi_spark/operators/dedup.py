@@ -595,12 +595,41 @@ def band_long(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    _persist_out: list | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on band keys: docs agreeing on
     any full band become candidate pairs (classic MinHash-LSH banding).
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
-    long = band_long(signatures, num_hashes, band_size)
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The band table is persisted EAGERLY before the self-join (r13, §2.4
+    remove passes): both join sides reference the same frame, and an
+    unmaterialized frame is re-derived per side — the r13 job profile
+    showed the two heaviest jobs of the minhash construct (1.35 s +
+    1.69 s of its 3.85 s at sf0.1) were the per-seed signature
+    transforms running once per side.  Eager, because two lazily-racing
+    consumers each compute uncached partitions (the r12
+    minhash_near_duplicates lesson).  The table is (doc_id, band, key)
+    — n_bands rows per doc, a fraction of the shingle-array persist the
+    caller already holds; at 100 TB this is exactly the band INDEX a
+    production pipeline persists anyway (see band_long).
+
+    ``_persist_out``: callers that re-materialize the result (the
+    memoized checkpoint in minhash_near_duplicates) receive the
+    persisted band frame here and unpersist it once their checkpoint
+    holds the values — the same hygiene as the caller's shingle-array
+    persist.  Other callers rely on session cache hygiene
+    (clearCache between bench queries), as the array persists do."""
+    from pyspark import StorageLevel
+
+    long = band_long(signatures, num_hashes, band_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    long.count()
+    if _persist_out is not None:
+        _persist_out.append(long)
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(
@@ -815,17 +844,23 @@ def minhash_near_duplicates(
             num_hashes, band_size = auto_nh, auto_r
     assert num_hashes >= band_size >= 1, (num_hashes, band_size)
     sigs = minhash_signatures_arrays(arrays, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    band_persists: list = []
+    cands = lsh_candidate_pairs(
+        sigs, num_hashes, band_size, _persist_out=band_persists
+    )
     out = jaccard_pairs_arrays(cands, arrays).where(F.col("jaccard") >= threshold)
     if cache_key is not None:
         out, handles = _tracked_local_checkpoint(out)
         # use the memo's canonical frame: on a same-key race the
         # existing entry wins and OUR handles were just released
         out = _ASSIGNMENT_CACHE.put(memo_key, out, handles)
-        # the shingle-array persist is dead once the pair set is
-        # checkpoint-materialized; explicit unpersist of OUR OWN frame
-        # only (never a registry sweep — see _unpersist_handles)
+        # the shingle-array and band-table persists are dead once the
+        # pair set is checkpoint-materialized; explicit unpersist of
+        # OUR OWN frames only (never a registry sweep — see
+        # _unpersist_handles)
         arrays.unpersist(False)
+        for bp in band_persists:
+            bp.unpersist(False)
     return out
 
 

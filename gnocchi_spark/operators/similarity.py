@@ -90,15 +90,6 @@ def quantize_int8(a: Column) -> Column:
     )
 
 
-# Budget for the inlined-literal exact-scoring form of cosine_topk:
-# n_queries x dim multiply terms in one generated SQL expression.  8192
-# is ~4x the ivf_assign argmax this recipe is copied from (32 x 64) —
-# comfortably inside codegen/parse budgets — and covers every bounded
-# query set the engine passes (<= 50 queries at dim 64).  Larger query
-# frames fall back to the broadcast-join fold path below.
-_COSINE_TOPK_MAX_TERMS = 8192
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,43 +100,31 @@ def cosine_topk(
     """Exact top-k neighbours per query by cosine.
 
     Ranking uses (rounded cosine desc, id asc) so ties are
-    deterministic.  The query side is bounded by design (it is collected
-    to the driver either way — the historical form broadcast it); the
-    corpus never shuffles; only the per-query top-k heap (window over
-    partitioned rank) reduces.
+    deterministic.  The query side is broadcast — the corpus never
+    shuffles; only the per-query top-k heap (window over partitioned
+    rank) reduces.
 
-    r13 (§1.2 per-task work, the ivf_assign recipe): for bounded query
-    sets the O(|Q| x |corpus|) scoring is generated as ONE SQL string
-    over a pre-projected double-cast corpus vector — plain arithmetic
-    inside whole-stage codegen — instead of a broadcast join whose
-    per-pair cosine ran THREE interpreted higher-order folds (dot +
-    both norms; ~4x|dim| boxed closure calls per pair).  Bit parity
-    with the fold form it replaces, argued term by term:
-
-    - corpus dot/norm: ``__vd[i]`` reads a PROJECTED transform output
-      (O(1) access — the r12 microbench's fast case), terms multiply as
-      ``double(cv[i]) * double(qv[i])`` and sum left-to-right — the
-      identical IEEE sequence as the zip_with/aggregate fold (the
-      fold's leading ``0.0 +`` is exact);
-    - query-side dot terms and norms fold sequentially in driver
-      Python over float()-widened values — the same convention
-      ivf_assign's centroid literals established (oracle-pinned since
-      r10); ``norm(q)*norm(c)`` vs ``__vn * <qn literal>`` commute
-      exactly (one IEEE multiply either way);
-    - length mismatches: zip_with NULL-pads the shorter side so any
-      |cv| != |qv| pair scores NULL — reproduced by the explicit
-      ``size(__vd) = dim`` guard (|cv| < dim already NULLs via the
-      out-of-range ``__vd[i]``, |cv| > dim needs the guard);
-    - NULL corpus vectors score NULL and rank last, as before.
-
-    Query sets that exceed the expression budget, or that carry NULL
-    vectors (junk the literal form cannot inline), take the historical
-    broadcast-join fold path unchanged.
+    NEGATIVE RESULT (r13, do not retry): inlining a bounded query set
+    as literal arrays and generating the scoring as one SQL string —
+    the ivf_assign recipe — measured **7-10x SLOWER** than this fold
+    (execute 0.3 s -> ~2.1 s for 21 queries x 2000 corpus x dim 64 at
+    sf0.1, value parity exact; tools/cosine_literal_bench.py re-runs
+    it).  Mechanism: the |Q| x dim-term expression blows Janino's
+    method budget (codegen compile ERROR in the logs), the whole stage
+    falls back to interpreted evaluation, and there ``__vd[i]`` element
+    access costs O(dim) — the r12 ``sql_dot`` trap.  ivf_assign's argmax
+    survives at k=32 only because its single sort_array expression stays
+    under the budget; a per-query struct array at |Q| >= ~20 does not.
+    The interpreted zip_with fold is ALSO not the probe-curve
+    bottleneck (0.2-0.4 s of a ~5 s query) — see the r13 job profile.
     """
     from pyspark.sql import Window
 
     from gnocchi_spark.operators.dedup import spread_for_compute
 
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
     # r12: a small single-file corpus scans as ONE partition, running
     # the O(|Q| x |corpus|) scoring on one core (measured 1.35 s ->
     # 0.65 s at sf0.1 with the spread; no-op on a many-partition scan).
@@ -154,103 +133,18 @@ def cosine_topk(
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-
-    q_rows = _collect_bounded_queries(queries, id_col, vec_col)
-    if q_rows is not None:
-        import math
-
-        # schema parity: the query_id literal must carry the query
-        # frame's exact id type (an int column must not widen to long)
-        qid_type = queries.schema[id_col].dataType.simpleString()
-        dim = len(q_rows[0][1])
-        elem = [f"__vd[{i}]" for i in range(dim)]
-        vnorm_sql = "sqrt(" + " + ".join(f"{e} * {e}" for e in elem) + ")"
-        entries = []
-        for qid, qv in q_rows:
-            qn = 0.0
-            dot_terms = []
-            for e, x in zip(elem, qv):
-                xf = float(x)
-                qn += xf * xf
-                dot_terms.append(f"{e} * {xf!r}D")
-            score = (
-                f"round(({' + '.join(dot_terms)})"
-                f" / ({math.sqrt(qn)!r}D * __vn), 5)"
-            )
-            entries.append(
-                f"named_struct('query_id', CAST({qid} AS {qid_type}), "
-                f"'cosine', CASE WHEN size(__vd) = {dim} THEN {score} END)"
-            )
-        scored = (
-            c.selectExpr(
-                "neighbor_id",
-                f"transform(cv, x -> CAST(x AS DOUBLE)) AS __vd",
-            )
-            .selectExpr(
-                "neighbor_id", "__vd", f"{vnorm_sql} AS __vn"
-            )
-            .selectExpr(
-                "neighbor_id",
-                f"explode(array({', '.join(entries)})) AS __qs",
-            )
-            .select(
-                F.col("__qs.query_id").alias("query_id"),
-                "neighbor_id",
-                F.col("__qs.cosine").alias("cosine"),
-            )
-            .where(F.col("query_id") != F.col("neighbor_id"))
-        )
-    else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-        scored = (
-            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 5))
-        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
-
-
-def _collect_bounded_queries(
-    queries: DataFrame, id_col: str, vec_col: str
-) -> list[tuple[int, list]] | None:
-    """Collect a query frame for the literal scoring form, or None when
-    it does not qualify: streaming input, long-typed ids required
-    (non-integral ids fall back), NULL/ragged vectors, or more than the
-    expression budget.  The limit bounds the probe — an oversized frame
-    costs one (budget+1)-row collect, never a full materialization."""
-    if queries.isStreaming:
-        return None
-    from pyspark.sql.types import IntegralType
-
-    if not isinstance(queries.schema[id_col].dataType, IntegralType):
-        return None
-    rows = queries.select(id_col, vec_col).limit(
-        _COSINE_TOPK_MAX_TERMS + 1
-    ).collect()
-    if not rows:
-        return None
-    dim = None
-    out = []
-    for r in rows:
-        v = r[vec_col]
-        if v is None:
-            return None
-        if dim is None:
-            dim = len(v)
-        elif len(v) != dim:
-            return None
-        out.append((int(r[id_col]), list(v)))
-    if dim == 0 or len(out) * dim > _COSINE_TOPK_MAX_TERMS:
-        return None
-    return out
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

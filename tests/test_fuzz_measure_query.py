@@ -22,6 +22,11 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -22,6 +22,13 @@ revisions) are injected at every nesting level and must be skipped.
 
 from __future__ import annotations
 
+import pytest
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
+
 import math
 import struct
 

@@ -15,6 +15,13 @@ per case.  ``derandomize=True`` keeps it a deterministic gate.
 
 from __future__ import annotations
 
+import pytest
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -30,6 +30,13 @@ a deterministic gate.
 
 from __future__ import annotations
 
+import pytest
+# Extended fuzz/property-hunt tier (r13): excluded from the default
+# fast run so the driver verify gate finishes; the full-tier gate
+# (-m "slow or not slow") still runs it.
+pytestmark = pytest.mark.slow
+
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
