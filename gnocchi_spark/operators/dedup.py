@@ -382,7 +382,7 @@ def reclaimable_local_checkpoint(df: DataFrame, *label) -> DataFrame:
     return register_result_handles(out, handles, *label)
 
 
-def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
+def spread_for_compute(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition an input whose IO-based partitioning undersizes the
     CPU-dense work that follows.
 
@@ -394,6 +394,17 @@ def spread_for_compute(df: DataFrame, factor: int = 2) -> DataFrame:
     than serializing the hash work.  No-op when the scan already carries
     enough partitions (a real 100 TB table does), so this never REDUCES
     parallelism.
+
+    ``factor=1`` — one wave of tasks — since r13 (was 2): round-robin
+    repartition balances ROW counts near-perfectly and every spread
+    consumer is a uniform per-row kernel, so a second wave adds no
+    balance, only task-launch overhead — the r13 job profile showed
+    every stage of the dedup kernels running 64+1 tasks on ~20 MB of
+    cached data, with per-task overhead the dominant stage cost at
+    bench scale.  Scale-neutral: the width still tracks
+    ``defaultParallelism`` (grows with the cluster), and real corpora
+    scan with more partitions than that, where this is a no-op either
+    way.  Skewed-cost inputs can pass ``factor=2`` explicitly.
     """
     if df.isStreaming:
         # partition introspection (df.rdd) is illegal on a stream, and
