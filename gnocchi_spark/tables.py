@@ -41,7 +41,44 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Lazy-frame memo (r13, VERDICT r12 next #3 — the fixed per-query tail
+# cost): ONE `spark.read.parquet` + NTZ normalization costs ~130 ms of
+# driver work (footer schema read, FileIndex build, plan analysis), and
+# the bench/gate sessions call the loaders 2-3 times per query — ~10 s
+# of the 70 s headline was spent re-deriving identical lazy plans.  The
+# memo stores the unexecuted DataFrame per (application, sf_dir, table,
+# filters): pure PLAN reuse — no rows are cached anywhere, every action
+# still reads the parquet files — so bench passes stay cold-data by
+# construction.  The one semantic: the file listing snapshots at first
+# load per session, which is also what any caller holding a DataFrame
+# already observes; testdata is immutable within a session.
+_FRAME_MEMO: dict = {}
+_FRAME_MEMO_CAP = 64
+
+
+def _frame_memo(spark: SparkSession, key: tuple, build):
+    try:
+        k = (spark.sparkContext.applicationId,) + key
+        hash(k)
+    except TypeError:
+        return build()
+    hit = _FRAME_MEMO.get(k)
+    if hit is not None:
+        return hit
+    df = build()
+    while len(_FRAME_MEMO) >= _FRAME_MEMO_CAP:
+        _FRAME_MEMO.pop(next(iter(_FRAME_MEMO)))
+    _FRAME_MEMO[k] = df
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _frame_memo(
+        spark, ("load", sf_dir, name), lambda: _load_uncached(spark, sf_dir, name)
+    )
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts has been parquet TIMESTAMP(NANOS) in some testdata
@@ -84,7 +121,20 @@ def events_as_measures(
     comparison does (row-group min/max skipping).  At 100 TB this is
     the difference between a pruned read and a full scan for
     refresh-on-read paths over raw measures.
+
+    Memoized per (application, sf_dir, start, stop) — plan reuse only,
+    see ``_frame_memo``.
     """
+    return _frame_memo(
+        spark,
+        ("events_as_measures", sf_dir, start, stop),
+        lambda: _events_as_measures_uncached(spark, sf_dir, start, stop),
+    )
+
+
+def _events_as_measures_uncached(
+    spark: SparkSession, sf_dir: str, start=None, stop=None
+) -> DataFrame:
     import datetime as _dt
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
